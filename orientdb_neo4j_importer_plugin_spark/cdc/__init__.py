@@ -1,0 +1,10 @@
+from .apply import ApplyResult, apply_changes
+from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
+
+__all__ = [
+    "ApplyResult",
+    "apply_changes",
+    "lww_resolve",
+    "lww_resolve_salted",
+    "lww_resolve_window",
+]

@@ -1,0 +1,207 @@
+"""Apply one batch of change events to the lake table (the MERGE).
+
+This is the engine's core operator — the Spark-first re-expression of the
+reference's write loop (``addVertexToGraph`` + per-1000-records transactional
+commit, ``ONeo4jImporterVerticesAndEdgesMigrator.java:268-272,698-723``):
+
+    dedup -> LWW resolve -> copy-on-write bucket MERGE -> atomic snapshot
+
+Equivalent Iceberg SQL (what this compiles to when a real Iceberg catalog is
+attached)::
+
+    MERGE INTO transcripts t
+    USING winners s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND s.op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+
+Scale design:
+
+* The MERGE join reads ONLY the buckets containing changed keys
+  (metadata-pruned, like Iceberg partition pruning + file skipping).
+* The anti-join's build side is the winner key set — one row per changed key,
+  orders of magnitude smaller than the table — and is explicitly broadcast
+  when small, so the table side never shuffles. With a large batch AQE falls
+  back to a shuffled join with skew splitting.
+* LWW is an algebraic aggregate (map-side combinable), so a hot conversation
+  never concentrates on one reducer (see ``lww.py``).
+* Everything stays JVM-side whole-stage-codegen; zero Python row functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ..lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    LSN_COL,
+    SnapshotTable,
+    bucket_expr,
+)
+from ..schema import CDC_META_COLUMNS, KEY_COLUMNS
+from .lww import lww_resolve
+
+# Below this many changed keys the anti-join build side is broadcast.
+BROADCAST_KEY_LIMIT = 5_000_000
+
+
+def _argmax_by_lsn(rows: DataFrame, keys: list[str]) -> DataFrame:
+    """One storage row per key: max __lsn wins (same algebraic-aggregate trick
+    as lww_resolve, over storage rows instead of envelope events)."""
+    rest = [c for c in rows.columns if c not in keys and c != LSN_COL]
+    w = F.max(F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])).alias("__w")
+    out = rows.groupBy(*keys).agg(w)
+    return out.select(
+        *keys, F.col(f"__w.{LSN_COL}").alias(LSN_COL), *[F.col(f"__w.{c}").alias(c) for c in rest]
+    )
+
+
+@dataclass
+class ApplyResult:
+    """Counters — the reference's running-statistics analogue
+    (``ONeo4jImporterStatistics.java:30-63``)."""
+
+    batch_id: str | None
+    skipped_replay: bool = False
+    events_in: int = 0
+    keys_changed: int = 0
+    deletes: int = 0
+    upserts: int = 0
+    touched_buckets: int = 0
+    snapshot_version: int | None = None
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+
+
+def apply_changes(
+    events: DataFrame,
+    table: SnapshotTable,
+    batch_id: str | None = None,
+    evolve_schema: bool = True,
+) -> ApplyResult:
+    """Merge a (possibly huge) batch of change events into `table`.
+
+    `events` columns: lsn, op, source_part, + payload columns (key columns
+    non-null; payload nullable, null for deletes). Idempotent per `batch_id`:
+    a replayed batch is a committed no-op (exactly-once ledger).
+    """
+    res = ApplyResult(batch_id=batch_id)
+    if batch_id is not None and table.is_batch_committed(batch_id):
+        res.skipped_replay = True
+        res.snapshot_version = table.current().version
+        return res
+
+    snap = table.current()
+    key = snap.partition_key
+    nb = snap.num_buckets
+
+    # --- schema evolution: reconcile BEFORE the merge (SURVEY §7.3) --------
+    incoming_payload = StructType(
+        [
+            StructField(f.name, f.dataType, f.name not in KEY_COLUMNS)
+            for f in events.schema.fields
+            if f.name not in CDC_META_COLUMNS
+        ]
+    )
+    schema = table.evolve_schema(incoming_payload) if evolve_schema else snap.schema
+    payload_cols = [f.name for f in schema.fields]
+
+    # --- stats over the raw batch (one pass, observe-style) ----------------
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("lo"),
+        F.max("lsn").alias("hi"),
+    ).collect()[0]
+    res.events_in = agg["n"]
+    res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
+    if res.events_in == 0:
+        # empty-feed no-op (reference: shouldImportEmptyDb) — still ledger the
+        # batch id so a replayed empty batch stays a no-op.
+        new = table.commit_bucket_rewrite(
+            table.spark.createDataFrame(
+                [],
+                StructType(schema.fields + [StructField(BUCKET_COL, IntegerType(), True)]),
+            ),
+            touched_buckets=[],
+            batch_id=batch_id,
+            new_schema=schema,
+            lineage={"events_in": 0},
+        )
+        res.snapshot_version = new.version
+        return res
+
+    # --- dedup + LWW: one algebraic aggregate does both --------------------
+    # Duplicate deliveries (same lsn, same row) collapse in the same max()
+    # that resolves the winner — no separate dropDuplicates pass needed here.
+    winners = lww_resolve(events, keys=KEY_COLUMNS).withColumn(
+        BUCKET_COL, bucket_expr(key, nb)
+    )
+    winners = winners.persist()
+    try:
+        stats = winners.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ).collect()[0]
+        res.keys_changed = stats["k"]
+        res.deletes = stats["d"] or 0
+        res.upserts = res.keys_changed - res.deletes
+        touched = sorted(stats["buckets"])
+        res.touched_buckets = len(touched)
+
+        # --- copy-on-write merge over touched buckets only ------------------
+        # Incoming winners as storage rows: payload + __lsn + __deleted.
+        # Deletes become tombstones so that a later-arriving batch with lower
+        # lsns for the same key cannot resurrect the row (out-of-order apply).
+        types = {f.name: f.dataType for f in schema.fields}
+        incoming = winners.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                for c in payload_cols
+                if c in winners.columns
+            ],
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+            F.col(BUCKET_COL),
+        )
+        existing = table.read_buckets(touched, snapshot=None, raw=True).withColumn(
+            BUCKET_COL, bucket_expr(key, nb)
+        )
+        win_keys = winners.select(*KEY_COLUMNS)
+        if res.keys_changed <= BROADCAST_KEY_LIMIT:
+            win_keys = F.broadcast(win_keys)
+        # The big (table) side never shuffles: untouched keys pass through a
+        # broadcast anti join; contested keys (a tiny set) go through a
+        # broadcast semi join and a second LWW argmax against the batch.
+        survivors = existing.join(win_keys, on=KEY_COLUMNS, how="left_anti")
+        contested = existing.join(win_keys, on=KEY_COLUMNS, how="left_semi")
+        resolved = _argmax_by_lsn(
+            contested.unionByName(incoming, allowMissingColumns=True), KEY_COLUMNS
+        )
+        new_data = survivors.unionByName(resolved, allowMissingColumns=True)
+        # one output file per bucket dir unless huge; AQE coalesces small
+        new_data = new_data.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+
+        new_snap = table.commit_bucket_rewrite(
+            new_data,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            new_schema=schema,
+            lineage={
+                "events_in": res.events_in,
+                "keys_changed": res.keys_changed,
+                "deletes": res.deletes,
+                "upserts": res.upserts,
+                "lsn_range": [res.lsn_min, res.lsn_max],
+            },
+        )
+        res.snapshot_version = new_snap.version
+        return res
+    finally:
+        winners.unpersist()

@@ -1,0 +1,91 @@
+"""Last-writer-wins resolution over a change-event batch.
+
+Reference analogue: the importer processes records in monotone source-ID
+cursor order, so re-running a full rebuild always lands on the latest state
+(``ONeo4jImporter.java:105-112``; cursor scans
+``ONeo4jImporterVerticesAndEdgesMigrator.java:183-190,464-474``). We make
+that implicit order explicit: the winner per primary key is the event with
+the greatest ``lsn``.
+
+Three implementations, equivalent results:
+
+* ``lww_resolve`` — **the production path**: LWW expressed as an *algebraic
+  aggregate* ``max(struct(lsn, payload...))``. Structs compare
+  lexicographically field-by-field, so max-by-first-field == argmax(lsn).
+  Because it is a regular hash aggregation, Spark applies map-side partial
+  aggregation (combiner): a hot key with 50% of all events is reduced to one
+  row per map task *before* the shuffle, so key skew never materializes on
+  the wire. This strictly dominates the window formulation at scale — no
+  per-key sort, no skewed sort partition, no built-in salting needed.
+
+* ``lww_resolve_window`` — the textbook ``row_number() OVER (PARTITION BY key
+  ORDER BY lsn DESC) = 1`` form named in the north rule. Kept for
+  documentation/verification; it shuffles *all* events of a key into one
+  partition and sorts them, which is exactly where a hot conversation hurts.
+
+* ``lww_resolve_salted`` — two-phase salted reduction for engines without
+  partial aggregation (and as the explicit skew-handling demonstration the
+  north rule asks for): phase 1 reduces per (key, salt) shard, phase 2
+  reduces the ≤SALTS survivors per key. Salt is derived deterministically
+  from ``lsn`` so results are reproducible; correctness holds because max is
+  associative+commutative — the per-shard winner set always contains the
+  global winner.
+
+Tie-breaking: ``lsn`` is unique per event in a well-formed feed; duplicate
+deliveries share the full row, so any tie is between identical rows and every
+formulation is deterministic (struct comparison continues into the payload
+fields, which are then equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema import KEY_COLUMNS
+
+DEFAULT_SALTS = 16
+
+
+def _non_key_columns(df: DataFrame, keys: list[str]) -> list[str]:
+    return [c for c in df.columns if c not in keys]
+
+
+def lww_resolve(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """One row per key: the event with the max ``lsn`` (algebraic aggregate)."""
+    keys = keys or KEY_COLUMNS
+    rest = _non_key_columns(events, keys)
+    # lsn must lead the struct so struct-max == argmax(lsn)
+    ordered = ["lsn"] + [c for c in rest if c != "lsn"]
+    winner = F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
+    out = events.groupBy(*keys).agg(winner)
+    return out.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in ordered])
+
+
+def lww_resolve_window(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """row_number() formulation (north-rule wording); same result set."""
+    keys = keys or KEY_COLUMNS
+    w = Window.partitionBy(*keys).orderBy(F.desc("lsn"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lww_resolve_salted(
+    events: DataFrame, keys: list[str] | None = None, salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Two-phase salted argmax for explicit hot-key skew handling."""
+    keys = keys or KEY_COLUMNS
+    rest = _non_key_columns(events, keys)
+    ordered = ["lsn"] + [c for c in rest if c != "lsn"]
+    struct_col = F.struct(*[F.col(c) for c in ordered])
+    salt = F.pmod(F.col("lsn"), F.lit(salts)).cast("int").alias("__salt")
+    phase1 = (
+        events.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.max(struct_col).alias("__w"))
+    )
+    phase2 = phase1.groupBy(*keys).agg(F.max("__w").alias("__w"))
+    return phase2.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in ordered])

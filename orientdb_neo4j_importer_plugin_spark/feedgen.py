@@ -1,0 +1,281 @@
+"""Deterministic change-feed generators (no RNG, no wall clock).
+
+Reference analogue: the seeded Cypher fixture generators in the reference's
+``README.md:40-122`` (``foreach (x in range(1,10) | create ...)``). Every
+value here is a pure function of the event's position, so any scale factor
+reproduces byte-identically — required for replay-equivalence testing and the
+two-parallelism benchmark (same input at local[N] and local[4N]).
+
+Two families:
+
+* ``gen_feed`` — synthetic conversations, fully parameterized (updates,
+  deletes, duplicate deliveries, hot-key skew, late events, v2 schema with
+  the ``tool`` column). Generated with ``spark.range`` + column expressions —
+  distributed, no driver-side loops, scales to 10^9+ events.
+* ``feed_from_tpch`` — derives a transcripts change feed from the provided
+  read-only TPC-H-ish tables (orders/lineitem), for bench + the driver's
+  flagship entry; conversations = orders, turns = line numbers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BASE_EPOCH = "2024-01-01 00:00:00"
+ROLES = ["user", "assistant", "system", "tool"]
+
+
+def _with_payload(df: DataFrame, rev_col, v2_from_lsn: int | None) -> DataFrame:
+    """Attach deterministic payload columns given conv_id/turn_idx/lsn/op/rev."""
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]), (F.col("turn_idx") % 4 + 1).cast("int")
+    )
+    text = F.concat(
+        role,
+        F.lit(" turn "),
+        F.col("turn_idx").cast("string"),
+        F.lit(" of "),
+        F.col("conv_id"),
+        F.lit(" rev "),
+        rev_col.cast("string"),
+    )
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(BASE_EPOCH).cast("timestamp")) + F.col("lsn")
+    )
+    df = (
+        df.withColumn("role", F.when(F.col("op") == "D", F.lit(None)).otherwise(role))
+        .withColumn("text", F.when(F.col("op") == "D", F.lit(None)).otherwise(text))
+        .withColumn("ts", ts)
+        .withColumn(
+            "source_part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+        )
+    )
+    if v2_from_lsn is not None:
+        tool = F.when(
+            (F.col("lsn") >= v2_from_lsn) & (F.col("op") != "D"),
+            F.concat(F.lit("tool_"), F.pmod(F.col("lsn"), F.lit(5)).cast("string")),
+        )
+        df = df.withColumn("tool", tool)
+    return df
+
+
+def gen_feed(
+    spark: SparkSession,
+    n_convs: int = 10,
+    turns_per_conv: int = 10,
+    updates_per_key: int = 0,
+    delete_every: int = 0,
+    duplicate: bool = False,
+    hot_conv_share: float = 0.0,
+    v2_from_lsn: int | None = None,
+) -> DataFrame:
+    """Deterministic change-event DataFrame (columns: lsn, op, conv_id,
+    turn_idx, role, text, [tool], ts, source_part).
+
+    * inserts: every (conv, turn) once, lsn = row ordinal.
+    * updates: `updates_per_key` extra revisions for every key whose
+      ``(conv*turns+turn) % 3 == 0``, with strictly higher lsn per revision.
+    * deletes: op='D' for keys with ordinal % `delete_every` == 1 (if set),
+      at lsn above all updates.
+    * duplicate: every event emitted twice with the SAME lsn (at-least-once
+      delivery; idempotency fixture).
+    * hot_conv_share: fraction of EXTRA update events all hitting conv 0
+      turn 0 (skew fixture).
+    """
+    n_base = n_convs * turns_per_conv
+    conv = F.concat(
+        F.lit("conv_"), F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 6, "0")
+    )
+    base = (
+        spark.range(n_base)
+        .withColumn("conv_id", conv)
+        .withColumn("turn_idx", (F.col("id") % turns_per_conv).cast("int"))
+        .withColumn("lsn", F.col("id"))
+        .withColumn("op", F.lit("I"))
+    )
+    parts = [_prep(base)]
+    next_lsn = n_base
+
+    if updates_per_key > 0:
+        upd_keys = base.filter(F.col("id") % 3 == 0).select("id", "conv_id", "turn_idx")
+        revs = spark.range(1, updates_per_key + 1).withColumnRenamed("id", "rev")
+        upd = (
+            upd_keys.crossJoin(revs)
+            .withColumn("lsn", F.lit(next_lsn) + F.col("id") * updates_per_key + (F.col("rev") - 1))
+            .withColumn("op", F.lit("U"))
+        )
+        parts.append(_prep(upd.drop("id")))
+        next_lsn += n_base * updates_per_key
+
+    if hot_conv_share > 0:
+        n_hot = int(n_base * hot_conv_share / max(1e-9, 1 - hot_conv_share))
+        hot = (
+            spark.range(n_hot)
+            .withColumn("conv_id", F.lit("conv_000000"))
+            .withColumn("turn_idx", F.lit(0).cast("int"))
+            .withColumn("lsn", F.lit(next_lsn) + F.col("id"))
+            .withColumn("op", F.lit("U"))
+        )
+        parts.append(_prep(hot.drop("id")))
+        next_lsn += n_hot
+
+    if delete_every > 0:
+        dels = (
+            base.filter(F.col("id") % delete_every == 1)
+            .select("conv_id", "turn_idx")
+            .withColumn("__ord", F.xxhash64("conv_id", "turn_idx"))  # stable but arbitrary order
+        )
+        # lsn for deletes: above everything, offset by a rank over keys
+        w_ord = F.row_number().over(Window.orderBy("__ord"))
+        dels = (
+            dels.withColumn("lsn", F.lit(next_lsn) + w_ord.cast("long") - 1)
+            .withColumn("op", F.lit("D"))
+            .drop("__ord")
+        )
+        parts.append(_prep(dels))
+
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p, allowMissingColumns=True)
+
+    # revision number = how many prior events this key had; derivable: rev 0
+    # for inserts, rev r for updates (encoded above via rev col), 0 for hot.
+    events = _with_payload(events, F.coalesce(F.col("rev"), F.lit(0)), v2_from_lsn)
+    events = events.drop("rev")
+    if duplicate:
+        events = events.unionByName(events)
+    cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text"]
+    if v2_from_lsn is not None:
+        cols.append("tool")
+    cols += ["ts", "source_part"]
+    return events.select(*cols)
+
+
+def _prep(df: DataFrame) -> DataFrame:
+    """Normalize a part to (conv_id, turn_idx, lsn, op, rev?)."""
+    if "rev" not in df.columns:
+        df = df.withColumn("rev", F.lit(None).cast("long"))
+    return df.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "lsn", "op", "rev")
+
+
+def write_feed_chunks(
+    events: DataFrame, out_dir: str, chunk_size: int = 1000
+) -> list[str]:
+    """Write the feed as lsn-ordered parquet chunk files — the WAL directory a
+    streaming query tails. One chunk ≈ one reference transaction batch
+    (``VERTICES_BATCH_SIZE=1000``, Migrator:58). Returns chunk paths in order.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    chunked = events.withColumn(
+        "__chunk", (F.col("lsn") / chunk_size).cast("long")
+    )
+    chunked.repartition(1).sortWithinPartitions("lsn").write.partitionBy(
+        "__chunk"
+    ).mode("overwrite").parquet(out_dir + "/_staging")
+    # flatten staging dirs into flat, name-ordered files (streaming source
+    # lists files; flat layout keeps it simple)
+    paths = []
+    staging = out_dir + "/_staging"
+    for entry in sorted(
+        (e for e in os.listdir(staging) if e.startswith("__chunk=")),
+        key=lambda e: int(e.split("=")[1]),
+    ):
+        chunk_no = int(entry.split("=")[1])
+        src_dir = os.path.join(staging, entry)
+        files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        for i, f in enumerate(sorted(files)):
+            dst = os.path.join(out_dir, f"chunk-{chunk_no:06d}-{i}.parquet")
+            os.replace(os.path.join(src_dir, f), dst)
+            paths.append(dst)
+    import shutil
+
+    shutil.rmtree(staging)
+    return paths
+
+
+def feed_from_tpch(
+    spark: SparkSession, sf_dir: str, updates: bool = True, deletes: bool = True
+) -> DataFrame:
+    """Derive a deterministic transcripts change feed from the provided
+    read-only TPC-H-ish tables: conversation = order, turn = line number,
+    text from part/supplier attributes. Inserts for every lineitem; one
+    update revision for lines with l_partkey % 3 == 0; deletes for lines
+    with l_partkey % 17 == 0."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    conv = F.concat(F.lit("conv_"), F.lpad(F.col("l_orderkey").cast("string"), 9, "0"))
+    base = li.select(
+        conv.alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_quantity"),
+        F.col("l_shipdate"),
+    )
+    # lsn: dense deterministic ordinal from (orderkey, linenumber); inserts
+    # occupy even space, updates/deletes above.
+    ordinal = (F.col("l_orderkey") * 8 + F.col("turn_idx")).cast("long")
+    n_span = 1 << 40  # update/delete lsn bands above the insert band
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+        (F.col("turn_idx") % 4 + 1).cast("int"),
+    )
+
+    def payload(df: DataFrame, rev: int) -> DataFrame:
+        text = F.concat(
+            role,
+            F.lit(" says: part "),
+            F.col("l_partkey").cast("string"),
+            F.lit(" qty "),
+            F.col("l_quantity").cast("string"),
+            F.lit(" rev "),
+            F.lit(rev).cast("string"),
+        )
+        return (
+            df.withColumn("role", role)
+            .withColumn("text", text)
+            .withColumn(
+                "tool",
+                F.when(
+                    F.col("l_suppkey") % 2 == 0,
+                    F.concat(F.lit("tool_"), (F.col("l_suppkey") % 5).cast("string")),
+                ),
+            )
+            .withColumn("ts", F.col("l_shipdate").cast("timestamp"))
+            .withColumn(
+                "source_part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+            )
+        )
+
+    inserts = payload(base.withColumn("lsn", ordinal).withColumn("op", F.lit("I")), 0)
+    parts = [inserts]
+    if updates:
+        upd = payload(
+            base.filter(F.col("l_partkey") % 3 == 0)
+            .withColumn("lsn", ordinal + F.lit(n_span))
+            .withColumn("op", F.lit("U")),
+            1,
+        )
+        parts.append(upd)
+    if deletes:
+        del_ = (
+            base.filter(F.col("l_partkey") % 17 == 0)
+            .withColumn("lsn", ordinal + F.lit(2 * n_span))
+            .withColumn("op", F.lit("D"))
+            .withColumn("role", F.lit(None).cast("string"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("tool", F.lit(None).cast("string"))
+            .withColumn("ts", F.col("l_shipdate").cast("timestamp"))
+            .withColumn(
+                "source_part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+            )
+        )
+        parts.append(del_)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source_part"
+    )

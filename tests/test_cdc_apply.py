@@ -1,0 +1,211 @@
+"""End-to-end batch CDC apply vs independent oracles.
+
+Mirrors the reference's fixture-driven final-state assertions
+(ONeo4jImporterTest.java:119-151,229-266) per FIXTURES.md §3.
+"""
+
+import os
+
+import pytest
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes, lww_resolve, lww_resolve_salted, lww_resolve_window
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed, write_feed_chunks
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.oracle import (
+    reduce_events_duckdb,
+    table_matches_oracle,
+)
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS, TRANSCRIPTS_V1
+
+OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def final_state(table):
+    df = table.read().orderBy("conv_id", "turn_idx")
+    cols = [c for c in OUT_COLS if c in df.columns]
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+def oracle_state(feed_dir, has_tool):
+    rel = reduce_events_duckdb(f"{feed_dir}/*.parquet", has_tool=has_tool)
+    return [tuple(r) for r in rel.fetchall()]
+
+
+def run_fixture(spark, tmp_path, feed, schema, name, batch_split=None):
+    feed_dir = str(tmp_path / f"feed_{name}")
+    write_feed_chunks(feed, feed_dir, chunk_size=1000)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / f"table_{name}"), schema, "conv_id", num_buckets=8
+    )
+    batch = spark.read.parquet(feed_dir)
+    if batch_split is None:
+        apply_changes(batch, table, batch_id="b0")
+    else:
+        lo = batch.filter(batch.lsn < batch_split)
+        hi = batch.filter(batch.lsn >= batch_split)
+        apply_changes(lo, table, batch_id="b0")
+        apply_changes(hi, table, batch_id="b1")
+    return table, feed_dir
+
+
+def test_feed_empty(spark, tmp_path):
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS, "conv_id", num_buckets=8
+    )
+    empty = spark.createDataFrame([], "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, source_part int")
+    res = apply_changes(empty, table, batch_id="b0")
+    assert res.events_in == 0
+    assert table.read().count() == 0
+    assert table.is_batch_committed("b0")
+
+
+def test_feed_inserts_only(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=3, turns_per_conv=10)
+    table, feed_dir = run_fixture(spark, tmp_path, feed, TRANSCRIPTS_V1, "ins")
+    rows = final_state(table)
+    assert len(rows) == 30
+    ok, msg = table_matches_oracle(rows, oracle_state(feed_dir, has_tool=False))
+    assert ok, msg
+    # per-conversation counts == 10 (shouldImportNodesOnlyDb analogue)
+    per_conv = table.read().groupBy("conv_id").count().collect()
+    assert all(r["count"] == 10 for r in per_conv) and len(per_conv) == 3
+
+
+def test_feed_updates_lww(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=5, turns_per_conv=8, updates_per_key=3)
+    table, feed_dir = run_fixture(spark, tmp_path, feed, TRANSCRIPTS_V1, "upd")
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+    # updated keys must carry the highest revision text
+    updated = (
+        table.read().filter("conv_id = 'conv_000000' and turn_idx = 0").collect()
+    )
+    assert len(updated) == 1 and updated[0]["text"].endswith("rev 3")
+
+
+def test_feed_updates_multi_batch(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=5, turns_per_conv=8, updates_per_key=3)
+    table, feed_dir = run_fixture(
+        spark, tmp_path, feed, TRANSCRIPTS_V1, "updmb", batch_split=60
+    )
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+
+
+def test_feed_deletes(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=10, delete_every=5)
+    table, feed_dir = run_fixture(spark, tmp_path, feed, TRANSCRIPTS_V1, "del")
+    rows = final_state(table)
+    oracle = oracle_state(feed_dir, has_tool=False)
+    assert len(rows) < 40  # something was deleted
+    ok, msg = table_matches_oracle(rows, oracle)
+    assert ok, msg
+
+
+def test_feed_duplicates_idempotent(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=3, turns_per_conv=10, duplicate=True)
+    table, feed_dir = run_fixture(spark, tmp_path, feed, TRANSCRIPTS_V1, "dup")
+    rows = final_state(table)
+    assert len(rows) == 30  # duplicates collapse (unique-index analogue)
+    ok, msg = table_matches_oracle(rows, oracle_state(feed_dir, has_tool=False))
+    assert ok, msg
+
+
+def test_batch_replay_is_noop(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=3, turns_per_conv=5)
+    feed_dir = str(tmp_path / "feed_replay")
+    write_feed_chunks(feed, feed_dir)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_replay"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    batch = spark.read.parquet(feed_dir)
+    r1 = apply_changes(batch, table, batch_id="b0")
+    v1 = table.current().version
+    r2 = apply_changes(batch, table, batch_id="b0")  # exactly-once replay
+    assert r2.skipped_replay and table.current().version == v1
+    assert not r1.skipped_replay
+
+
+def test_feed_schema_v2_evolution(spark, tmp_path):
+    # v1 events then v2 events carrying `tool` (FIXTURES feed_schema_v2)
+    v1 = gen_feed(spark, n_convs=3, turns_per_conv=10)
+    v2 = gen_feed(
+        spark, n_convs=3, turns_per_conv=10, updates_per_key=1, v2_from_lsn=30
+    ).filter("lsn >= 30")
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_evo"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(v1, table, batch_id="b0")
+    assert "tool" not in [f.name for f in table.current().schema.fields]
+    apply_changes(v2, table, batch_id="b1")
+    schema_cols = [f.name for f in table.current().schema.fields]
+    assert "tool" in schema_cols  # existsProperty analogue
+    df = table.read()
+    # v1-only rows null-backfilled; updated rows carry tool values
+    assert df.filter("tool is not null").count() > 0
+    assert df.filter("tool is null").count() > 0
+
+
+def test_feed_hot_key_skew(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=5, hot_conv_share=0.5)
+    table, feed_dir = run_fixture(spark, tmp_path, feed, TRANSCRIPTS_V1, "hot")
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+
+
+def test_out_of_order_batches(spark, tmp_path):
+    """A batch with lower lsns applied AFTER a higher-lsn batch must not
+    overwrite newer rows, and deletes must not be resurrected (tombstones)."""
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=6, updates_per_key=2, delete_every=4)
+    feed_dir = str(tmp_path / "feed_ooo")
+    write_feed_chunks(feed, feed_dir)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_ooo"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    full = spark.read.parquet(feed_dir)
+    mid = 36
+    hi = full.filter(full.lsn >= mid)
+    lo = full.filter(full.lsn < mid)
+    apply_changes(hi, table, batch_id="late-first")  # updates+deletes first
+    apply_changes(lo, table, batch_id="early-second")  # inserts arrive late
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+    # tombstones present, then vacuumed away once past the retention lsn
+    raw = table.read(raw=True)
+    n_tombstones = raw.filter("__deleted").count()
+    assert n_tombstones > 0
+    max_lsn = feed.agg({"lsn": "max"}).collect()[0][0]
+    table.vacuum_tombstones(below_lsn=max_lsn + 1)
+    assert table.read(raw=True).filter("__deleted").count() == 0
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+
+
+def test_lww_formulations_agree(spark):
+    feed = gen_feed(
+        spark, n_convs=4, turns_per_conv=5, updates_per_key=2, duplicate=True
+    )
+    a = lww_resolve(feed).orderBy("conv_id", "turn_idx").collect()
+    b = lww_resolve_window(feed).select(*[c.name for c in lww_resolve(feed).schema]).orderBy("conv_id", "turn_idx").collect()
+    c = lww_resolve_salted(feed).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+    key_of = lambda r: (r["conv_id"], r["turn_idx"], r["lsn"], r["text"])
+    assert sorted(map(key_of, a)) == sorted(map(key_of, b))
+
+
+def test_overwrite_flag(spark, tmp_path):
+    root = str(tmp_path / "t_ow")
+    SnapshotTable.create(spark, root, TRANSCRIPTS, "conv_id")
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(spark, root, TRANSCRIPTS, "conv_id")
+    SnapshotTable.create(spark, root, TRANSCRIPTS, "conv_id", overwrite=True)
