@@ -84,6 +84,7 @@ def apply_changes(
     table: SnapshotTable,
     batch_id: str | None = None,
     evolve_schema: bool = True,
+    lineage_extra: dict | None = None,
 ) -> ApplyResult:
     """Merge a (possibly huge) batch of change events into `table`.
 
@@ -199,6 +200,7 @@ def apply_changes(
                 "deletes": res.deletes,
                 "upserts": res.upserts,
                 "lsn_range": [res.lsn_min, res.lsn_max],
+                **(lineage_extra or {}),
             },
         )
         res.snapshot_version = new_snap.version

@@ -1,0 +1,3 @@
+from .runner import CdcStreamRunner, StreamMetrics
+
+__all__ = ["CdcStreamRunner", "StreamMetrics"]

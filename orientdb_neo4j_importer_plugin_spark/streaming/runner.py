@@ -1,0 +1,241 @@
+"""Structured Streaming CDC runner: WAL directory -> lake table.
+
+Reference analogue: the 4-phase one-shot pipeline of ``ONeo4jImporter.execute``
+(``ONeo4jImporter.java:66-188``) re-expressed as a continuous query:
+
+* the sequential Bolt cursor over monotone IDs
+  (``ONeo4jImporterVerticesAndEdgesMigrator.java:183-190``) becomes
+  ``spark.readStream`` tailing a directory of change-event files,
+* the per-1000-records transactional commit (``:268-272``) becomes a
+  micro-batch in ``foreachBatch`` committing one atomic table snapshot,
+* the 1000 ms progress Timer thread (``ONeo4jImporterMain.java:66-78``)
+  becomes a ``StreamingQueryListener`` writing a status JSON file,
+* the job status lifecycle STARTED/RUNNING/FINISHED
+  (``ONeo4jImporterJob.java:74,102,161-165``) is mirrored in that JSON.
+
+Scale design — the pipeline is STATELESS on purpose:
+
+* In-batch duplicates and LWW collapse inside one algebraic aggregate.
+* Cross-batch duplicates are no-ops: the merge is idempotent (same winner
+  row rewrites to the same bytes) and replayed batch ids hit the ledger.
+* Out-of-order arrival is resolved by LWW-against-the-table with tombstones.
+
+So no Spark state store, no watermark needed for *correctness* — watermark
+state that would be O(keys-in-window) at 10^10 events/day is simply absent.
+Late-event *policy* (drop events older than a threshold, as some pipelines
+require) is an explicit apply-time filter against a persisted high-watermark,
+counted in lineage — deterministic and replayable, unlike state-store
+watermarks whose drops depend on racy batch timing. Optional
+``dropDuplicatesWithinWatermark`` can still be enabled for pathological
+duplicate-heavy feeds where pre-shuffle dedup pays for its state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..cdc.apply import ApplyResult, apply_changes
+from ..lake.table import SnapshotTable
+from ..schema import CHANGE_EVENT
+
+
+@dataclass
+class StreamMetrics:
+    """Running counters — ``ONeo4jImporterStatistics`` analogue
+    (``ONeo4jImporterStatistics.java:30-63``)."""
+
+    status: str = "STARTED"
+    batches: int = 0
+    replayed_batches: int = 0
+    events_in: int = 0
+    keys_changed: int = 0
+    upserts: int = 0
+    deletes: int = 0
+    late_dropped: int = 0
+    started_at: float = field(default_factory=time.time)
+    last_batch_at: float | None = None
+    last_snapshot_version: int | None = None
+
+    def record(self, r: ApplyResult) -> None:
+        self.status = "RUNNING"
+        self.batches += 1
+        self.last_batch_at = time.time()
+        if r.skipped_replay:
+            self.replayed_batches += 1
+            return
+        self.events_in += r.events_in
+        self.keys_changed += r.keys_changed
+        self.upserts += r.upserts
+        self.deletes += r.deletes
+        self.last_snapshot_version = r.snapshot_version
+
+    def events_per_sec(self) -> float:
+        dt = (self.last_batch_at or time.time()) - self.started_at
+        return self.events_in / dt if dt > 0 else 0.0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "status": self.status,
+            "batches": self.batches,
+            "replayed_batches": self.replayed_batches,
+            "events_in": self.events_in,
+            "keys_changed": self.keys_changed,
+            "upserts": self.upserts,
+            "deletes": self.deletes,
+            "late_dropped": self.late_dropped,
+            "events_per_sec": round(self.events_per_sec(), 2),
+            "last_snapshot_version": self.last_snapshot_version,
+        }
+
+
+def _write_status(path: str | None, metrics: StreamMetrics) -> None:
+    if not path:
+        return
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(metrics.to_json(), fh)
+    os.replace(tmp, path)
+
+
+class CdcStreamRunner:
+    """Owns one streaming query feed_dir -> table (single writer, like the
+    reference's pool-size-1 executor, ``ONeo4jImporterHandler.java:35``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        table: SnapshotTable,
+        checkpoint_dir: str,
+        event_schema: StructType = CHANGE_EVENT,
+        max_files_per_trigger: int | None = None,
+        late_drop_delay_seconds: int | None = None,
+        stream_dedup_watermark: str | None = None,
+        status_path: str | None = None,
+        batch_id_prefix: str | None = None,
+    ):
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.event_schema = event_schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.late_drop_delay_seconds = late_drop_delay_seconds
+        self.stream_dedup_watermark = stream_dedup_watermark
+        self.status_path = status_path
+        # Ledger keys must be scoped to the checkpoint lineage: Spark batch
+        # ids restart at 0 for a fresh checkpoint, and a new batch 0 may hold
+        # different files than the old one — a bare "stream-0" key would be
+        # wrongly skipped. A stream id stored INSIDE the checkpoint dir ties
+        # ledger entries to the checkpoint; losing the checkpoint mints a new
+        # id, everything replays, and the idempotent LWW merge converges.
+        self.batch_id_prefix = batch_id_prefix or self._stream_id()
+        self.metrics = StreamMetrics()
+
+    def _stream_id(self) -> str:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        marker = os.path.join(self.checkpoint_dir, "_cdc_stream_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return fh.read().strip()
+        sid = f"stream-{uuid.uuid4().hex[:12]}"
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(sid)
+        os.replace(tmp, marker)
+        return sid
+
+    # -- source -------------------------------------------------------------
+
+    def _source(self) -> DataFrame:
+        reader = self.spark.readStream.schema(self.event_schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        df = reader.parquet(self.feed_dir)
+        if self.stream_dedup_watermark:
+            df = df.withWatermark("ts", self.stream_dedup_watermark)
+            df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "lsn"])
+        return df
+
+    # -- late-event policy ----------------------------------------------------
+
+    def _apply_late_policy(self, batch: DataFrame) -> tuple[DataFrame, int]:
+        """Drop events with ts older than (committed high-watermark - delay).
+
+        The high-watermark is the max event ts across committed snapshots,
+        persisted in lineage — so the policy replays identically from a
+        checkpoint (unlike state-store watermarks)."""
+        if self.late_drop_delay_seconds is None:
+            return batch, 0
+        hwm = None
+        for lin in reversed(self.table.current().lineage):
+            if "event_ts_max" in lin and lin["event_ts_max"] is not None:
+                hwm = lin["event_ts_max"]
+                break
+        if hwm is None:
+            return batch, 0
+        cutoff = F.lit(hwm).cast("timestamp") - F.expr(
+            f"INTERVAL {self.late_drop_delay_seconds} SECONDS"
+        )
+        keep = batch.filter((F.col("ts").isNull()) | (F.col("ts") >= cutoff))
+        dropped = batch.count() - keep.count()
+        return keep, dropped
+
+    # -- sink ---------------------------------------------------------------
+
+    def _hwm(self) -> str | None:
+        """Committed event-time high watermark (max ts across snapshots)."""
+        for lin in reversed(self.table.current().lineage):
+            if lin.get("event_ts_max") is not None:
+                return lin["event_ts_max"]
+        return None
+
+    def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch, late = self._apply_late_policy(batch)
+        self.metrics.late_dropped += late
+        ts_max = batch.agg(F.max("ts")).collect()[0][0]
+        prev_hwm = self._hwm()
+        new_hwm = max(filter(None, [prev_hwm, str(ts_max) if ts_max else None]), default=None)
+        res = apply_changes(
+            batch,
+            self.table,
+            batch_id=f"{self.batch_id_prefix}-{batch_id}",
+            lineage_extra={"event_ts_max": new_hwm, "late_dropped": late},
+        )
+        self.metrics.record(res)
+        _write_status(self.status_path, self.metrics)
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        _write_status(self.status_path, self.metrics)
+        writer = (
+            self._source()
+            .writeStream.foreachBatch(self._for_each_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"cdc-{os.path.basename(self.table.root)}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: float | None = None) -> StreamMetrics:
+        """Process everything currently in the feed dir, then finish."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)
+        self.metrics.status = "FINISHED"
+        _write_status(self.status_path, self.metrics)
+        return self.metrics

@@ -1,0 +1,178 @@
+"""Streaming CDC: checkpointed tail of a WAL directory -> lake table.
+
+Mirrors FIXTURES.md feed_resume / feed_late_events and the reference's
+job-lifecycle semantics (ONeo4jImporterJob.java:74,102).
+"""
+
+import datetime
+import json
+import os
+import shutil
+import time
+
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed, write_feed_chunks
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.oracle import (
+    reduce_events_duckdb,
+    table_matches_oracle,
+)
+from orientdb_neo4j_importer_plugin_spark.schema import (
+    CHANGE_EVENT_V1,
+    TRANSCRIPTS_V1,
+)
+from orientdb_neo4j_importer_plugin_spark.streaming import CdcStreamRunner
+
+OUT_COLS = ["conv_id", "turn_idx", "role", "text", "ts"]
+
+
+def final_state(table):
+    return [
+        tuple(r)
+        for r in table.read()
+        .orderBy("conv_id", "turn_idx")
+        .select(*OUT_COLS)
+        .collect()
+    ]
+
+
+def oracle_state(feed_dir):
+    return [
+        tuple(r)
+        for r in reduce_events_duckdb(f"{feed_dir}/*.parquet", has_tool=False).fetchall()
+    ]
+
+
+def make_runner(spark, tmp_path, name, feed_dir, **kw):
+    table_root = str(tmp_path / f"table_{name}")
+    if SnapshotTable.exists(table_root):
+        table = SnapshotTable.load(spark, table_root)
+    else:
+        table = SnapshotTable.create(
+            spark, table_root, TRANSCRIPTS_V1, "conv_id", num_buckets=8
+        )
+    return CdcStreamRunner(
+        spark,
+        feed_dir,
+        table,
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        event_schema=CHANGE_EVENT_V1,
+        status_path=str(tmp_path / f"status_{name}.json"),
+        **kw,
+    )
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=8, updates_per_key=2, delete_every=6)
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(feed, feed_dir, chunk_size=64)
+    runner = make_runner(spark, tmp_path, "e2e", feed_dir, max_files_per_trigger=2)
+    metrics = runner.run_to_completion(timeout_sec=300)
+    assert metrics.status == "FINISHED"
+    assert metrics.batches >= 2  # really micro-batched
+    ok, msg = table_matches_oracle(final_state(runner.table), oracle_state(feed_dir))
+    assert ok, msg
+    status = json.load(open(runner.status_path))
+    assert status["events_in"] == feed.count()
+    assert status["events_per_sec"] > 0
+
+
+def test_stream_incremental_resume(spark, tmp_path):
+    """New files arriving after a finished run are picked up from the same
+    checkpoint; already-processed files are not reprocessed."""
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=8, updates_per_key=2)
+    all_dir = str(tmp_path / "all")
+    chunks = write_feed_chunks(feed, all_dir, chunk_size=48)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    half = len(chunks) // 2
+    for c in chunks[:half]:
+        shutil.copy(c, feed_dir)
+
+    r1 = make_runner(spark, tmp_path, "resume", feed_dir, max_files_per_trigger=1)
+    m1 = r1.run_to_completion(timeout_sec=300)
+    assert m1.batches > 0
+
+    for c in chunks[half:]:
+        shutil.copy(c, feed_dir)
+    r2 = make_runner(spark, tmp_path, "resume", feed_dir, max_files_per_trigger=1)
+    m2 = r2.run_to_completion(timeout_sec=300)
+    # second run only saw the new events
+    assert m2.events_in == feed.count() - m1.events_in
+    ok, msg = table_matches_oracle(final_state(r2.table), oracle_state(all_dir))
+    assert ok, msg
+    # third run: nothing new -> zero batches with data
+    r3 = make_runner(spark, tmp_path, "resume", feed_dir)
+    m3 = r3.run_to_completion(timeout_sec=300)
+    assert m3.events_in == 0
+    ok, msg = table_matches_oracle(final_state(r3.table), oracle_state(all_dir))
+    assert ok, msg
+
+
+def test_stream_kill_and_resume(spark, tmp_path):
+    """Stop the query mid-feed; restart from checkpoint; final state is
+    identical to an uninterrupted run (exactly-once replay)."""
+    feed = gen_feed(spark, n_convs=8, turns_per_conv=8, updates_per_key=3, delete_every=9)
+    feed_dir = str(tmp_path / "feed_kill")
+    write_feed_chunks(feed, feed_dir, chunk_size=32)
+
+    runner = make_runner(spark, tmp_path, "kill", feed_dir, max_files_per_trigger=1)
+    q = runner.start(available_now=True)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if runner.metrics.batches >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    assert runner.metrics.batches < 20  # actually interrupted mid-feed
+
+    resumed = make_runner(spark, tmp_path, "kill", feed_dir, max_files_per_trigger=1)
+    resumed.run_to_completion(timeout_sec=300)
+    ok, msg = table_matches_oracle(final_state(resumed.table), oracle_state(feed_dir))
+    assert ok, msg
+    # ledger contains each stream batch exactly once
+    ledger = resumed.table.current().ledger
+    assert len(ledger) == len(set(ledger))
+
+
+def test_stream_late_event_policy(spark, tmp_path):
+    """With a late-drop policy, events older than hwm - delay are dropped,
+    deterministically and replayably (FIXTURES feed_late_events)."""
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=6)
+    feed_dir = str(tmp_path / "feed_late")
+    write_feed_chunks(feed, feed_dir, chunk_size=1000)
+
+    r1 = make_runner(
+        spark, tmp_path, "late", feed_dir, late_drop_delay_seconds=10
+    )
+    r1.run_to_completion(timeout_sec=300)
+    before = final_state(r1.table)
+
+    # a late update: lsn above everything, but event-time far in the past
+    late = spark.createDataFrame(
+        [
+            (
+                10_000,  # lsn
+                "U",  # op
+                0,  # source_part
+                "conv_000000",
+                0,
+                "user",
+                "SHOULD BE DROPPED",
+                datetime.datetime(2020, 1, 1),
+            )
+        ],
+        CHANGE_EVENT_V1,
+    )
+    late_dir = str(tmp_path / "late_chunk")
+    late.coalesce(1).write.parquet(late_dir)
+    for f in os.listdir(late_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(late_dir, f), os.path.join(feed_dir, "chunk-zzz.parquet"))
+
+    r2 = make_runner(
+        spark, tmp_path, "late", feed_dir, late_drop_delay_seconds=10
+    )
+    m2 = r2.run_to_completion(timeout_sec=300)
+    assert m2.late_dropped == 1
+    assert final_state(r2.table) == before  # late event had no effect
