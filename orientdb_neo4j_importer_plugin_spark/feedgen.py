@@ -203,7 +203,16 @@ def feed_from_tpch(
     read-only TPC-H-ish tables: conversation = order, turn = line number,
     text from part/supplier attributes. Inserts for every lineitem; one
     update revision for lines with l_partkey % 3 == 0; deletes for lines
-    with l_partkey % 17 == 0."""
+    with l_partkey % 17 == 0.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
+    lsn is a content hash (h64, 60 bits) banded by op — deterministic,
+    engine-portable (the SQL oracle recomputes it verbatim), and totally
+    ordered the same way in both engines. Update band > insert band and
+    delete band > update band, mirroring arrival order semantics.
+    """
+    from .functions.hashes import h64
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     conv = F.concat(F.lit("conv_"), F.lpad(F.col("l_orderkey").cast("string"), 9, "0"))
     base = li.select(
@@ -214,10 +223,16 @@ def feed_from_tpch(
         F.col("l_quantity"),
         F.col("l_shipdate"),
     )
-    # lsn: dense deterministic ordinal from (orderkey, linenumber); inserts
-    # occupy even space, updates/deletes above.
-    ordinal = (F.col("l_orderkey") * 8 + F.col("turn_idx")).cast("long")
-    n_span = 1 << 40  # update/delete lsn bands above the insert band
+    content = F.concat_ws(
+        "|",
+        F.col("conv_id"),
+        F.col("turn_idx").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+    )
+    ordinal = h64(content)
+    n_span = F.lit(1 << 60).cast("long") * 2  # op band offset
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
         (F.col("turn_idx") % 4 + 1).cast("int"),
@@ -254,7 +269,7 @@ def feed_from_tpch(
     if updates:
         upd = payload(
             base.filter(F.col("l_partkey") % 3 == 0)
-            .withColumn("lsn", ordinal + F.lit(n_span))
+            .withColumn("lsn", ordinal + n_span)
             .withColumn("op", F.lit("U")),
             1,
         )
@@ -262,7 +277,7 @@ def feed_from_tpch(
     if deletes:
         del_ = (
             base.filter(F.col("l_partkey") % 17 == 0)
-            .withColumn("lsn", ordinal + F.lit(2 * n_span))
+            .withColumn("lsn", ordinal + n_span + n_span)
             .withColumn("op", F.lit("D"))
             .withColumn("role", F.lit(None).cast("string"))
             .withColumn("text", F.lit(None).cast("string"))

@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — each as a DataFrame
+plan with an exact DuckDB SQL oracle twin (same md5-derived hashing, same
+constants, same column names).
+
+Reference analogue: idempotency via UNIQUE_HASH_INDEX on the source key
+(``ONeo4jImporterVerticesAndEdgesMigrator.java:363-370``) — generalized from
+"same key" to "same/near-same content".
+
+Scale notes:
+
+* exact dedup: one shuffle on a 60-bit content hash (groupBy); at 100 TB the
+  hash column is what shuffles, not the text, thanks to early projection.
+* MinHash LSH: candidate generation is a self-join on (band_id, band_hash) —
+  an equi-join Catalyst executes as a shuffled hash join keyed by small ints;
+  band buckets bound the quadratic blowup. Signatures are k min-aggregates
+  over the exploded (doc, token) stream: ONE shuffle, map-side combinable.
+* SimHash: bit-majority aggregate over exploded tokens, also one combinable
+  shuffle; near-dup pairs = equal simhash (cheap) or hamming<=t via band join.
+* n-gram Jaccard: exploded shingle equi-join; the |union| denominator uses
+  precomputed per-doc distinct counts, so no second pass over text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import (
+    MINHASH_PRIME,
+    h64,
+    h64_sql,
+    minhash_apply,
+    minhash_apply_sql,
+    minhash_params,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (by 60-bit content hash).
+
+    Columns: content_hash, n_docs, keep_doc_id (min id wins), dup_doc_ids.
+    """
+    return (
+        documents.select("doc_id", h64(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT {h64_sql("text")} AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       list_sort(list(doc_id)) AS dup_doc_ids
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def exact_dedup_keep(documents: DataFrame) -> DataFrame:
+    """Survivors after exact dedup: lowest doc_id per distinct content.
+
+    Columns: doc_id. (The kept set — what a pipeline passes downstream.)
+    """
+    return (
+        documents.select("doc_id", h64(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+EXACT_DEDUP_KEEP_SQL = f"""
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY {h64_sql("text")}
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of 4 rows -> catches jaccard >~ 0.5
+SHINGLE_N = 3
+
+
+def _doc_shingle_hashes(documents: DataFrame) -> DataFrame:
+    sh = word_shingles(tokens(F.col("text")), SHINGLE_N)
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", h64(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{k-1} (one shuffle)."""
+    params = minhash_params(k)
+    ds = _doc_shingle_hashes(documents)
+    aggs = [
+        F.min(minhash_apply(F.col("sh"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(k: int = MINHASH_K) -> str:
+    params = minhash_params(k)
+    shingles = word_shingles_sql(tokens_sql("text"), SHINGLE_N)
+    mins = ", ".join(
+        f"min({minhash_apply_sql('sh', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, {h64_sql("s.shingle")} AS sh
+  FROM documents, unnest({shingles}) AS s(shingle)
+)
+SELECT doc_id, {mins} FROM ds GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Candidate near-duplicate pairs sharing at least one LSH band.
+
+    Columns: doc_a, doc_b, n_bands (how many bands matched).
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(documents, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        # band key = joined signature values (not a re-hash): exact parity
+        # with the SQL oracle and no collision asymmetry between engines
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"), F.concat_ws(",", *cols).alias("band_hash")
+            )
+        )
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+    a = exploded.alias("a")
+    bdf = exploded.alias("b")
+    return (
+        a.join(
+            bdf,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_lsh_pairs_sql(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+    # NOTE: F.hash (Murmur3) has no DuckDB twin, so the SQL oracle bands on
+    # the raw signature tuple instead of its hash — identical pair set.
+    rows_per_band = k // bands
+    sig = minhash_signatures_sql(k)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + "concat_ws(',', "
+        + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_selects})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: bit b set iff sum over tokens of (bit b of token hash
+    ? +1 : -1) > 0. Columns: doc_id, simhash."""
+    toks = tokens(F.col("text"))
+    dt = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", h64(F.col("tok")).alias("th"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    summed = dt.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    th = h64_sql("t.tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH dt AS (
+  SELECT doc_id, {th} AS th
+  FROM documents, unnest({tokens_sql("text")}) AS t(tok)
+),
+sums AS (SELECT doc_id, {bit_sums} FROM dt GROUP BY doc_id)
+SELECT doc_id, {sim} AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold.
+
+    Columns: doc_a, doc_b, jaccard (rounded to 4 dp).
+    |A ∩ B| from the shingle equi-join; |A ∪ B| = |A| + |B| - |A ∩ B| from
+    precomputed distinct-shingle counts — no quadratic text comparison.
+    """
+    ds = _doc_shingle_hashes(documents)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, threshold: float = 0.6) -> str:
+    shingles = word_shingles_sql(tokens_sql("text"), n)
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, {h64_sql("s.shingle")} AS sh
+  FROM documents, unnest({shingles}) AS s(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,147 @@
+"""Event-stream operators over the `events` table.
+
+CDC-shaped relational semantics the engine's pipeline uses internally,
+exposed as standalone operators with SQL oracle twins:
+
+* ``latest_state`` — LWW snapshot per key (the engine's core semantics, as a
+  pure query; reference analogue: rebuild-to-latest,
+  ``ONeo4jImporter.java:105-112``).
+* ``sessionize`` — gap-based sessions via lag window (streaming-shaped).
+* ``tumbling_counts`` — time-bucketed aggregation (windowed agg twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def _epoch(c):
+    """Seconds since epoch for timestamp or timestamp_ntz columns (ntz is
+    interpreted in the session timezone, pinned to UTC in session.py — the
+    same reading DuckDB's epoch() gives the naive fixture timestamps)."""
+    return F.unix_timestamp(c.cast("timestamp"))
+
+
+def latest_state(events: DataFrame) -> DataFrame:
+    """Last event per (user_id, event_type) by event_id (monotone = lsn).
+
+    Columns: user_id, event_type, last_event_id, last_value, last_ts.
+    Algebraic argmax — see cdc/lww.py for why this beats row_number at scale.
+    """
+    w = F.max(
+        F.struct(F.col("event_id"), F.col("value"), F.col("ts"))
+    ).alias("__w")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(w)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__w.event_id").alias("last_event_id"),
+            F.col("__w.value").alias("last_value"),
+            F.col("__w.ts").alias("last_ts"),
+        )
+    )
+
+
+LATEST_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       event_id AS last_event_id, value AS last_value, ts AS last_ts
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the gap
+    from the previous event exceeds `gap_minutes`.
+
+    Columns: user_id, session_id (ordinal per user), n_events,
+    session_start, session_end.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)
+    with_start = events.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_sid = with_start.withColumn(
+        "session_id", F.sum("is_start").over(w)
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def tumbling_counts(events: DataFrame, hours: int = 6) -> DataFrame:
+    """Events + value sum per event_type per N-hour tumbling window.
+
+    Columns: event_type, window_start, n_events, sum_value.
+    Uses arithmetic time-bucketing (epoch-truncation) rather than F.window's
+    struct output so the SQL twin is byte-identical.
+    """
+    secs = hours * 3600
+    # cast to ntz: naive timestamps on both engines (driver compares values)
+    bucket = F.timestamp_seconds(
+        (_epoch(F.col("ts")) / secs).cast("long") * secs
+    ).cast("timestamp_ntz")
+    return (
+        events.groupBy("event_type", bucket.alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def tumbling_counts_sql(hours: int = 6) -> str:
+    secs = hours * 3600
+    return f"""
+SELECT event_type,
+       CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // {secs}) * {secs}) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, window_start
+"""

@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (`embeddings` table).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed variant
+(random-hyperplane signs) as the scale path: at 10^9 vectors the brute-force
+cross join is infeasible, but hyperplane buckets cut candidates by ~2^bits
+while the per-bucket math is identical.
+
+All vector math uses Spark built-in higher-order functions
+(``aggregate``/``zip_with`` — JVM codegen over arrays, no Python). Scores are
+computed in float64 in array order on both engines and rounded to 4 dp so the
+DuckDB oracle matches value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the given query vector ids.
+
+    Columns: query_id, rank, neighbor_id, cosine.
+    Ties break on neighbor_id (deterministic, engine-independent).
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), ROUND_DP).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def brute_force_topk_sql(query_ids: list[int], k: int = 5, dim: int = 128) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    # explicit float64 left-fold in array order == Spark's aggregate()
+    dot = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nq = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nc = " + ".join(
+        f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(({dot}) / (sqrt({nq}) * sqrt({nc})), {ROUND_DP}) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 8  # 2^8 buckets
+
+
+def _plane_coeff(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane coefficients (+1/-1 pattern
+    from a fixed LCG — constants shared with any oracle)."""
+    coeffs = []
+    state = 1_234_567 + 7_919 * plane
+    for _ in range(dim):
+        state = (1_103_515_245 * state + 12_345) % (1 << 31)
+        coeffs.append(1.0 if state & 1 else -1.0)
+    return coeffs
+
+
+def lsh_bucket_expr(emb_col, dim: int, planes: int = LSH_PLANES):
+    """Sign-pattern bucket id of an embedding (random-hyperplane LSH)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        coeff = _plane_coeff(p, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(c) for c in coeff]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 128,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Same output columns as brute_force_topk. Recall < 1 by construction; at
+    scale the bucket column is precomputed/partitioned-on so a query touches
+    1/2^planes of the corpus.
+    """
+    withb = embeddings.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), dim, planes)
+    )
+    q = withb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_bucket") == F.col("c_bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), ROUND_DP).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def centroid_by_label(embeddings: DataFrame, dim: int = 128) -> DataFrame:
+    """Per-label mean embedding via posexplode + groupBy (distributed — no
+    driver-side vectors). Columns: label, n_vecs, centroid(array<double>)."""
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    means = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(F.col("pm"), lambda s: F.round(s["m"], ROUND_DP)).alias(
+                "centroid"
+            ),
+        )
+    )
+    return means

@@ -1,0 +1,185 @@
+"""Text analysis operators for training-data pipelines over `documents`.
+
+Each operator returns a DataFrame AND exposes an `*_SQL` oracle twin
+(ANSI/DuckDB) with identical column names and semantics, per the driver's
+correctness contract. All expressions are Spark built-ins — whole-stage
+codegen, no Python row functions.
+
+Reference analogue: the importer's per-record string-parsing scalar functions
+(``ONeo4jImporterSchemaMigrator.java:536-583``) — here generalized to
+text-quality primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h64, h64_sql, tokens, tokens_sql
+
+# Marker stopwords for quality scoring / language heuristics. Deterministic
+# fixed list shared verbatim with the SQL oracle.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counts + char stats.
+
+    Columns: doc_id, n_tokens, n_chars_measured, avg_token_len.
+    """
+    toks = tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.length(F.concat_ws("", toks)) / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({tokens_sql("text")}) AS n_tokens,
+       length(text) AS n_chars_measured,
+       round(length(array_to_string({tokens_sql("text")}, '')) * 1.0
+             / greatest(len({tokens_sql("text")}), 1), 4) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals in integer basis points (0..10000): length
+    term, punctuation ratio, stopword ratio, uppercase ratio, and a
+    composite score. All-integer floor arithmetic — bit-identical across
+    engines (no float round-at-half-boundary hazards).
+
+    Columns: doc_id, n_tokens, punct_bp, stopword_bp, upper_bp, quality_bp.
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    text_len = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")).cast("long")
+    upper = F.length(F.regexp_replace(F.col("text"), r"[^A-Z]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("long")
+    punct_bp = F.floor(punct * 10000 / text_len)
+    upper_bp = F.floor(upper * 10000 / text_len)
+    stop_bp = F.floor(stop_hits * 10000 / F.greatest(n_tok, F.lit(1)).cast("long"))
+    len_term = F.least(F.floor(n_tok.cast("long") * 10000 / 64), F.lit(10000))
+    quality_bp = F.floor(
+        (
+            len_term * 5
+            + stop_bp * 3
+            + (10000 - F.least(punct_bp * 10, F.lit(10000))) * 2
+        )
+        / 10
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct_bp.alias("punct_bp"),
+        stop_bp.alias("stopword_bp"),
+        upper_bp.alias("upper_bp"),
+        quality_bp.alias("quality_bp"),
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {tokens_sql("text")} AS toks,
+         greatest(length(text), 1) AS tl
+  FROM documents
+),
+bp AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10000 // tl AS punct_bp,
+         len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) * 10000
+           // greatest(len(toks), 1) AS stopword_bp,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000 // tl AS upper_bp,
+         least(len(toks) * 10000 // 64, 10000) AS len_term
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_bp, stopword_bp, upper_bp,
+       (len_term * 5 + stopword_bp * 3
+        + (10000 - least(punct_bp * 10, 10000)) * 2) // 10 AS quality_bp
+FROM bp
+ORDER BY doc_id
+"""
+
+
+# Language-marker words per language — a deterministic n-gram-free heuristic
+# (the container has no langid lib; this is the honest, testable version).
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language guess with deterministic tie-break.
+
+    Columns: doc_id, lang_guess, lang_hits.
+    """
+    toks = tokens(F.col("text"))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in ms]))).alias(
+            f"hits_{lang}"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    guess = F.lit("und")
+    # deterministic priority: first language (in fixed order) achieving max
+    for lg in reversed(langs):
+        guess = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"), best.alias("lang_hits"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({tokens_sql('text')}, x -> list_contains({lst}, x)))"
+
+
+LANG_ID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"{_lang_hits_sql(lg)} AS hits_{lg}" for lg in LANG_MARKERS)
+    + ", greatest("
+    + ", ".join(f"{_lang_hits_sql(lg)}" for lg in LANG_MARKERS)
+    + ") AS best FROM documents) SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}'" for lg in LANG_MARKERS
+    )
+    + " ELSE 'und' END AS lang_guess, best AS lang_hits FROM s ORDER BY doc_id"
+)
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """64-bit-ish document fingerprint: h64 of the normalized token stream
+    (whitespace-canonicalized content hash; rolling-hash analogue).
+
+    Columns: doc_id, fp.
+    """
+    toks = tokens(F.col("text"))
+    return documents.select(
+        "doc_id", h64(F.concat_ws(" ", toks)).alias("fp")
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {h64_sql(f"array_to_string({tokens_sql('text')}, ' ')")} AS fp
+FROM documents
+ORDER BY doc_id
+"""

@@ -1,0 +1,66 @@
+"""Mimic the driver's correctness harness: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB, compare values.
+
+This is the local pre-flight for CORRECTNESS_r{N}.json (driver runs sf0.01;
+here sf0.001 for speed — set SPARK_GRAFT_TEST_SF_DIR to override).
+"""
+
+import duckdb
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_conn(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = QUERIES[name]
+    result = q(spark, sf_dir)
+    rows = result.count()
+    assert rows >= 0  # runs and has a stable schema
+    if name not in ORACLES:
+        pytest.skip(f"{name}: rows-only check ({rows} rows)")
+    got = normalize(result.toPandas())
+    con = duck_conn(sf_dir)
+    want = normalize(con.execute(ORACLES[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != oracle {len(want)}"
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
