@@ -1,0 +1,121 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "events_per_sec": <headline CDC throughput>, ...}
+
+Input dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), master
+local[$SPARK_GRAFT_CPUS]. The headline metric is the CDC apply pipeline
+(change feed -> LWW merge -> snapshot commit), per BASELINE.json; the query
+set covers the operator families from SURVEY.md §2.
+
+Scaling evidence (N vs 4N cores) lives in bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.feedgen import feed_from_tpch
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
+from orientdb_neo4j_importer_plugin_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_APPLY_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
+
+
+def _run(df) -> None:
+    """Force full execution without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_apply(spark, sf_dir: str, mode: str) -> tuple[float, int]:
+    """Headline: apply the full derived change feed in N lsn-banded batches
+    (multi-batch exercises the merge-vs-table path, not just bulk load).
+    The feed is materialized as a parquet WAL directory (untimed) and the
+    timed section is the pipeline proper: read WAL -> dedup+LWW -> commit.
+    Returns (seconds, events)."""
+    root = tempfile.mkdtemp(prefix=f"bench_cdc_{mode}_")
+    wal = os.path.join(root, "wal")
+    feed_from_tpch(spark, sf_dir, parallelism=CPUS * 2).write.parquet(wal)
+    feed = spark.read.parquet(wal)
+    n_events = feed.count()
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "t"), TRANSCRIPTS, "conv_id", num_buckets=64
+    )
+    splits = [
+        feed.filter(f"pmod(lsn, {N_APPLY_BATCHES}) = {i}")
+        for i in range(N_APPLY_BATCHES)
+    ]
+    t0 = time.perf_counter()
+    for i, b in enumerate(splits):
+        apply_changes(
+            b, table, batch_id=f"bench-{i}", mode=mode,
+            collect_stats=(mode == "cow"),
+        )
+    dt = time.perf_counter() - t0
+    return dt, n_events
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM/codegen + file listing
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    qset = entrymod.queries()
+    bench_names = [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q18",
+        "cdc_latest_state",
+        "events_sessionize",
+        "docs_quality_score",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "emb_topk_cosine",
+    ]
+    times: dict[str, float] = {}
+    for name in bench_names:
+        df = qset[name](spark, SF_DIR)
+        _run(df)  # warmup: codegen compile (constant cost, irrelevant at scale)
+        t0 = time.perf_counter()
+        _run(df)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    cow_sec, n_events = bench_cdc_apply(spark, SF_DIR, "cow")
+    mor_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor")
+    times["cdc_apply_cow"] = round(cow_sec, 3)
+    times["cdc_apply_mor"] = round(mor_sec, 3)
+    events_per_sec = round(n_events / mor_sec, 1)  # sustained-ingest config
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "cdc apply + operator suite wall time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_events": n_events,
+        "events_per_sec": events_per_sec,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Scaling-efficiency evidence for the north rule: the same CDC apply job at
+two parallelism levels (local[N] vs local[4N]) on the same input.
+
+No real cluster exists in this sandbox, so — per BASELINE.md — parallelism
+levels stand in for cluster sizes. Each level runs in its own subprocess
+(fresh JVM; Spark cannot change master in-process). Writes/updates
+BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python bench_scaling.py [N] (default N=2 -> compares 2 vs 8 cores).
+
+N defaults to 2 because this sandbox's VM host throttles beyond ~8 busy
+cores (see host_cpu_probe.py: raw multiprocessing md5 scales 2->8 procs at
+~0.93 efficiency but 8->32 at only ~0.62) — N=2 vs 4N=8 measures the
+ENGINE's scaling inside the host's linear region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+CHILD = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from orientdb_neo4j_importer_plugin_spark.session import get_spark
+from orientdb_neo4j_importer_plugin_spark.feedgen import feed_from_tpch, replicate_feed
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
+
+cores = {cores}
+sf_dir = {sf_dir!r}
+mult = {mult}
+spark = get_spark(master=f"local[{{cores}}]", app_name=f"scale-{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
+# UNTIMED setup: derive the feed (parallelized — the fixture is one small
+# parquet file) and write it out as the WAL directory the pipeline tails.
+from pyspark.sql import functions as F
+nb = int(os.environ.get("BENCH_SCALE_BATCHES", "4"))
+feed = replicate_feed(feed_from_tpch(spark, sf_dir, parallelism=cores * 3), mult)
+# one WAL subdirectory per micro-batch: each apply reads only its own files
+# (a stream never re-reads the whole log per batch)
+feed.withColumn("__batch", F.pmod(F.col("lsn"), F.lit(nb))).repartition(
+    cores * 3
+).write.partitionBy("__batch").mode("overwrite").parquet(os.path.join(root, "wal"))
+n = spark.read.parquet(os.path.join(root, "wal")).count()
+table = SnapshotTable.create(spark, os.path.join(root, "t"), TRANSCRIPTS,
+                             "conv_id", num_buckets=64)
+mode = os.environ.get("BENCH_SCALE_MODE", "mor")
+batches = [spark.read.parquet(os.path.join(root, "wal", f"__batch={{i}}"))
+           for i in range(nb)]
+# TIMED: the pipeline proper — read WAL parquet, dedup+LWW, commit.
+t0 = time.perf_counter()
+for i, b in enumerate(batches):
+    apply_changes(b, table, batch_id=f"s-{{i}}", mode=mode,
+                  collect_stats=(mode == "cow"))
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "events": n, "mode": mode,
+                               "events_per_sec": n / dt}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf_dir: str, mult: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, mult=mult)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(f"no RESULT from {cores}-core run:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("BENCH_SCALE_MULT", "48"))
+    lo = run_level(n, sf_dir, mult)
+    hi = run_level(4 * n, sf_dir, mult)
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
+    summary = {
+        "sf_dir": sf_dir,
+        "feed_multiplier": mult,
+        "mode": lo["mode"],
+        "events": lo["events"],
+        f"local[{n}]": {
+            "sec": round(lo["sec"], 2),
+            "events_per_sec": round(lo["events_per_sec"], 1),
+        },
+        f"local[{4 * n}]": {
+            "sec": round(hi["sec"], 2),
+            "events_per_sec": round(hi["events_per_sec"], 1),
+        },
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    md = f"""# BENCH — measured numbers
+
+## CDC apply throughput at two parallelism levels (north-rule evidence)
+
+Same job (derived change feed from `{sf_dir}` x{mult} replication, 4 lsn-banded
+batches, LWW merge into a fresh 64-bucket snapshot table, write mode
+`{lo["mode"]}`), same input, two parallelism
+levels standing in for cluster sizes N and 4N (no real cluster in this
+sandbox — see BASELINE.md):
+
+| parallelism | wall sec | events/sec |
+|---|---|---|
+| local[{n}] | {lo["sec"]:.2f} | {lo["events_per_sec"]:.0f} |
+| local[{4 * n}] | {hi["sec"]:.2f} | {hi["events_per_sec"]:.0f} |
+
+- events applied: {lo["events"]:,}
+- **scaling efficiency = (T_{4 * n} / T_{n}) / 4 = {eff:.3f}** (target >= 0.8)
+
+Host ceiling context: this sandbox VM throttles beyond ~8 concurrent busy
+cores — `python host_cpu_probe.py` (pure multiprocessing md5, fixed total
+work) measures ~0.93 efficiency scaling 2->8 processes but only ~0.62 for
+8->32, so parallelism levels are chosen inside the host's linear region to
+measure the engine rather than the hypervisor.
+
+Generated by `python bench_scaling.py {n}`.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,10 @@ from ..schema import CDC_META_COLUMNS, KEY_COLUMNS
 from .lww import lww_resolve
 
 # Below this many changed keys the anti-join build side is broadcast.
-BROADCAST_KEY_LIMIT = 5_000_000
+# Above it, building/serializing the broadcast on the driver becomes a serial
+# bottleneck (Amdahl) — a shuffled hash join with AQE skew handling
+# parallelizes better for huge batches.
+BROADCAST_KEY_LIMIT = 500_000
 
 
 def _argmax_by_lsn(rows: DataFrame, keys: list[str]) -> DataFrame:
@@ -85,13 +88,32 @@ def apply_changes(
     batch_id: str | None = None,
     evolve_schema: bool = True,
     lineage_extra: dict | None = None,
+    mode: str = "cow",
+    collect_stats: bool = True,
 ) -> ApplyResult:
     """Merge a (possibly huge) batch of change events into `table`.
 
     `events` columns: lsn, op, source_part, + payload columns (key columns
     non-null; payload nullable, null for deletes). Idempotent per `batch_id`:
     a replayed batch is a committed no-op (exactly-once ledger).
+
+    mode:
+      * "cow" (copy-on-write): rewrite touched buckets — fastest reads,
+        write cost O(touched buckets). Right when batches are large or
+        concentrated.
+      * "mor" (merge-on-read): append winner rows as delta files — write
+        cost O(batch) regardless of table size; readers LWW-merge
+        base ∪ deltas until table.compact() folds them in. Right for
+        high-frequency small batches (the 10^10-events/day regime); pair
+        with periodic compaction (streaming runner's compact_every).
+
+    collect_stats=False skips the per-batch counter jobs (events_in, lsn
+    range, per-op counts) — with mode="mor" the apply then runs ZERO driver
+    collects, only the LWW aggregate + delta write (max sustained
+    throughput; counters report -1).
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     res = ApplyResult(batch_id=batch_id)
     if batch_id is not None and table.is_batch_committed(batch_id):
         res.skipped_replay = True
@@ -114,13 +136,16 @@ def apply_changes(
     payload_cols = [f.name for f in schema.fields]
 
     # --- stats over the raw batch (one pass, observe-style) ----------------
-    agg = events.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("lsn").alias("lo"),
-        F.max("lsn").alias("hi"),
-    ).collect()[0]
-    res.events_in = agg["n"]
-    res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
+    if collect_stats:
+        agg = events.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        ).collect()[0]
+        res.events_in = agg["n"]
+        res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
+    else:
+        res.events_in = -1
     if res.events_in == 0:
         # empty-feed no-op (reference: shouldImportEmptyDb) — still ledger the
         # batch id so a replayed empty batch stays a no-op.
@@ -143,6 +168,41 @@ def apply_changes(
     winners = lww_resolve(events, keys=KEY_COLUMNS).withColumn(
         BUCKET_COL, bucket_expr(key, nb)
     )
+    lineage = {
+        "lsn_range": [res.lsn_min, res.lsn_max],
+        **(lineage_extra or {}),
+    }
+
+    # --- incoming winners as storage rows: payload + __lsn + __deleted. ----
+    # Deletes become tombstones so that a later-arriving batch with lower
+    # lsns for the same key cannot resurrect the row (out-of-order apply).
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def to_storage(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                for c in payload_cols
+                if c in df.columns
+            ],
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+            F.col(BUCKET_COL),
+        )
+
+    if mode == "mor" and not collect_stats:
+        # zero-driver-collect fast path: LWW + delta append, one Spark job
+        new_snap = table.commit_delta_append(
+            to_storage(winners),
+            touched_buckets=[],
+            batch_id=batch_id,
+            new_schema=schema,
+            lineage={**lineage, "stats": "skipped"},
+        )
+        res.keys_changed = res.deletes = res.upserts = -1
+        res.snapshot_version = new_snap.version
+        return res
+
     winners = winners.persist()
     try:
         stats = winners.agg(
@@ -155,22 +215,27 @@ def apply_changes(
         res.upserts = res.keys_changed - res.deletes
         touched = sorted(stats["buckets"])
         res.touched_buckets = len(touched)
-
-        # --- copy-on-write merge over touched buckets only ------------------
-        # Incoming winners as storage rows: payload + __lsn + __deleted.
-        # Deletes become tombstones so that a later-arriving batch with lower
-        # lsns for the same key cannot resurrect the row (out-of-order apply).
-        types = {f.name: f.dataType for f in schema.fields}
-        incoming = winners.select(
-            *[
-                F.col(c).cast(types[c]).alias(c)
-                for c in payload_cols
-                if c in winners.columns
-            ],
-            F.col("lsn").alias(LSN_COL),
-            (F.col("op") == "D").alias(DELETED_COL),
-            F.col(BUCKET_COL),
+        lineage.update(
+            {
+                "events_in": res.events_in,
+                "keys_changed": res.keys_changed,
+                "deletes": res.deletes,
+                "upserts": res.upserts,
+            }
         )
+
+        incoming = to_storage(winners)
+        if mode == "mor":
+            new_snap = table.commit_delta_append(
+                incoming,
+                touched_buckets=touched,
+                batch_id=batch_id,
+                new_schema=schema,
+                lineage=lineage,
+            )
+            res.snapshot_version = new_snap.version
+            return res
+
         existing = table.read_buckets(touched, snapshot=None, raw=True).withColumn(
             BUCKET_COL, bucket_expr(key, nb)
         )
@@ -194,14 +259,7 @@ def apply_changes(
             touched_buckets=touched,
             batch_id=batch_id,
             new_schema=schema,
-            lineage={
-                "events_in": res.events_in,
-                "keys_changed": res.keys_changed,
-                "deletes": res.deletes,
-                "upserts": res.upserts,
-                "lsn_range": [res.lsn_min, res.lsn_max],
-                **(lineage_extra or {}),
-            },
+            lineage=lineage,
         )
         res.snapshot_version = new_snap.version
         return res

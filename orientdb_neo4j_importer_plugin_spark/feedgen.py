@@ -123,17 +123,14 @@ def gen_feed(
         next_lsn += n_hot
 
     if delete_every > 0:
+        # lsn above everything, offset by the base ordinal (no global window —
+        # a Window.orderBy() here would serialize the whole feed on one task)
         dels = (
             base.filter(F.col("id") % delete_every == 1)
-            .select("conv_id", "turn_idx")
-            .withColumn("__ord", F.xxhash64("conv_id", "turn_idx"))  # stable but arbitrary order
-        )
-        # lsn for deletes: above everything, offset by a rank over keys
-        w_ord = F.row_number().over(Window.orderBy("__ord"))
-        dels = (
-            dels.withColumn("lsn", F.lit(next_lsn) + w_ord.cast("long") - 1)
+            .select("conv_id", "turn_idx", "id")
+            .withColumn("lsn", F.lit(next_lsn) + F.col("id"))
             .withColumn("op", F.lit("D"))
-            .drop("__ord")
+            .drop("id")
         )
         parts.append(_prep(dels))
 
@@ -196,8 +193,27 @@ def write_feed_chunks(
     return paths
 
 
+def replicate_feed(feed: DataFrame, times: int) -> DataFrame:
+    """Deterministically scale a change feed by `times`: each replica gets a
+    distinct conv_id suffix (so key cardinality scales with volume — lsn
+    order per key is preserved; lsn values may repeat across different keys,
+    which is harmless: LWW only orders within a key)."""
+    if times <= 1:
+        return feed
+    reps = F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("__rep")
+    return (
+        feed.select("*", reps)
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("#"), F.col("__rep")))
+        .drop("__rep")
+    )
+
+
 def feed_from_tpch(
-    spark: SparkSession, sf_dir: str, updates: bool = True, deletes: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    updates: bool = True,
+    deletes: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Derive a deterministic transcripts change feed from the provided
     read-only TPC-H-ish tables: conversation = order, turn = line number,
@@ -214,6 +230,10 @@ def feed_from_tpch(
     from .functions.hashes import h64
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if parallelism:
+        # the fixture is one small parquet file (1-2 splits); repartition the
+        # RAW columns first so the md5/text derivation below parallelizes
+        li = li.repartition(parallelism)
     conv = F.concat(F.lit("conv_"), F.lpad(F.col("l_orderkey").cast("string"), 9, "0"))
     base = li.select(
         conv.alias("conv_id"),

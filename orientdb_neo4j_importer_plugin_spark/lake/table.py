@@ -87,18 +87,36 @@ class Snapshot:
     schema_json: str
     num_buckets: int
     partition_key: str
-    buckets: dict[str, list[str]]  # bucket id (str for JSON) -> data file paths
+    buckets: dict[str, list[str]]  # bucket id (str for JSON) -> base data files
     ledger: dict[str, int]  # batch_id -> version that committed it
     lineage: list[dict[str, Any]] = field(default_factory=list)
     parent: int | None = None
     committed_at: float = 0.0
+    # merge-on-read delta files per bucket: winner rows (incl. tombstones)
+    # appended by MOR commits, folded into base files by compact().
+    # Iceberg v2 equality-delete analogue generalized to upsert deltas.
+    deltas: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
     def all_files(self) -> list[str]:
-        return [f for files in self.buckets.values() for f in files]
+        return [f for files in self.buckets.values() for f in files] + [
+            f for files in self.deltas.values() for f in files
+        ]
+
+    def base_files(self, bucket_ids: list[int] | None = None) -> list[str]:
+        keys = (
+            [str(b) for b in bucket_ids] if bucket_ids is not None else list(self.buckets)
+        )
+        return [f for b in keys for f in self.buckets.get(b, [])]
+
+    def delta_files(self, bucket_ids: list[int] | None = None) -> list[str]:
+        keys = (
+            [str(b) for b in bucket_ids] if bucket_ids is not None else list(self.deltas)
+        )
+        return [f for b in keys for f in self.deltas.get(b, [])]
 
     def to_json(self) -> str:
         return json.dumps(
@@ -112,6 +130,7 @@ class Snapshot:
                 "lineage": self.lineage,
                 "parent": self.parent,
                 "committed_at": self.committed_at,
+                "deltas": self.deltas,
             }
         )
 
@@ -128,6 +147,7 @@ class Snapshot:
             lineage=d.get("lineage", []),
             parent=d.get("parent"),
             committed_at=d.get("committed_at", 0.0),
+            deltas=d.get("deltas", {}),
         )
 
 
@@ -248,10 +268,12 @@ class SnapshotTable:
         """Full-table scan at a snapshot (default: current).
 
         raw=True keeps tombstone rows and the __lsn/__deleted metadata
-        columns (the MERGE path needs them); default hides both.
+        columns (the MERGE path needs them); default hides both. When delta
+        files exist (merge-on-read), base and deltas are LWW-merged per key
+        — raw or not, the result always has ONE row per key.
         """
         snap = snapshot or self.current()
-        return self._read_files(snap.all_files(), snap.schema, raw)
+        return self._read_merged(None, snap, raw)
 
     def read_buckets(
         self,
@@ -261,20 +283,44 @@ class SnapshotTable:
     ) -> DataFrame:
         """Pruned scan: only the named buckets' files (MERGE fast path)."""
         snap = snapshot or self.current()
-        files = [f for b in bucket_ids for f in snap.buckets.get(str(b), [])]
-        return self._read_files(files, snap.schema, raw)
+        return self._read_merged(bucket_ids, snap, raw)
 
-    def _read_files(self, files: list[str], schema: StructType, raw: bool) -> DataFrame:
+    def _read_merged(
+        self, bucket_ids: list[int] | None, snap: Snapshot, raw: bool
+    ) -> DataFrame:
+        base = self._read_files(snap.base_files(bucket_ids), snap.schema)
+        delta_files = snap.delta_files(bucket_ids)
+        if delta_files:
+            # merge-on-read: one argmax-by-__lsn shuffle over base ∪ deltas.
+            # Key invariant: base has ≤1 row/key; deltas may carry several.
+            deltas = self._read_files(delta_files, snap.schema)
+            merged = self._argmax_rows(base.unionByName(deltas))
+        else:
+            merged = base
+        if raw:
+            return merged
+        return merged.filter(~F.col(DELETED_COL)).drop(*META_COLS)
+
+    def _argmax_rows(self, rows: DataFrame) -> DataFrame:
+        """One storage row per primary key: max __lsn wins (algebraic agg)."""
+        from ..schema import KEY_COLUMNS
+
+        rest = [c for c in rows.columns if c not in KEY_COLUMNS and c != LSN_COL]
+        w = F.max(F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])).alias("__w")
+        out = rows.groupBy(*KEY_COLUMNS).agg(w)
+        return out.select(
+            *KEY_COLUMNS,
+            F.col(f"__w.{LSN_COL}").alias(LSN_COL),
+            *[F.col(f"__w.{c}").alias(c) for c in rest],
+        )
+
+    def _read_files(self, files: list[str], schema: StructType) -> DataFrame:
         full = self.storage_schema(schema)
         if not files:
-            df = self.spark.createDataFrame([], full)
-        else:
-            # Explicit snapshot schema: files written before a column existed
-            # null-fill it (schema-evolution read path).
-            df = self.spark.read.schema(full).parquet(*files)
-        if raw:
-            return df
-        return df.filter(~F.col(DELETED_COL)).drop(*META_COLS)
+            return self.spark.createDataFrame([], full)
+        # Explicit snapshot schema: files written before a column existed
+        # null-fill it (schema-evolution read path).
+        return self.spark.read.schema(full).parquet(*files)
 
     def is_batch_committed(self, batch_id: str) -> bool:
         return str(batch_id) in self.current().ledger
@@ -326,6 +372,12 @@ class SnapshotTable:
                 new_buckets[b] = files
         # drop empty bucket entries (bucket fully deleted)
         new_buckets = {b: fs for b, fs in new_buckets.items() if fs}
+        # a rewrite folds in whatever deltas the touched buckets had
+        new_deltas = {
+            b: fs
+            for b, fs in parent.deltas.items()
+            if int(b) not in set(touched_buckets)
+        }
         lin = dict(lineage or {})
         lin.update(
             {
@@ -347,9 +399,96 @@ class SnapshotTable:
             lineage=(parent.lineage + [lin])[-1000:],  # bounded history
             parent=parent.version,
             committed_at=time.time(),
+            deltas=new_deltas,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
+
+    def commit_delta_append(
+        self,
+        winners: DataFrame,
+        touched_buckets: list[int],
+        batch_id: str | None,
+        new_schema: StructType | None = None,
+        lineage: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit: append winner rows (incl. tombstones) as
+        delta files — O(batch) IO regardless of table size. Readers LWW-merge
+        base ∪ deltas; compact() folds deltas back into the base.
+
+        `winners` must contain BUCKET_COL plus storage rows (payload +
+        __lsn/__deleted), at most one row per key WITHIN the batch (the
+        apply path's LWW guarantees this; across batches duplicates per key
+        are fine — the read merge resolves them).
+        """
+        parent = self.current()
+        if batch_id is not None and str(batch_id) in parent.ledger:
+            return parent
+        schema = new_schema or parent.schema
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(
+            self.data_dir, f"delta-{parent.version + 1:08d}-{commit_id}"
+        )
+        winners.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
+        new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
+        if os.path.isdir(out_dir):
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = entry.split("=", 1)[1]
+                bdir = os.path.join(out_dir, entry)
+                files = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                new_deltas.setdefault(b, []).extend(files)
+        lin = dict(lineage or {})
+        lin.update(
+            {
+                "batch_id": batch_id,
+                "mode": "mor",
+                "touched_buckets": sorted(touched_buckets),
+                "commit_epoch": time.time(),
+            }
+        )
+        ledger = dict(parent.ledger)
+        if batch_id is not None:
+            ledger[str(batch_id)] = parent.version + 1
+        snap = Snapshot(
+            version=parent.version + 1,
+            schema_json=schema.json(),
+            num_buckets=parent.num_buckets,
+            partition_key=parent.partition_key,
+            buckets=parent.buckets,
+            ledger=ledger,
+            lineage=(parent.lineage + [lin])[-1000:],
+            parent=parent.version,
+            committed_at=time.time(),
+            deltas=new_deltas,
+        )
+        self._write_snapshot(snap, expected_parent=parent.version)
+        return snap
+
+    def compact(self, bucket_ids: list[int] | None = None) -> Snapshot:
+        """Fold delta files into base files (Iceberg rewrite_data_files /
+        minor-compaction analogue). Defaults to every bucket with deltas."""
+        snap = self.current()
+        if bucket_ids is None:
+            bucket_ids = sorted(int(b) for b in snap.deltas)
+        bucket_ids = [b for b in bucket_ids if str(b) in snap.deltas]
+        if not bucket_ids:
+            return snap
+        merged = self.read_buckets(bucket_ids, snapshot=snap, raw=True).withColumn(
+            BUCKET_COL, bucket_expr_for(snap)
+        )
+        merged = merged.repartition(max(len(bucket_ids), 1), F.col(BUCKET_COL))
+        return self.commit_bucket_rewrite(
+            merged,
+            touched_buckets=bucket_ids,
+            batch_id=None,
+            lineage={"compaction": True, "buckets": len(bucket_ids)},
+        )
 
     def evolve_schema(self, incoming: StructType) -> StructType:
         """Reconcile table schema with an incoming batch schema; if new
@@ -380,6 +519,7 @@ class SnapshotTable:
             ],
             parent=parent.version,
             committed_at=time.time(),
+            deltas=parent.deltas,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return merged

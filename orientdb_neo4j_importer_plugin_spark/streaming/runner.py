@@ -123,6 +123,8 @@ class CdcStreamRunner:
         stream_dedup_watermark: str | None = None,
         status_path: str | None = None,
         batch_id_prefix: str | None = None,
+        mode: str = "cow",
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -133,6 +135,12 @@ class CdcStreamRunner:
         self.late_drop_delay_seconds = late_drop_delay_seconds
         self.stream_dedup_watermark = stream_dedup_watermark
         self.status_path = status_path
+        # "cow" rewrites touched buckets per batch; "mor" appends delta files
+        # (O(batch) IO) and folds them into the base every `compact_every`
+        # committed batches — the sustained-throughput configuration.
+        self.mode = mode
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
         # Ledger keys must be scoped to the checkpoint lineage: Spark batch
         # ids restart at 0 for a fresh checkpoint, and a new batch 0 may hold
         # different files than the old one — a bare "stream-0" key would be
@@ -211,8 +219,14 @@ class CdcStreamRunner:
             self.table,
             batch_id=f"{self.batch_id_prefix}-{batch_id}",
             lineage_extra={"event_ts_max": new_hwm, "late_dropped": late},
+            mode=self.mode,
         )
         self.metrics.record(res)
+        if not res.skipped_replay and self.compact_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_every:
+                self.table.compact()
+                self._batches_since_compact = 0
         _write_status(self.status_path, self.metrics)
 
     # -- lifecycle ------------------------------------------------------------
