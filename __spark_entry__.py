@@ -23,6 +23,7 @@ from orientdb_neo4j_importer_plugin_spark.feedgen import feed_from_tpch
 from orientdb_neo4j_importer_plugin_spark.functions.hashes import (
     h64_sql,
 )
+from orientdb_neo4j_importer_plugin_spark.functions import normalize as N
 from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
 from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
@@ -172,9 +173,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(
             _read(s, d, "documents")
         ),
+        # scalar-function / probe analogues (SURVEY §2.5-2.7)
+        "events_props_parse": lambda s, d: S.props_parse(_read(s, d, "events")),
+        "events_first_value": lambda s, d: S.first_value_sample(
+            _read(s, d, "events")
+        ),
+        "events_span_summary": lambda s, d: S.span_summary(_read(s, d, "events")),
+        "docs_contains_probe": lambda s, d: T.contains_probe(
+            _read(s, d, "documents")
+        ),
+        "docs_normalize": lambda s, d: _read(s, d, "documents").select(
+            "doc_id", N.normalize_text_expr("text").alias("norm_text")
+        ),
         # similarity search
         "emb_topk_cosine": lambda s, d: V.brute_force_topk(
             _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK
+        ),
+        "emb_near_dup_pairs": lambda s, d: V.near_dup_pairs(
+            _read(s, d, "embeddings")
         ),
         # approximate / array-valued: rows-only checks (no SQL twin)
         "emb_lsh_topk": lambda s, d: V.lsh_topk(
@@ -214,5 +230,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(),
         "emb_topk_cosine": V.brute_force_topk_sql(
             EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+        ),
+        "emb_near_dup_pairs": V.near_dup_pairs_sql(dim=EMB_DIM),
+        "events_props_parse": S.PROPS_PARSE_SQL,
+        "events_first_value": S.FIRST_VALUE_SAMPLE_SQL,
+        "events_span_summary": S.SPAN_SUMMARY_SQL,
+        "docs_contains_probe": T.contains_probe_sql(),
+        "docs_normalize": (
+            "SELECT doc_id, "
+            + N.NORMALIZE_SQL_EXPR.format(col="text")
+            + " AS norm_text FROM documents ORDER BY doc_id"
         ),
     }

@@ -93,7 +93,7 @@ def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
 WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {gap_minutes * 60}
               THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -110,6 +110,107 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
+"""
+
+
+def props_parse(events: DataFrame) -> DataFrame:
+    """Parse the JSON `props` column and aggregate — the property-map
+    explode analogue (reference P2, `Migrator:243-248`: iterate property
+    map, convert each value; here: from_json + typed projection).
+
+    Columns: event_type, n_events, avg_k, max_k.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+PROPS_PARSE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def first_value_sample(events: DataFrame) -> DataFrame:
+    """First (lowest-event_id) value per event_type — the reference's
+    sample-one-record type inference (W2, ``ONeo4jImporterUtils.java:158-201``)
+    made deterministic via argmin instead of order-dependent first().
+
+    Columns: event_type, first_event_id, first_value, inferred_type.
+    """
+    w = F.min(F.struct(F.col("event_id"), F.col("value"))).alias("__w")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(w)
+        .select(
+            "event_type",
+            F.col("__w.event_id").alias("first_event_id"),
+            F.col("__w.value").alias("first_value"),
+            F.lit("DOUBLE").alias("inferred_type"),  # instance-of the sample
+        )
+    )
+
+
+FIRST_VALUE_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, event_id AS first_event_id, value AS first_value,
+       'DOUBLE' AS inferred_type
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+def span_summary(events: DataFrame) -> DataFrame:
+    """Per-type time span formatted HH:mm:ss + formatted avg value — the
+    HMS/decimal formatting analogues (F3 ``OFunctionsHandler.java:35-63``,
+    F6 ``ONeo4jImporter.java:78-79``).
+
+    Columns: event_type, span_hms, avg_value_fmt.
+    """
+    span = _epoch(F.max("ts")) - _epoch(F.min("ts"))
+    hms = F.concat_ws(
+        ":",
+        F.lpad(F.floor(span / 3600).cast("string"), 2, "0"),
+        F.lpad(F.floor(span % 3600 / 60).cast("string"), 2, "0"),
+        F.lpad((span % 60).cast("string"), 2, "0"),
+    )
+    return events.groupBy("event_type").agg(
+        hms.alias("span_hms"),
+        F.format_number(F.avg("value"), 2).alias("avg_value_fmt"),
+    )
+
+
+SPAN_SUMMARY_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS span,
+         avg(value) AS av
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       lpad(CAST(span // 3600 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((span % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(span % 60 AS VARCHAR), 2, '0') AS span_hms,
+       printf('%.2f', av) AS avg_value_fmt
+FROM s
+ORDER BY event_type
 """
 
 
@@ -138,7 +239,7 @@ def tumbling_counts_sql(hours: int = 6) -> str:
     secs = hours * 3600
     return f"""
 SELECT event_type,
-       CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // {secs}) * {secs}) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // {secs}) * {secs}) AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events

@@ -191,6 +191,56 @@ def lsh_topk(
     )
 
 
+def near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    cosine >= threshold. Brute-force here (exact oracle twin); at corpus
+    scale, pre-bucket with lsh_bucket_expr and compare within buckets only.
+
+    Columns: vec_a, vec_b, cosine.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), ROUND_DP).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def near_dup_pairs_sql(threshold: float = 0.45, dim: int = 64) -> str:
+    dot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(({dot}) / (sqrt({na}) * sqrt({nb})), {ROUND_DP}) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(({dot}) / (sqrt({na}) * sqrt({nb})), {ROUND_DP}) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def centroid_by_label(embeddings: DataFrame, dim: int = 128) -> DataFrame:
     """Per-label mean embedding via posexplode + groupBy (distributed — no
     driver-side vectors). Columns: label, n_vecs, centroid(array<double>)."""

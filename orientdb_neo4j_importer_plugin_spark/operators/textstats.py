@@ -165,6 +165,33 @@ LANG_ID_SQL = (
 )
 
 
+def contains_probe(documents: DataFrame, needle: str = "spark") -> DataFrame:
+    """Array-contains existence probe per language — the reference's
+    CONTAINS/LIMIT-1 label probe (L1/L2, ``ONeo4jImporterUtils.java:57-73``)
+    generalized to a per-group existence count.
+
+    Columns: lang, n_docs, n_with_needle, any_with_needle.
+    """
+    toks = tokens(F.col("text"))
+    has = F.array_contains(toks, needle)
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(has.cast("int")).alias("n_with_needle"),
+        F.max(has).alias("any_with_needle"),
+    )
+
+
+def contains_probe_sql(needle: str = "spark") -> str:
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN list_contains({tokens_sql("text")}, '{needle}') THEN 1 ELSE 0 END) AS n_with_needle,
+       max(list_contains({tokens_sql("text")}, '{needle}')) AS any_with_needle
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """64-bit-ish document fingerprint: h64 of the normalized token stream
     (whitespace-canonicalized content hash; rolling-hash analogue).

@@ -111,3 +111,30 @@ def test_streaming_mor_with_compaction(spark, tmp_path):
     apply_changes(v2, table, batch_id="v2", mode="mor")
     assert "tool" in [f.name for f in table.current().schema.fields]
     assert table.read().filter("tool is not null").count() > 0
+
+
+def test_verify_and_summarize(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.cdc.verify import (
+        summarize,
+        verify_replay,
+    )
+
+    full, feed_dir, table = setup(
+        spark, tmp_path, n_convs=5, turns_per_conv=6, updates_per_key=2, delete_every=5
+    )
+    apply_changes(full.filter("lsn < 50"), table, batch_id="b0", mode="mor")
+    apply_changes(full.filter("lsn >= 50"), table, batch_id="b1", mode="cow")
+    rep = verify_replay(table, full)
+    assert rep.ok, (rep.missing_rows, rep.extra_rows, rep.table_rows, rep.expected_rows)
+    assert sum(rep.per_bucket.values()) == rep.table_rows
+    s = summarize(table)
+    assert s["rows"] == rep.table_rows
+    assert s["committed_batches"] == 2
+    assert s["events_in_total"] == full.count()
+    # negative control: a corrupted feed (one extra event) must NOT verify
+    bad = full.limit(1).selectExpr(
+        "lsn + 999999 as lsn", "'U' as op", "conv_id", "turn_idx",
+        "role", "'CORRUPTED' as text", "ts", "source_part"
+    )
+    rep_bad = verify_replay(table, full.unionByName(bad))
+    assert not rep_bad.ok
