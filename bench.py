@@ -38,7 +38,9 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_apply(spark, sf_dir: str, mode: str) -> tuple[float, int]:
+def bench_cdc_apply(
+    spark, sf_dir: str, mode: str, hot_key_share: float = 0.0
+) -> tuple[float, int]:
     """Headline: apply the full derived change feed in N lsn-banded batches
     (multi-batch exercises the merge-vs-table path, not just bulk load).
     The feed is materialized as a parquet WAL directory (untimed) and the
@@ -46,7 +48,19 @@ def bench_cdc_apply(spark, sf_dir: str, mode: str) -> tuple[float, int]:
     Returns (seconds, events)."""
     root = tempfile.mkdtemp(prefix=f"bench_cdc_{mode}_")
     wal = os.path.join(root, "wal")
-    feed_from_tpch(spark, sf_dir, parallelism=CPUS * 2).write.parquet(wal)
+    feed = feed_from_tpch(spark, sf_dir, parallelism=CPUS * 2)
+    if hot_key_share > 0:
+        # skew fixture: a fraction of ALL events hit one conversation —
+        # LWW stays map-side-combinable, so throughput must not collapse
+        from pyspark.sql import functions as F
+
+        feed = feed.withColumn(
+            "conv_id",
+            F.when(
+                F.rand(seed=42) < hot_key_share, F.lit("conv_hot")
+            ).otherwise(F.col("conv_id")),
+        )
+    feed.write.parquet(wal)
     feed = spark.read.parquet(wal)
     n_events = feed.count()
     table = SnapshotTable.create(
@@ -98,8 +112,10 @@ def main() -> None:
 
     cow_sec, n_events = bench_cdc_apply(spark, SF_DIR, "cow")
     mor_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor")
+    skew_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor", hot_key_share=0.3)
     times["cdc_apply_cow"] = round(cow_sec, 3)
     times["cdc_apply_mor"] = round(mor_sec, 3)
+    times["cdc_apply_mor_hotkey"] = round(skew_sec, 3)
     events_per_sec = round(n_events / mor_sec, 1)  # sustained-ingest config
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -35,7 +35,11 @@ from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
 cores = {cores}
 sf_dir = {sf_dir!r}
 mult = {mult}
-spark = get_spark(master=f"local[{{cores}}]", app_name=f"scale-{{cores}}")
+# identical logical granularity at both levels: same shuffle-partition
+# count (otherwise the small config spills where the big one fits in
+# memory and the comparison measures memory, not parallelism)
+spark = get_spark(master=f"local[{{cores}}]", app_name=f"scale-{{cores}}",
+                  shuffle_partitions={shuffle_parts})
 spark.sparkContext.setLogLevel("ERROR")
 root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
 # UNTIMED setup: derive the feed (parallelized — the fixture is one small
@@ -66,8 +70,8 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str, mult: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, mult=mult)
+def run_level(cores: int, sf_dir: str, mult: int, shuffle_parts: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, mult=mult, shuffle_parts=shuffle_parts)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -81,8 +85,9 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = int(os.environ.get("BENCH_SCALE_MULT", "48"))
-    lo = run_level(n, sf_dir, mult)
-    hi = run_level(4 * n, sf_dir, mult)
+    shuffle_parts = 4 * n * 2
+    lo = run_level(n, sf_dir, mult, shuffle_parts)
+    hi = run_level(4 * n, sf_dir, mult, shuffle_parts)
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
     summary = {
         "sf_dir": sf_dir,

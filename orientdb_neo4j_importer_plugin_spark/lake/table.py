@@ -429,6 +429,11 @@ class SnapshotTable:
         out_dir = os.path.join(
             self.data_dir, f"delta-{parent.version + 1:08d}-{commit_id}"
         )
+        # hash write-distribution (Iceberg's write.distribution-mode=hash):
+        # without it every shuffle partition opens a file in every bucket dir
+        # -> O(partitions x buckets) tiny delta files per batch. AQE coalesces
+        # the repartition to few tasks for small batches.
+        winners = winners.repartition(F.col(BUCKET_COL))
         winners.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
         new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
         if os.path.isdir(out_dir):
