@@ -46,16 +46,27 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_replay_state(
+    spark: SparkSession, sf_dir: str, mode: str = "cow"
+) -> DataFrame:
     """Full pipeline: derive change feed from lineitem, MERGE into a fresh
-    snapshot table, return final transcripts state (stable key order)."""
+    snapshot table, return final transcripts state (stable key order).
+
+    mode="mor" applies as out-of-order delta batches + compaction — the
+    sustained-ingest path through the same oracle."""
     feed = feed_from_tpch(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_entry_")
     table = SnapshotTable.create(
         spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
         num_buckets=16, overwrite=True,
     )
-    apply_changes(feed, table, batch_id="entry-0")
+    if mode == "mor":
+        # deliberately out-of-lsn-order batches; compaction folds deltas
+        apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="e1", mode="mor")
+        apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="e0", mode="mor")
+        table.compact()
+    else:
+        apply_changes(feed, table, batch_id="entry-0")
     return (
         table.read()
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -128,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CDC / event semantics
         "cdc_replay_state": cdc_replay_state,
+        "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
@@ -205,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_state": CDC_REPLAY_SQL,
+        "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),
