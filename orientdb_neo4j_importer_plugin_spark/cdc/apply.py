@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -90,6 +90,7 @@ def apply_changes(
     lineage_extra: dict | None = None,
     mode: str = "cow",
     collect_stats: bool = True,
+    stats_via_observation: bool = True,
 ) -> ApplyResult:
     """Merge a (possibly huge) batch of change events into `table`.
 
@@ -111,6 +112,11 @@ def apply_changes(
     range, per-op counts) — with mode="mor" the apply then runs ZERO driver
     collects, only the LWW aggregate + delta write (max sustained
     throughput; counters report -1).
+
+    stats_via_observation=True rides the winner counters on the write job
+    (no extra action). MUST be False when called from foreachBatch: a
+    streaming micro-batch's incremental execution reports observed metrics
+    through StreamingQueryProgress, so Observation.get would block forever.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -135,15 +141,19 @@ def apply_changes(
     schema = table.evolve_schema(incoming_payload) if evolve_schema else snap.schema
     payload_cols = [f.name for f in schema.fields]
 
-    # --- stats over the raw batch (one pass, observe-style) ----------------
+    # --- stats over the raw batch: ONE job also yields the touched-bucket
+    # set (cheap conv_id hash — no LWW evaluation needed for pruning) -------
+    touched: list[int] | None = None
     if collect_stats:
         agg = events.agg(
             F.count(F.lit(1)).alias("n"),
             F.min("lsn").alias("lo"),
             F.max("lsn").alias("hi"),
+            F.collect_set(bucket_expr(key, nb)).alias("buckets"),
         ).collect()[0]
         res.events_in = agg["n"]
         res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
+        touched = sorted(agg["buckets"])
     else:
         res.events_in = -1
     if res.events_in == 0:
@@ -203,28 +213,28 @@ def apply_changes(
         res.snapshot_version = new_snap.version
         return res
 
+    if touched is None:
+        # stats were skipped but COW still needs the pruning set: one cheap
+        # distinct over the raw batch's bucket expression (no LWW evaluated)
+        touched = sorted(
+            r["b"]
+            for r in events.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+        )
+    res.touched_buckets = len(touched)
+    lineage["events_in"] = res.events_in
+
+    # winner counts ride along the WRITE job via an Observation — no extra
+    # driver action (matters at 1 batch/min x 1000 executors)
+    obs = Observation() if stats_via_observation else None
     winners = winners.persist()
     try:
-        stats = winners.agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
-            F.collect_set(BUCKET_COL).alias("buckets"),
-        ).collect()[0]
-        res.keys_changed = stats["k"]
-        res.deletes = stats["d"] or 0
-        res.upserts = res.keys_changed - res.deletes
-        touched = sorted(stats["buckets"])
-        res.touched_buckets = len(touched)
-        lineage.update(
-            {
-                "events_in": res.events_in,
-                "keys_changed": res.keys_changed,
-                "deletes": res.deletes,
-                "upserts": res.upserts,
-            }
-        )
-
         incoming = to_storage(winners)
+        if obs is not None:
+            incoming = incoming.observe(
+                obs,
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.when(F.col(DELETED_COL), 1).otherwise(0)).alias("d"),
+            )
         if mode == "mor":
             new_snap = table.commit_delta_append(
                 incoming,
@@ -233,34 +243,55 @@ def apply_changes(
                 new_schema=schema,
                 lineage=lineage,
             )
-            res.snapshot_version = new_snap.version
-            return res
-
-        existing = table.read_buckets(touched, snapshot=None, raw=True).withColumn(
-            BUCKET_COL, bucket_expr(key, nb)
-        )
-        win_keys = winners.select(*KEY_COLUMNS)
-        if res.keys_changed <= BROADCAST_KEY_LIMIT:
-            win_keys = F.broadcast(win_keys)
-        # The big (table) side never shuffles: untouched keys pass through a
-        # broadcast anti join; contested keys (a tiny set) go through a
-        # broadcast semi join and a second LWW argmax against the batch.
-        survivors = existing.join(win_keys, on=KEY_COLUMNS, how="left_anti")
-        contested = existing.join(win_keys, on=KEY_COLUMNS, how="left_semi")
-        resolved = _argmax_by_lsn(
-            contested.unionByName(incoming, allowMissingColumns=True), KEY_COLUMNS
-        )
-        new_data = survivors.unionByName(resolved, allowMissingColumns=True)
-        # one output file per bucket dir unless huge; AQE coalesces small
-        new_data = new_data.repartition(max(len(touched), 1), F.col(BUCKET_COL))
-
-        new_snap = table.commit_bucket_rewrite(
-            new_data,
-            touched_buckets=touched,
-            batch_id=batch_id,
-            new_schema=schema,
-            lineage=lineage,
-        )
+        else:
+            existing = table.read_buckets(
+                touched, snapshot=None, raw=True
+            ).withColumn(BUCKET_COL, bucket_expr(key, nb))
+            win_keys = winners.select(*KEY_COLUMNS)
+            # keys_changed <= events_in: a safe pre-write broadcast decision
+            if 0 <= res.events_in <= BROADCAST_KEY_LIMIT:
+                win_keys = F.broadcast(win_keys)
+            # The big (table) side never shuffles: untouched keys pass
+            # through a broadcast anti join; contested keys (a tiny set) go
+            # through a broadcast semi join + a second LWW argmax vs batch.
+            survivors = existing.join(win_keys, on=KEY_COLUMNS, how="left_anti")
+            contested = existing.join(win_keys, on=KEY_COLUMNS, how="left_semi")
+            resolved = _argmax_by_lsn(
+                contested.unionByName(incoming, allowMissingColumns=True),
+                KEY_COLUMNS,
+            )
+            new_data = survivors.unionByName(resolved, allowMissingColumns=True)
+            # one output file per bucket dir unless huge; AQE coalesces small
+            new_data = new_data.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            new_snap = table.commit_bucket_rewrite(
+                new_data,
+                touched_buckets=touched,
+                batch_id=batch_id,
+                new_schema=schema,
+                lineage=lineage,
+            )
+        if obs is not None:
+            metrics = obs.get
+            res.keys_changed = metrics["k"]
+            res.deletes = metrics["d"] or 0
+        else:
+            counted = winners.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            ).collect()[0]
+            res.keys_changed = counted["k"]
+            res.deletes = counted["d"] or 0
+        res.upserts = res.keys_changed - res.deletes
+        # stamp winner counts into the just-committed lineage entry
+        if new_snap.lineage and new_snap.lineage[-1].get("batch_id") == batch_id:
+            new_snap.lineage[-1].update(
+                {
+                    "keys_changed": res.keys_changed,
+                    "deletes": res.deletes,
+                    "upserts": res.upserts,
+                }
+            )
+            table._write_snapshot(new_snap, expected_parent=None)
         res.snapshot_version = new_snap.version
         return res
     finally:

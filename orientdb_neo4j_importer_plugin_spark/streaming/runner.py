@@ -220,6 +220,9 @@ class CdcStreamRunner:
             batch_id=f"{self.batch_id_prefix}-{batch_id}",
             lineage_extra={"event_ts_max": new_hwm, "late_dropped": late},
             mode=self.mode,
+            # foreachBatch incremental execution never delivers Observation
+            # results -> counters must use a plain aggregate action here
+            stats_via_observation=False,
         )
         self.metrics.record(res)
         if not res.skipped_replay and self.compact_every > 0:
