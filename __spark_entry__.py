@@ -162,6 +162,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "region"),
         ),
         "tpch_q6": lambda s, d: Q.q6_forecast_revenue(_read(s, d, "lineitem")),
+        "tpch_q7": lambda s, d: Q.q7_volume_shipping(
+            _read(s, d, "customer"),
+            _read(s, d, "orders"),
+            _read(s, d, "lineitem"),
+            _read(s, d, "supplier"),
+            _read(s, d, "nation"),
+        ),
+        "tpch_q12": lambda s, d: Q.q12_priority_by_linestatus(
+            _read(s, d, "orders"), _read(s, d, "lineitem")
+        ),
+        "tpch_q14": lambda s, d: Q.q14_promo_revenue(
+            _read(s, d, "lineitem"), _read(s, d, "part")
+        ),
+        "tpch_q19": lambda s, d: Q.q19_discounted_revenue(
+            _read(s, d, "lineitem"), _read(s, d, "part")
+        ),
         "tpch_q18": lambda s, d: Q.q18_large_volume_customer(
             _read(s, d, "customer"), _read(s, d, "orders"), _read(s, d, "lineitem")
         ),
@@ -226,6 +242,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4": Q.Q4_SQL,
         "tpch_q5": Q.Q5_SQL,
         "tpch_q6": Q.Q6_SQL,
+        "tpch_q7": Q.Q7_SQL,
+        "tpch_q12": Q.Q12_SQL,
+        "tpch_q14": Q.Q14_SQL,
+        "tpch_q19": Q.Q19_SQL,
         "tpch_q18": Q.q18_sql(),
         "docs_token_stats": T.TOKEN_STATS_SQL,
         "docs_quality_score": T.QUALITY_SCORE_SQL,

@@ -176,3 +176,24 @@ def test_stream_late_event_policy(spark, tmp_path):
     m2 = r2.run_to_completion(timeout_sec=300)
     assert m2.late_dropped == 1
     assert final_state(r2.table) == before  # late event had no effect
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Optional state-store dedup path (north-star wording: watermark +
+    dropDuplicates): a duplicate-heavy feed converges identically with the
+    pre-shuffle dedup enabled."""
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=6, updates_per_key=1, duplicate=True)
+    feed_dir = str(tmp_path / "feed_wm")
+    write_feed_chunks(feed, feed_dir, chunk_size=48)
+    runner = make_runner(
+        spark,
+        tmp_path,
+        "wm",
+        feed_dir,
+        max_files_per_trigger=2,
+        stream_dedup_watermark="1 hour",
+    )
+    m = runner.run_to_completion(timeout_sec=300)
+    assert m.batches >= 1
+    ok, msg = table_matches_oracle(final_state(runner.table), oracle_state(feed_dir))
+    assert ok, msg
