@@ -191,6 +191,62 @@ def lsh_topk(
     )
 
 
+def _dot_sql(alias: str, coeffs: list[float], dim: int) -> str:
+    # left-to-right float64 sum, same order as Spark's aggregate() fold
+    return " + ".join(
+        f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * ({coeffs[i]})"
+        for i in range(dim)
+    )
+
+
+def lsh_bucket_sql(alias: str, dim: int, planes: int = LSH_PLANES) -> str:
+    """DuckDB twin of lsh_bucket_expr (same deterministic plane constants)."""
+    terms = []
+    for p in range(planes):
+        dot = _dot_sql(alias, _plane_coeff(p, dim), dim)
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def lsh_topk_sql(
+    query_ids: list[int], k: int = 5, dim: int = 64, planes: int = LSH_PLANES
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dot = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nq = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nc = " + ".join(
+        f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {lsh_bucket_sql("embeddings", dim, planes)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(({dot}) / (sqrt({nq}) * sqrt({nc})), {ROUND_DP}) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:
@@ -238,6 +294,39 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND round(({dot}) / (sqrt({na}) * sqrt({nb})), {ROUND_DP}) >= {threshold}
 ORDER BY vec_a, vec_b
+"""
+
+
+def centroid_by_label_str(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Driver-oracle-safe variant: centroid as a comma-joined %.4f string
+    (identical text on both engines — array columns stringify differently
+    between Spark and DuckDB result harnesses).
+
+    Columns: label, n_vecs, centroid_str."""
+    base = centroid_by_label(embeddings, dim)
+    return base.select(
+        "label",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            # + 0.0 normalizes IEEE negative zero (-0.0000 vs 0.0000 text)
+            F.transform(
+                F.col("centroid"),
+                lambda m: F.format_string("%.4f", m + F.lit(0.0)),
+            ),
+        ).alias("centroid_str"),
+    )
+
+
+def centroid_by_label_str_sql(dim: int = 64) -> str:
+    els = ", ".join(
+        f"printf('%.4f', round(avg(CAST(embedding[{i}] AS DOUBLE)), {ROUND_DP}) + 0.0)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+SELECT label, count(*) AS n_vecs,
+       array_to_string([{els}], ',') AS centroid_str
+FROM embeddings GROUP BY label ORDER BY label
 """
 
 

@@ -28,12 +28,17 @@ def duck_conn(sf_dir):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-    return df
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(round(float(x), 4) for x in v)
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 QUERIES = entrymod.queries()
