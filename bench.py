@@ -80,6 +80,55 @@ def bench_cdc_apply(
     return dt, n_events
 
 
+def bench_cdc_stream(spark, sf_dir: str, n_chunks: int = 8) -> tuple[float, int]:
+    """Streaming-path throughput: CdcStreamRunner (checkpointed tail,
+    foreachBatch MOR sink, compaction every 4 batches) over a chunked WAL."""
+    import shutil
+
+    from orientdb_neo4j_importer_plugin_spark.streaming import CdcStreamRunner
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    staging = os.path.join(root, "staging")
+    wal = os.path.join(root, "wal")
+    os.makedirs(wal)
+    from pyspark.sql import functions as F
+
+    feed = feed_from_tpch(spark, sf_dir, parallelism=CPUS * 2)
+    (
+        feed.withColumn("__chunk", F.pmod(F.col("lsn"), F.lit(n_chunks)))
+        .repartition(n_chunks, F.col("__chunk"))
+        .write.partitionBy("__chunk")
+        .parquet(staging)
+    )
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("__chunk="):
+            continue
+        c = int(entry.split("=")[1])
+        src = os.path.join(staging, entry)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(src, f), os.path.join(wal, f"chunk-{c:04d}-{i}.parquet")
+                )
+    shutil.rmtree(staging)
+    n_events = spark.read.parquet(wal).count()
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "t"), TRANSCRIPTS, "conv_id", num_buckets=64
+    )
+    runner = CdcStreamRunner(
+        spark,
+        wal,
+        table,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        max_files_per_trigger=max(1, n_chunks // 4),
+        mode="mor",
+        compact_every=4,
+    )
+    t0 = time.perf_counter()
+    runner.run_to_completion(timeout_sec=600)
+    return time.perf_counter() - t0, n_events
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -113,6 +162,8 @@ def main() -> None:
     cow_sec, n_events = bench_cdc_apply(spark, SF_DIR, "cow")
     mor_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor")
     skew_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor", hot_key_share=0.3)
+    stream_sec, _ = bench_cdc_stream(spark, SF_DIR)
+    times["cdc_stream_mor"] = round(stream_sec, 3)
     times["cdc_apply_cow"] = round(cow_sec, 3)
     times["cdc_apply_mor"] = round(mor_sec, 3)
     times["cdc_apply_mor_hotkey"] = round(skew_sec, 3)
