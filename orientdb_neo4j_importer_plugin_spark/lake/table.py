@@ -59,6 +59,13 @@ from ..schema import merge_schemas
 
 DEFAULT_NUM_BUCKETS = 64
 BUCKET_COL = "__bucket"
+# Exactly-once ledger horizon: entries older than this many committed
+# batches are pruned from snapshot metadata (it would otherwise grow one
+# entry per batch forever — ~500k/year at 1 batch/min). A batch replayed
+# from BEYOND the horizon re-applies, and the LWW merge converges to the
+# same state (idempotent); the horizon only needs to exceed the streaming
+# checkpoint's possible replay window, which is a handful of batches.
+LEDGER_HORIZON = 100_000
 # Row-level metadata persisted in every data file: the source position that
 # produced the row (per-row lineage, the neo4jNodeID provenance analogue) and
 # a tombstone flag. Tombstones make MERGE correct under out-of-order batch
@@ -389,6 +396,9 @@ class SnapshotTable:
         ledger = dict(parent.ledger)
         if batch_id is not None:
             ledger[str(batch_id)] = parent.version + 1
+        if len(ledger) > LEDGER_HORIZON:
+            for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
+                del ledger[k]
         snap = Snapshot(
             version=parent.version + 1,
             schema_json=schema.json(),
@@ -460,6 +470,9 @@ class SnapshotTable:
         ledger = dict(parent.ledger)
         if batch_id is not None:
             ledger[str(batch_id)] = parent.version + 1
+        if len(ledger) > LEDGER_HORIZON:
+            for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
+                del ledger[k]
         snap = Snapshot(
             version=parent.version + 1,
             schema_json=schema.json(),
@@ -501,7 +514,9 @@ class SnapshotTable:
         COLUMNS analogue). Returns the post-evolution schema."""
         parent = self.current()
         merged = merge_schemas(parent.schema, incoming)
-        if merged.json() == parent.schema_json:
+        # compare parsed structures: the stored schema_json round-trips
+        # through json.dumps with different key order than StructType.json()
+        if json.loads(merged.json()) == json.loads(parent.schema_json):
             return parent.schema
         snap = Snapshot(
             version=parent.version + 1,

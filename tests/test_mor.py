@@ -138,3 +138,22 @@ def test_verify_and_summarize(spark, tmp_path):
     )
     rep_bad = verify_replay(table, full.unionByName(bad))
     assert not rep_bad.ok
+
+
+def test_ledger_horizon_pruning(spark, tmp_path, monkeypatch):
+    import orientdb_neo4j_importer_plugin_spark.lake.table as lt
+
+    monkeypatch.setattr(lt, "LEDGER_HORIZON", 3)
+    full, feed_dir, table = setup(spark, tmp_path, n_convs=3, turns_per_conv=4)
+    for i in range(5):
+        b = full.filter(f"pmod(lsn, 5) = {i}")
+        apply_changes(b, table, batch_id=f"h{i}", mode="mor")
+    ledger = table.current().ledger
+    assert len(ledger) == 3  # oldest entries pruned
+    assert "h0" not in ledger and "h4" in ledger
+    # a replay from beyond the horizon re-applies but converges (idempotent)
+    v = table.current().version
+    apply_changes(full.filter("pmod(lsn, 5) = 0"), table, batch_id="h0", mode="mor")
+    assert table.current().version == v + 1
+    ok, msg = table_matches_oracle(state(table), oracle(feed_dir))
+    assert ok, msg
