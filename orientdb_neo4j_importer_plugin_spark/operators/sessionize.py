@@ -100,10 +100,10 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(is_start) OVER (
+         CAST(sum(is_start) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -184,7 +184,7 @@ def contains_probe(documents: DataFrame, needle: str = "spark") -> DataFrame:
 def contains_probe_sql(needle: str = "spark") -> str:
     return f"""
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN list_contains({tokens_sql("text")}, '{needle}') THEN 1 ELSE 0 END) AS n_with_needle,
+       CAST(sum(CASE WHEN list_contains({tokens_sql("text")}, '{needle}') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_needle,
        max(list_contains({tokens_sql("text")}, '{needle}')) AS any_with_needle
 FROM documents
 GROUP BY lang

@@ -60,7 +60,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != oracle {len(want)}"
-    pdt.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+    # The driver hashes the *typed serialization* of the values, so the local
+    # bar must be exact: dtype-kind parity (catches DuckDB HUGEINT vs Spark
+    # BIGINT) and bit-exact values (catches dp-level rounding drift that
+    # rtol=1e-9 on a 6e8 sum would tolerate — how q19 shipped in round 1).
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}.{c}: dtype kind {got[c].dtype} != oracle {want[c].dtype}"
+        )
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
 def test_entry_smoke(spark):
