@@ -31,9 +31,10 @@ Scale design:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import datetime
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -44,7 +45,7 @@ from ..lake.table import (
     SnapshotTable,
     bucket_expr,
 )
-from ..schema import CDC_META_COLUMNS, KEY_COLUMNS
+from ..schema import CDC_META_COLUMNS
 from .lww import lww_resolve
 
 # Below this many changed keys the anti-join build side is broadcast.
@@ -52,6 +53,48 @@ from .lww import lww_resolve
 # bottleneck (Amdahl) — a shuffled hash join with AQE skew handling
 # parallelizes better for huge batches.
 BROADCAST_KEY_LIMIT = 500_000
+
+
+def poison_reason_expr(
+    events_schema: StructType, target: StructType, keys: list[str]
+) -> Column:
+    """NULL for well-formed events, else a reason label — the per-record
+    error-isolation predicate (reference: catch-per-record, log, continue,
+    ``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283,585-594``).
+
+    Poison classes: null lsn, unknown/null op, null key column, and (for
+    non-deletes) a payload value the target type can't represent
+    (``try_cast`` null while the source value is non-null).
+    """
+    in_types = {f.name: f.dataType for f in events_schema.fields}
+    checks: list[tuple[Column, str]] = [
+        (F.col("lsn").isNull(), "null_lsn"),
+        (F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"), "bad_op"),
+    ]
+    for k in keys:
+        if k in in_types:
+            checks.append((F.col(k).isNull(), f"null_key:{k}"))
+    for f in target.fields:
+        it = in_types.get(f.name)
+        if it is not None and it != f.dataType:
+            checks.append(
+                (
+                    (F.col("op") != "D")
+                    & F.col(f.name).isNotNull()
+                    & F.col(f.name).try_cast(f.dataType).isNull(),
+                    f"uncastable:{f.name}",
+                )
+            )
+    reason = F.lit(None).cast("string")
+    for cond, label in reversed(checks):
+        reason = F.when(cond, F.lit(label)).otherwise(reason)
+    return reason
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    return v
 
 
 def _argmax_by_lsn(rows: DataFrame, keys: list[str]) -> DataFrame:
@@ -80,6 +123,9 @@ class ApplyResult:
     snapshot_version: int | None = None
     lsn_min: int | None = None
     lsn_max: int | None = None
+    filtered_out: int = 0  # rows failing event_filter (e.g. late policy)
+    quarantined: int = 0  # poison rows diverted to the quarantine table
+    extra: dict = field(default_factory=dict)  # extra_lineage_stats results
 
 
 def apply_changes(
@@ -91,6 +137,9 @@ def apply_changes(
     mode: str = "cow",
     collect_stats: bool = True,
     stats_via_observation: bool = True,
+    event_filter: Column | None = None,
+    quarantine: bool = False,
+    extra_lineage_stats: dict[str, Column] | None = None,
 ) -> ApplyResult:
     """Merge a (possibly huge) batch of change events into `table`.
 
@@ -117,6 +166,16 @@ def apply_changes(
     (no extra action). MUST be False when called from foreachBatch: a
     streaming micro-batch's incremental execution reports observed metrics
     through StreamingQueryProgress, so Observation.get would block forever.
+
+    event_filter (optional) excludes rows from the merge as *policy* (e.g.
+    late-data drop); they are counted in res.filtered_out. quarantine=True
+    diverts poison rows (see poison_reason_expr) to the table's quarantine
+    side table with a reason column instead of failing the batch — the
+    reference's per-record error isolation (``Migrator:274-283,585-594``);
+    counted in res.quarantined. extra_lineage_stats are caller aggregate
+    expressions evaluated in the SAME single stats job (no extra actions)
+    and recorded in lineage + res.extra. All per-batch counters therefore
+    cost exactly one aggregate job.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -129,11 +188,12 @@ def apply_changes(
     snap = table.current()
     key = snap.partition_key
     nb = snap.num_buckets
+    keys = snap.keys  # full PK from table metadata, not a global
 
     # --- schema evolution: reconcile BEFORE the merge (SURVEY §7.3) --------
     incoming_payload = StructType(
         [
-            StructField(f.name, f.dataType, f.name not in KEY_COLUMNS)
+            StructField(f.name, f.dataType, f.name not in keys)
             for f in events.schema.fields
             if f.name not in CDC_META_COLUMNS
         ]
@@ -141,21 +201,64 @@ def apply_changes(
     schema = table.evolve_schema(incoming_payload) if evolve_schema else snap.schema
     payload_cols = [f.name for f in schema.fields]
 
-    # --- stats over the raw batch: ONE job also yields the touched-bucket
-    # set (cheap conv_id hash — no LWW evaluation needed for pruning) -------
+    # --- admission predicates: policy filter first, then poison check ------
+    flt = F.coalesce(event_filter, F.lit(False)) if event_filter is not None else F.lit(True)
+    reason = (
+        poison_reason_expr(events.schema, schema, keys) if quarantine else None
+    )
+    keep = flt & reason.isNull() if reason is not None else flt
+    extra_stats = extra_lineage_stats or {}
+
+    # --- stats over the raw batch: ONE job yields total/filtered/quarantined
+    # counts, the lsn range, the touched-bucket set (cheap key hash — no LWW
+    # evaluation needed for pruning) and any caller extras ------------------
     touched: list[int] | None = None
     if collect_stats:
         agg = events.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-            F.collect_set(bucket_expr(key, nb)).alias("buckets"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((~flt).cast("long")).alias("n_filtered"),
+            F.sum((flt & reason.isNotNull()).cast("long")).alias("n_quar")
+            if reason is not None
+            else F.lit(0).alias("n_quar"),
+            F.min(F.when(keep, F.col("lsn"))).alias("lo"),
+            F.max(F.when(keep, F.col("lsn"))).alias("hi"),
+            F.collect_set(F.when(keep, bucket_expr(key, nb))).alias("buckets"),
+            *[e.alias(f"__x_{n}") for n, e in extra_stats.items()],
         ).collect()[0]
-        res.events_in = agg["n"]
+        res.filtered_out = agg["n_filtered"] or 0
+        res.quarantined = agg["n_quar"] or 0
+        res.events_in = agg["n_total"] - res.filtered_out - res.quarantined
         res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
         touched = sorted(agg["buckets"])
+        res.extra = {n: _jsonable(agg[f"__x_{n}"]) for n in extra_stats}
     else:
         res.events_in = -1
+        res.filtered_out = res.quarantined = -1
+
+    # --- quarantine write: poison rows become queryable, the batch commits -
+    if reason is not None and (res.quarantined > 0 or not collect_stats):
+        table.quarantine_append(
+            events.filter(flt & reason.isNotNull()).select(
+                F.lit(str(batch_id)).alias("batch_id"),
+                reason.alias("reason"),
+                F.col("lsn").try_cast("long").alias("lsn"),
+                F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias(
+                    "event_json"
+                ),
+            )
+        )
+    if event_filter is not None or reason is not None:
+        events = events.filter(keep)
+
+    lineage_base = {
+        **{n: _jsonable(v) for n, v in res.extra.items()},
+        **(lineage_extra or {}),
+    }
+    if res.filtered_out:
+        lineage_base["filtered_out"] = res.filtered_out
+    if res.quarantined:
+        lineage_base["quarantined"] = res.quarantined
+
     if res.events_in == 0:
         # empty-feed no-op (reference: shouldImportEmptyDb) — still ledger the
         # batch id so a replayed empty batch stays a no-op.
@@ -167,7 +270,7 @@ def apply_changes(
             touched_buckets=[],
             batch_id=batch_id,
             new_schema=schema,
-            lineage={"events_in": 0},
+            lineage={**lineage_base, "events_in": 0},
         )
         res.snapshot_version = new.version
         return res
@@ -175,12 +278,12 @@ def apply_changes(
     # --- dedup + LWW: one algebraic aggregate does both --------------------
     # Duplicate deliveries (same lsn, same row) collapse in the same max()
     # that resolves the winner — no separate dropDuplicates pass needed here.
-    winners = lww_resolve(events, keys=KEY_COLUMNS).withColumn(
+    winners = lww_resolve(events, keys=keys).withColumn(
         BUCKET_COL, bucket_expr(key, nb)
     )
     lineage = {
         "lsn_range": [res.lsn_min, res.lsn_max],
-        **(lineage_extra or {}),
+        **lineage_base,
     }
 
     # --- incoming winners as storage rows: payload + __lsn + __deleted. ----
@@ -247,18 +350,18 @@ def apply_changes(
             existing = table.read_buckets(
                 touched, snapshot=None, raw=True
             ).withColumn(BUCKET_COL, bucket_expr(key, nb))
-            win_keys = winners.select(*KEY_COLUMNS)
+            win_keys = winners.select(*keys)
             # keys_changed <= events_in: a safe pre-write broadcast decision
             if 0 <= res.events_in <= BROADCAST_KEY_LIMIT:
                 win_keys = F.broadcast(win_keys)
             # The big (table) side never shuffles: untouched keys pass
             # through a broadcast anti join; contested keys (a tiny set) go
             # through a broadcast semi join + a second LWW argmax vs batch.
-            survivors = existing.join(win_keys, on=KEY_COLUMNS, how="left_anti")
-            contested = existing.join(win_keys, on=KEY_COLUMNS, how="left_semi")
+            survivors = existing.join(win_keys, on=keys, how="left_anti")
+            contested = existing.join(win_keys, on=keys, how="left_semi")
             resolved = _argmax_by_lsn(
                 contested.unionByName(incoming, allowMissingColumns=True),
-                KEY_COLUMNS,
+                keys,
             )
             new_data = survivors.unionByName(resolved, allowMissingColumns=True)
             # one output file per bucket dir unless huge; AQE coalesces small

@@ -53,7 +53,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..schema import merge_schemas
 
@@ -103,6 +109,17 @@ class Snapshot:
     # appended by MOR commits, folded into base files by compact().
     # Iceberg v2 equality-delete analogue generalized to upsert deltas.
     deltas: dict[str, list[str]] = field(default_factory=dict)
+    # full primary-key column list (partition_key is its routing prefix);
+    # None only in pre-v2 metadata, where the transcripts default applies.
+    key_columns: list[str] | None = None
+
+    @property
+    def keys(self) -> list[str]:
+        if self.key_columns:
+            return self.key_columns
+        from ..schema import KEY_COLUMNS  # pre-v2 metadata back-compat
+
+        return KEY_COLUMNS
 
     @property
     def schema(self) -> StructType:
@@ -138,6 +155,7 @@ class Snapshot:
                 "parent": self.parent,
                 "committed_at": self.committed_at,
                 "deltas": self.deltas,
+                "key_columns": self.key_columns,
             }
         )
 
@@ -155,6 +173,7 @@ class Snapshot:
             parent=d.get("parent"),
             committed_at=d.get("committed_at", 0.0),
             deltas=d.get("deltas", {}),
+            key_columns=d.get("key_columns"),
         )
 
 
@@ -186,9 +205,29 @@ class SnapshotTable:
         partition_key: str,
         num_buckets: int = DEFAULT_NUM_BUCKETS,
         overwrite: bool = False,
+        key_columns: list[str] | None = None,
     ) -> "SnapshotTable":
         """Create an empty table. `overwrite=True` drops an existing one —
-        the reference's `-o` flag (``ONeo4jImporter.java:105-124``)."""
+        the reference's `-o` flag (``ONeo4jImporter.java:105-124``).
+
+        `key_columns` is the full primary key (defaults to the transcripts
+        PK when its columns are present, else just the partition key); it is
+        persisted in snapshot metadata so read-merge/MERGE paths never
+        depend on a table-specific global.
+        """
+        if key_columns is None:
+            from ..schema import KEY_COLUMNS
+
+            names = {f.name for f in schema.fields}
+            key_columns = (
+                list(KEY_COLUMNS)
+                if all(k in names for k in KEY_COLUMNS)
+                else [partition_key]
+            )
+        if partition_key not in key_columns:
+            raise ValueError(
+                f"partition_key {partition_key!r} must be one of key_columns {key_columns}"
+            )
         t = cls(spark, root)
         if os.path.exists(t.meta_dir):
             if not overwrite:
@@ -208,6 +247,7 @@ class SnapshotTable:
             lineage=[],
             parent=None,
             committed_at=time.time(),
+            key_columns=list(key_columns),
         )
         t._write_snapshot(snap, expected_parent=None)
         return t
@@ -301,22 +341,21 @@ class SnapshotTable:
             # merge-on-read: one argmax-by-__lsn shuffle over base ∪ deltas.
             # Key invariant: base has ≤1 row/key; deltas may carry several.
             deltas = self._read_files(delta_files, snap.schema)
-            merged = self._argmax_rows(base.unionByName(deltas))
+            merged = self._argmax_rows(base.unionByName(deltas), snap.keys)
         else:
             merged = base
         if raw:
             return merged
         return merged.filter(~F.col(DELETED_COL)).drop(*META_COLS)
 
-    def _argmax_rows(self, rows: DataFrame) -> DataFrame:
-        """One storage row per primary key: max __lsn wins (algebraic agg)."""
-        from ..schema import KEY_COLUMNS
-
-        rest = [c for c in rows.columns if c not in KEY_COLUMNS and c != LSN_COL]
+    def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
+        """One storage row per primary key: max __lsn wins (algebraic agg).
+        `keys` comes from snapshot metadata — never a table-specific global."""
+        rest = [c for c in rows.columns if c not in keys and c != LSN_COL]
         w = F.max(F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])).alias("__w")
-        out = rows.groupBy(*KEY_COLUMNS).agg(w)
+        out = rows.groupBy(*keys).agg(w)
         return out.select(
-            *KEY_COLUMNS,
+            *keys,
             F.col(f"__w.{LSN_COL}").alias(LSN_COL),
             *[F.col(f"__w.{c}").alias(c) for c in rest],
         )
@@ -410,6 +449,7 @@ class SnapshotTable:
             parent=parent.version,
             committed_at=time.time(),
             deltas=new_deltas,
+            key_columns=parent.key_columns,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -484,6 +524,7 @@ class SnapshotTable:
             parent=parent.version,
             committed_at=time.time(),
             deltas=new_deltas,
+            key_columns=parent.key_columns,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -540,9 +581,38 @@ class SnapshotTable:
             parent=parent.version,
             committed_at=time.time(),
             deltas=parent.deltas,
+            key_columns=parent.key_columns,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return merged
+
+    # -- quarantine (dead-letter) side table -----------------------------------
+    # Reference analogue: per-record error isolation — rollback, log, continue
+    # (``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283,585-594``). Poison
+    # records land here as (batch_id, reason, lsn, event_json) instead of
+    # failing the batch; schema is fixed so it survives payload evolution.
+
+    def quarantine_dir(self) -> str:
+        return os.path.join(self.root, "quarantine")
+
+    def quarantine_append(self, df: DataFrame) -> None:
+        """Append poison rows (batch_id, reason, lsn, event_json)."""
+        df.write.mode("append").parquet(self.quarantine_dir())
+
+    def read_quarantine(self) -> DataFrame:
+        """The dead-letter table; empty DataFrame if nothing was quarantined."""
+        qdir = self.quarantine_dir()
+        schema = StructType(
+            [
+                StructField("batch_id", StringType(), True),
+                StructField("reason", StringType(), True),
+                StructField("lsn", LongType(), True),
+                StructField("event_json", StringType(), True),
+            ]
+        )
+        if not os.path.isdir(qdir):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(qdir)
 
     # -- maintenance ----------------------------------------------------------
 

@@ -124,8 +124,23 @@ _WIDENS: dict[type, tuple[type, ...]] = {
 }
 
 
+class SchemaEvolutionError(TypeError):
+    """An incoming batch tries to change a column to an incompatible type."""
+
+
 def _compatible(a: DataType, b: DataType) -> DataType:
-    """Widen numeric pairs; otherwise fall back to STRING (reference default)."""
+    """Resolve the table type `a` against an incoming batch type `b`.
+
+    Old data files are read through the evolved schema, so the table type
+    may only ever change by a widening the parquet reader supports
+    (int->long, float->double; pyspark>=4.0 type-widened reads). Any other
+    atomic mismatch KEEPS the table type — values are cast per record at
+    apply time, where uncastable ones hit the quarantine path (the
+    reference's tolerated lossy coercion, ``Migrator:313-317``). A silent
+    fall-back-to-STRING would permanently break reads of pre-evolution
+    files, so it never happens; structurally impossible pairs (complex vs
+    atomic, mismatched containers) raise instead.
+    """
     if a == b:
         return a
     for wide, narrows in _WIDENS.items():
@@ -133,7 +148,12 @@ def _compatible(a: DataType, b: DataType) -> DataType:
             return a
         if isinstance(b, wide) and isinstance(a, narrows):
             return b
-    return StringType()
+    complex_types = (ArrayType, StructType)
+    if isinstance(a, complex_types) or isinstance(b, complex_types):
+        raise SchemaEvolutionError(
+            f"incompatible type change {a.simpleString()} -> {b.simpleString()}"
+        )
+    return a  # atomic mismatch: table type wins; values cast per record
 
 
 def merge_schemas(table: StructType, incoming: StructType) -> StructType:

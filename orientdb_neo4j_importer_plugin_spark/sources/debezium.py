@@ -56,19 +56,31 @@ def debezium_envelope_schema(payload: StructType = TRANSCRIPTS) -> StructType:
 
 
 def from_debezium(
-    envelopes: DataFrame, payload: StructType = TRANSCRIPTS
+    envelopes: DataFrame,
+    payload: StructType = TRANSCRIPTS,
+    on_unmapped: str = "drop",
 ) -> DataFrame:
     """Flatten a Debezium envelope stream/batch into CHANGE_EVENT shape.
 
     Deletes carry only `before` — keys are taken from `after` with a
     `before` fallback so a delete still routes to its bucket.
+
+    on_unmapped controls envelopes whose op isn't c/r/u/d (e.g. 't' truncate,
+    'm' message): "drop" filters them out (the count is visible as the
+    events_in delta downstream), "keep" passes them through with a NULL op
+    so apply_changes' quarantine path records them with a reason — never
+    silently applied as an upsert with a null payload.
     """
+    if on_unmapped not in ("drop", "keep"):
+        raise ValueError(f"on_unmapped must be 'drop' or 'keep', got {on_unmapped!r}")
     op = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in _OP_MAP.items() for x in kv]
         ),
         F.col("op"),
     )
+    if on_unmapped == "drop":
+        envelopes = envelopes.filter(op.isNotNull())
     cols = [
         F.col("source.lsn").alias("lsn"),
         op.alias("op"),

@@ -62,6 +62,7 @@ class StreamMetrics:
     upserts: int = 0
     deletes: int = 0
     late_dropped: int = 0
+    quarantined: int = 0
     started_at: float = field(default_factory=time.time)
     last_batch_at: float | None = None
     last_snapshot_version: int | None = None
@@ -77,6 +78,8 @@ class StreamMetrics:
         self.keys_changed += r.keys_changed
         self.upserts += r.upserts
         self.deletes += r.deletes
+        self.late_dropped += max(r.filtered_out, 0)
+        self.quarantined += max(r.quarantined, 0)
         self.last_snapshot_version = r.snapshot_version
 
     def events_per_sec(self) -> float:
@@ -93,6 +96,7 @@ class StreamMetrics:
             "upserts": self.upserts,
             "deletes": self.deletes,
             "late_dropped": self.late_dropped,
+            "quarantined": self.quarantined,
             "events_per_sec": round(self.events_per_sec(), 2),
             "last_snapshot_version": self.last_snapshot_version,
         }
@@ -125,6 +129,7 @@ class CdcStreamRunner:
         batch_id_prefix: str | None = None,
         mode: str = "cow",
         compact_every: int = 0,
+        quarantine: bool = False,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -140,6 +145,9 @@ class CdcStreamRunner:
         # committed batches — the sustained-throughput configuration.
         self.mode = mode
         self.compact_every = compact_every
+        # divert poison records to the table's dead-letter side table instead
+        # of failing the micro-batch (reference: Migrator:274-283,585-594)
+        self.quarantine = quarantine
         self._batches_since_compact = 0
         # Ledger keys must be scoped to the checkpoint lineage: Spark batch
         # ids restart at 0 for a fresh checkpoint, and a new batch 0 may hold
@@ -175,54 +183,45 @@ class CdcStreamRunner:
             df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "lsn"])
         return df
 
-    # -- late-event policy ----------------------------------------------------
-
-    def _apply_late_policy(self, batch: DataFrame) -> tuple[DataFrame, int]:
-        """Drop events with ts older than (committed high-watermark - delay).
-
-        The high-watermark is the max event ts across committed snapshots,
-        persisted in lineage — so the policy replays identically from a
-        checkpoint (unlike state-store watermarks)."""
-        if self.late_drop_delay_seconds is None:
-            return batch, 0
-        hwm = None
-        for lin in reversed(self.table.current().lineage):
-            if "event_ts_max" in lin and lin["event_ts_max"] is not None:
-                hwm = lin["event_ts_max"]
-                break
-        if hwm is None:
-            return batch, 0
-        cutoff = F.lit(hwm).cast("timestamp") - F.expr(
-            f"INTERVAL {self.late_drop_delay_seconds} SECONDS"
-        )
-        keep = batch.filter((F.col("ts").isNull()) | (F.col("ts") >= cutoff))
-        dropped = batch.count() - keep.count()
-        return keep, dropped
-
     # -- sink ---------------------------------------------------------------
 
     def _hwm(self) -> str | None:
-        """Committed event-time high watermark (max ts across snapshots)."""
-        for lin in reversed(self.table.current().lineage):
-            if lin.get("event_ts_max") is not None:
-                return lin["event_ts_max"]
-        return None
+        """Committed event-time high watermark: max per-batch event_ts_max
+        across the retained lineage window (driver-side metadata read, no
+        Spark action). Persisted per batch, so the late-drop policy replays
+        identically from a checkpoint (unlike state-store watermarks)."""
+        vals = [
+            lin["event_ts_max"]
+            for lin in self.table.current().lineage
+            if lin.get("event_ts_max") is not None
+        ]
+        return max(vals) if vals else None  # ISO strings order by time
 
     def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch, late = self._apply_late_policy(batch)
-        self.metrics.late_dropped += late
-        ts_max = batch.agg(F.max("ts")).collect()[0][0]
-        prev_hwm = self._hwm()
-        new_hwm = max(filter(None, [prev_hwm, str(ts_max) if ts_max else None]), default=None)
+        # Late-data policy: drop events older than (committed hwm - delay).
+        # The cutoff comes from lineage metadata (no Spark action); the drop
+        # count and the batch ts-max ride apply_changes' single stats job —
+        # one aggregate action per micro-batch total (VERDICT r01 item 6).
+        flt = None
+        if self.late_drop_delay_seconds is not None:
+            hwm = self._hwm()
+            if hwm is not None:
+                cutoff = F.lit(hwm).cast("timestamp") - F.expr(
+                    f"INTERVAL {self.late_drop_delay_seconds} SECONDS"
+                )
+                flt = F.col("ts").isNull() | (F.col("ts") >= cutoff)
+        ts_in_scope = F.when(flt, F.col("ts")) if flt is not None else F.col("ts")
         res = apply_changes(
             batch,
             self.table,
             batch_id=f"{self.batch_id_prefix}-{batch_id}",
-            lineage_extra={"event_ts_max": new_hwm, "late_dropped": late},
             mode=self.mode,
             # foreachBatch incremental execution never delivers Observation
             # results -> counters must use a plain aggregate action here
             stats_via_observation=False,
+            event_filter=flt,
+            quarantine=self.quarantine,
+            extra_lineage_stats={"event_ts_max": F.max(ts_in_scope)},
         )
         self.metrics.record(res)
         if not res.skipped_replay and self.compact_every > 0:

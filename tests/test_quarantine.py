@@ -1,0 +1,178 @@
+"""Per-record error isolation (dead-letter path) — the reference's
+catch-per-record / rollback-batch / continue behavior
+(``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283,585-594``): poison
+events divert to a queryable quarantine table with a reason, the batch
+commits, good rows land. Also covers the schema-evolution incompatible-type
+rejection and the Debezium unmapped-op policy.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.schema import (
+    TRANSCRIPTS,
+    SchemaEvolutionError,
+    merge_schemas,
+)
+from orientdb_neo4j_importer_plugin_spark.sources.debezium import (
+    debezium_envelope_schema,
+    from_debezium,
+)
+
+TS = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+EVENT_COLS = "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, source_part int"
+
+
+def _mk_table(spark, tmp_path, name="q"):
+    return SnapshotTable.create(
+        spark, str(tmp_path / name), TRANSCRIPTS, "conv_id", num_buckets=4
+    )
+
+
+def test_poison_records_quarantined_batch_commits(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    rows = [
+        (1, "I", "c1", 0, "user", "hello", None, TS, 0),       # good
+        (2, "X", "c1", 1, "user", "bad op", None, TS, 0),      # bad_op
+        (3, "I", None, 2, "user", "null key", None, TS, 0),    # null_key
+        (None, "I", "c1", 3, "user", "null lsn", None, TS, 0), # null_lsn
+        (5, "I", "c2", 0, "assistant", "also good", None, TS, 0),
+    ]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    res = apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert res.quarantined == 3
+    assert res.events_in == 2
+    assert res.snapshot_version is not None  # batch committed
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == {("c1", 0), ("c2", 0)}
+    q = table.read_quarantine()
+    reasons = {r.reason for r in q.collect()}
+    assert reasons == {"bad_op", "null_key:conv_id", "null_lsn"}
+    assert q.filter(F.col("event_json").contains("bad op")).count() == 1
+    # quarantine count recorded in lineage like late_dropped
+    lin = table.current().lineage[-1]
+    assert lin["quarantined"] == 3
+
+
+def test_uncastable_payload_quarantined(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, "q2")
+    # turn_idx arrives as string: castable for good rows, poison otherwise
+    rows = [
+        (1, "I", "c1", "0", "user", "ok", None, TS, 0),
+        (2, "I", "c1", "not-a-number", "user", "poison", None, TS, 0),
+    ]
+    schema = "lsn long, op string, conv_id string, turn_idx string, role string, text string, tool string, ts timestamp, source_part int"
+    feed = spark.createDataFrame(rows, schema)
+    res = apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert res.quarantined == 1 and res.events_in == 1
+    assert {r.reason for r in table.read_quarantine().collect()} == {
+        "uncastable:turn_idx"
+    }
+    assert [r.turn_idx for r in table.read().collect()] == [0]
+
+
+def test_quarantine_off_is_default_and_unchanged(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, "q3")
+    feed = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello", None, TS, 0)], EVENT_COLS
+    )
+    res = apply_changes(feed, table, batch_id="b0")
+    assert res.quarantined == 0
+    assert table.read_quarantine().count() == 0
+
+
+def test_all_poison_batch_still_ledgers(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, "q4")
+    feed = spark.createDataFrame(
+        [(1, "Z", "c1", 0, "user", "x", None, TS, 0)], EVENT_COLS
+    )
+    res = apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert res.events_in == 0 and res.quarantined == 1
+    assert table.is_batch_committed("b0")  # replay stays a no-op
+    res2 = apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert res2.skipped_replay
+    assert table.read_quarantine().count() == 1  # not double-quarantined
+
+
+def test_schema_type_change_rules(spark):
+    from pyspark.sql.types import ArrayType
+
+    # structurally impossible: array vs scalar -> raise
+    with pytest.raises(SchemaEvolutionError):
+        merge_schemas(
+            StructType([StructField("a", ArrayType(StringType()), True)]),
+            StructType([StructField("a", LongType(), True)]),
+        )
+    # numeric widening changes the table type
+    merged = merge_schemas(
+        StructType([StructField("a", IntegerType(), True)]),
+        StructType([StructField("a", LongType(), True)]),
+    )
+    assert merged.fields[0].dataType == LongType()
+    # atomic mismatch keeps the table type (never falls back to STRING —
+    # that would break reads of pre-evolution parquet files)
+    kept = merge_schemas(
+        StructType([StructField("a", TimestampType(), True)]),
+        StructType([StructField("a", StringType(), True)]),
+    )
+    assert kept.fields[0].dataType == TimestampType()
+
+
+def test_debezium_unmapped_op_dropped(spark):
+    env_schema = debezium_envelope_schema()
+    payload = ("c1", 0, "user", "hi", None, TS)
+    rows = [
+        (None, payload, "c", 0, (1, 0)),
+        (None, None, "t", 0, (2, 0)),  # truncate: no before/after
+    ]
+    env = spark.createDataFrame(rows, env_schema)
+    out = from_debezium(env)
+    assert [r.op for r in out.collect()] == ["I"]
+    kept = from_debezium(env, on_unmapped="keep")
+    assert kept.count() == 2
+    assert kept.filter(F.col("op").isNull()).count() == 1
+
+
+def test_custom_key_columns_persisted_and_used(spark, tmp_path):
+    # a table keyed on a single column, different from the transcripts PK:
+    # the MOR read-merge must group on the persisted key, not the global
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", StringType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        str(tmp_path / "custom"),
+        schema,
+        partition_key="k",
+        num_buckets=2,
+        key_columns=["k"],
+    )
+    assert table.current().keys == ["k"]
+    feed1 = spark.createDataFrame(
+        [(1, "I", "a", "v1", 0), (2, "I", "b", "v1", 0)],
+        "lsn long, op string, k string, v string, source_part int",
+    )
+    feed2 = spark.createDataFrame(
+        [(3, "U", "a", "v2", 0)],
+        "lsn long, op string, k string, v string, source_part int",
+    )
+    apply_changes(feed1, table, batch_id="b1", mode="mor")
+    apply_changes(feed2, table, batch_id="b2", mode="mor")
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {("a", "v2"), ("b", "v1")}

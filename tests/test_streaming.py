@@ -197,3 +197,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert m.batches >= 1
     ok, msg = table_matches_oracle(final_state(runner.table), oracle_state(feed_dir))
     assert ok, msg
+
+
+def test_stream_quarantine_poison_records(spark, tmp_path):
+    """Poison events in a micro-batch divert to the dead-letter table and
+    the stream keeps running (reference: per-record error isolation,
+    Migrator:274-283,585-594)."""
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=6, updates_per_key=1)
+    feed_dir = str(tmp_path / "feed_q")
+    write_feed_chunks(feed, feed_dir, chunk_size=48)
+    ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    poison = spark.createDataFrame(
+        [
+            (9_000_001, "X", "conv_q", 0, "user", "bad op", ts, 0),
+            (None, "I", "conv_q", 1, "user", "null lsn", ts, 0),
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp, source_part int",
+    )
+    pdir = str(tmp_path / "poison_chunk")
+    poison.coalesce(1).write.parquet(pdir)
+    for f in os.listdir(pdir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(pdir, f), os.path.join(feed_dir, "chunk-poison.parquet"))
+
+    runner = make_runner(spark, tmp_path, "quar", feed_dir, quarantine=True)
+    m = runner.run_to_completion(timeout_sec=300)
+    assert m.quarantined == 2
+    q = runner.table.read_quarantine()
+    assert {r.reason for r in q.collect()} == {"bad_op", "null_lsn"}
+    # good rows still match the oracle (poison rows never reach the table);
+    # the oracle reads only the well-formed chunks
+    oracle = [
+        tuple(r)
+        for r in reduce_events_duckdb(
+            f"{feed_dir}/chunk-0*.parquet", has_tool=False
+        ).fetchall()
+    ]
+    ok, msg = table_matches_oracle(final_state(runner.table), oracle)
+    assert ok, msg
+    status = json.load(open(runner.status_path))
+    assert status["quarantined"] == 2
