@@ -112,6 +112,12 @@ class Snapshot:
     # full primary-key column list (partition_key is its routing prefix);
     # None only in pre-v2 metadata, where the transcripts default applies.
     key_columns: list[str] | None = None
+    # bucket id -> manifest file holding that bucket's base/delta file lists
+    # (Iceberg manifest-list analogue). Populated by the table's IO layer;
+    # the root snapshot JSON stores ONLY these references, so its size is
+    # O(num_buckets), independent of data-file count. Unchanged buckets
+    # carry their manifest forward by reference across commits.
+    manifest_paths: dict[str, str] = field(default_factory=dict)
 
     @property
     def keys(self) -> list[str]:
@@ -143,37 +149,41 @@ class Snapshot:
         return [f for b in keys for f in self.deltas.get(b, [])]
 
     def to_json(self) -> str:
+        """Root metadata: per-bucket MANIFEST REFERENCES, never file lists —
+        root size stays O(num_buckets) however many data files exist."""
         return json.dumps(
             {
                 "version": self.version,
                 "schema": json.loads(self.schema_json),
                 "num_buckets": self.num_buckets,
                 "partition_key": self.partition_key,
-                "buckets": self.buckets,
+                "manifests": self.manifest_paths,
                 "ledger": self.ledger,
                 "lineage": self.lineage,
                 "parent": self.parent,
                 "committed_at": self.committed_at,
-                "deltas": self.deltas,
                 "key_columns": self.key_columns,
             }
         )
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
+        """Parse root metadata. buckets/deltas stay empty until the table's
+        IO layer resolves the manifests (pre-manifest roots inline them)."""
         d = json.loads(s)
         return Snapshot(
             version=d["version"],
             schema_json=json.dumps(d["schema"]),
             num_buckets=d["num_buckets"],
             partition_key=d["partition_key"],
-            buckets=d["buckets"],
+            buckets=d.get("buckets", {}),
             ledger=d["ledger"],
             lineage=d.get("lineage", []),
             parent=d.get("parent"),
             committed_at=d.get("committed_at", 0.0),
             deltas=d.get("deltas", {}),
             key_columns=d.get("key_columns"),
+            manifest_paths=d.get("manifests", {}),
         )
 
 
@@ -192,7 +202,12 @@ class SnapshotTable:
         self.spark = spark
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
+        self.manifest_dir = os.path.join(root, "metadata", "manifests")
         self.data_dir = os.path.join(root, "data")
+        # manifest files are immutable once written -> cache by path.
+        # In steady state a commit touches few buckets, so loading the next
+        # snapshot reads the root + only the handful of NEW manifests.
+        self._manifest_cache: dict[str, tuple[list[str], list[str]]] = {}
 
     # -- creation / loading -------------------------------------------------
 
@@ -277,9 +292,66 @@ class SnapshotTable:
         """Time travel: read any retained snapshot (Iceberg `VERSION AS OF`)."""
         path = os.path.join(self.meta_dir, f"v{version:08d}.json")
         with open(path) as fh:
-            return Snapshot.from_json(fh.read())
+            snap = Snapshot.from_json(fh.read())
+        self._resolve_manifests(snap)
+        return snap
+
+    # -- manifest IO (Iceberg manifest-list analogue) --------------------------
+
+    def _read_manifest(self, path: str) -> tuple[list[str], list[str]]:
+        got = self._manifest_cache.get(path)
+        if got is None:
+            with open(path) as fh:
+                d = json.load(fh)
+            got = (d.get("base", []), d.get("deltas", []))
+            self._manifest_cache[path] = got
+        return got
+
+    def _resolve_manifests(self, snap: Snapshot) -> None:
+        """Populate the in-memory buckets/deltas dicts from manifest refs
+        (no-op for pre-manifest roots that inline them)."""
+        if not snap.manifest_paths:
+            return
+        snap.buckets, snap.deltas = {}, {}
+        for b, path in snap.manifest_paths.items():
+            base, deltas = self._read_manifest(path)
+            if base:
+                snap.buckets[b] = base
+            if deltas:
+                snap.deltas[b] = deltas
+
+    def _write_manifests(self, snap: Snapshot) -> None:
+        """Write one manifest per bucket whose content changed; unchanged
+        buckets reuse the previous snapshot's manifest file by reference —
+        commit metadata IO is O(touched buckets), root size O(num_buckets)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        prev_paths: dict[str, str] = dict(snap.manifest_paths)
+        if snap.parent is not None and not prev_paths:
+            try:
+                prev_paths = self.snapshot_at(snap.parent).manifest_paths
+            except FileNotFoundError:
+                prev_paths = {}
+        out: dict[str, str] = {}
+        for b in set(snap.buckets) | set(snap.deltas):
+            content = (snap.buckets.get(b, []), snap.deltas.get(b, []))
+            prev = prev_paths.get(b)
+            if prev is not None and self._read_manifest(prev) == content:
+                out[b] = prev  # carried forward by reference
+                continue
+            path = os.path.join(
+                self.manifest_dir,
+                f"m-{snap.version:08d}-{b}-{uuid.uuid4().hex[:8]}.json",
+            )
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"base": content[0], "deltas": content[1]}, fh)
+            os.replace(tmp, path)
+            self._manifest_cache[path] = content
+            out[b] = path
+        snap.manifest_paths = out
 
     def _write_snapshot(self, snap: Snapshot, expected_parent: int | None) -> None:
+        self._write_manifests(snap)
         path = os.path.join(self.meta_dir, f"v{snap.version:08d}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -660,15 +732,23 @@ class SnapshotTable:
         )
         keep = set(versions[-keep_last:])
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in keep:
-            live.update(self.snapshot_at(v).all_files())
+            snap = self.snapshot_at(v)
+            live.update(snap.all_files())
+            live_manifests.update(snap.manifest_paths.values())
         removed = 0
         for v in versions:
             if v in keep:
                 continue
-            for f in self.snapshot_at(v).all_files():
+            snap = self.snapshot_at(v)
+            for f in snap.all_files():
                 if f not in live and os.path.exists(f):
                     os.remove(f)
                     removed += 1
+            for m in snap.manifest_paths.values():
+                if m not in live_manifests and os.path.exists(m):
+                    os.remove(m)
+                    self._manifest_cache.pop(m, None)
             os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
         return removed
