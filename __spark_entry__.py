@@ -29,6 +29,7 @@ from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import textstats as T
+from orientdb_neo4j_importer_plugin_spark.plans import relational as R
 from orientdb_neo4j_importer_plugin_spark.plans import tpch as Q
 from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
 
@@ -181,6 +182,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": lambda s, d: Q.q18_large_volume_customer(
             _read(s, d, "customer"), _read(s, d, "orders"), _read(s, d, "lineitem")
         ),
+        "tpch_q2": lambda s, d: R.q2_min_cost_supplier(
+            _read(s, d, "lineitem"),
+            _read(s, d, "part"),
+            _read(s, d, "supplier"),
+            _read(s, d, "nation"),
+            _read(s, d, "region"),
+        ),
+        "tpch_q10": lambda s, d: R.q10_returned_items(
+            _read(s, d, "customer"),
+            _read(s, d, "orders"),
+            _read(s, d, "lineitem"),
+            _read(s, d, "nation"),
+        ),
+        "tpch_q16": lambda s, d: R.q16_supplier_cnt(
+            _read(s, d, "lineitem"), _read(s, d, "part")
+        ),
+        "rollup_returns": lambda s, d: R.rollup_returns(_read(s, d, "lineitem")),
+        "setop_customer_segments": lambda s, d: R.setop_customer_segments(
+            _read(s, d, "customer"), _read(s, d, "orders")
+        ),
         # text analysis
         "docs_token_stats": lambda s, d: T.token_stats(_read(s, d, "documents")),
         "docs_quality_score": lambda s, d: T.quality_score(_read(s, d, "documents")),
@@ -247,6 +268,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": Q.Q14_SQL,
         "tpch_q19": Q.Q19_SQL,
         "tpch_q18": Q.q18_sql(),
+        "tpch_q2": R.Q2_SQL,
+        "tpch_q10": R.Q10_SQL,
+        "tpch_q16": R.Q16_SQL,
+        "rollup_returns": R.ROLLUP_RETURNS_SQL,
+        "setop_customer_segments": R.SETOP_CUSTOMER_SEGMENTS_SQL,
         "docs_token_stats": T.TOKEN_STATS_SQL,
         "docs_quality_score": T.QUALITY_SCORE_SQL,
         "docs_lang_id": T.LANG_ID_SQL,
