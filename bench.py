@@ -129,6 +129,38 @@ def bench_cdc_stream(spark, sf_dir: str, n_chunks: int = 8) -> tuple[float, int]
     return time.perf_counter() - t0, n_events
 
 
+def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
+    """Recall of the approximate similarity paths vs exact ground truth —
+    the tuning evidence for `planes` (VERDICT r01 item 9). Driver-side sets
+    are tiny (k x queries / bounded pair lists)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in V.brute_force_topk(emb, qids, k).collect()
+    }
+    topk_recall = {}
+    for planes in (4, 8, 12):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in V.lsh_topk(emb, qids, k, dim=dim, planes=planes).collect()
+        }
+        topk_recall[str(planes)] = round(len(got & brute) / max(len(brute), 1), 3)
+    # near-dup pair recall on a bounded deterministic subset (exact is O(n^2))
+    sub = emb.filter(F.col("vec_id") < 1000)
+    exact = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(sub).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(sub, dim=dim).collect()}
+    return {
+        "lsh_topk_recall_at_5_by_planes": topk_recall,
+        "near_dup_pair_recall": round(len(lsh & exact) / max(len(exact), 1), 3),
+        "near_dup_pairs_exact": len(exact),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -150,6 +182,9 @@ def main() -> None:
         "dedup_minhash_lsh_pairs",
         "dedup_ngram_jaccard",
         "emb_topk_cosine",
+        "emb_near_dup_pairs",
+        "tpch_q10",
+        "rollup_returns",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
@@ -179,6 +214,7 @@ def main() -> None:
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
         "cpus": CPUS,
+        "ann_quality": bench_ann_quality(spark, SF_DIR),
     }
     print(json.dumps(out))
     spark.stop()

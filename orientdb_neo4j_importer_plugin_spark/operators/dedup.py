@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import (
@@ -153,10 +153,9 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs sharing at least one LSH band.
 
     Columns: doc_a, doc_b, n_bands (how many bands matched).
-    Band buckets larger than `max_band_size` are dropped before the
-    self-join via a broadcast anti-join: the hot-bucket list is tiny by
-    construction (only degenerate bands exceed the cap), so the guard costs
-    one map-side-combinable agg, not a window sort over the full stream.
+    Band buckets larger than `max_band_size` (degenerate/boilerplate bands)
+    are dropped before the self-join — a bucket of b docs makes b^2/2
+    candidate rows, so the cap bounds the quadratic path.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
@@ -177,14 +176,13 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bd")
     ).select("doc_id", "bd.band_id", "bd.band_hash")
     if max_band_size is not None:
-        hot = (
-            exploded.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("__bs"))
-            .filter(F.col("__bs") > max_band_size)
-            .select("band_id", "band_hash")
-        )
-        exploded = exploded.join(
-            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        # bucket size via whole-partition window: one shuffle in-lineage (a
+        # separate hot-list aggregate would recompute the signature stream)
+        wb = Window.partitionBy("band_id", "band_hash")
+        exploded = (
+            exploded.withColumn("__bs", F.count("*").over(wb))
+            .filter(F.col("__bs") <= max_band_size)
+            .drop("__bs")
         )
     a = exploded.alias("a")
     bdf = exploded.alias("b")
@@ -313,18 +311,19 @@ def ngram_jaccard_pairs(
     Columns: doc_a, doc_b, jaccard (rounded to 4 dp).
     |A ∩ B| from the shingle equi-join; |A ∪ B| = |A| + |B| - |A ∩ B| from
     precomputed distinct-shingle counts — no quadratic text comparison.
-    The hot-shingle list is tiny by construction → broadcast anti-join
-    (one combinable agg; no window sort over the shingle stream).
     """
     ds = _doc_shingle_hashes(documents)
     if max_df is not None:
-        hot = (
-            ds.groupBy("sh")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("sh")
+        # df per shingle as a whole-partition window: ONE shuffle by sh in
+        # the same lineage (a separate hot-list aggregate + anti-join
+        # recomputes the exploded shingle stream — measured 2x slower here;
+        # at extreme scale, persist ds once and use the broadcast anti-join)
+        w = Window.partitionBy("sh")
+        ds = (
+            ds.withColumn("__df", F.count("*").over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        ds = ds.join(F.broadcast(hot), "sh", "left_anti")
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")

@@ -1,3 +1,4 @@
+from .job import CdcJob
 from .runner import CdcStreamRunner, StreamMetrics
 
-__all__ = ["CdcStreamRunner", "StreamMetrics"]
+__all__ = ["CdcJob", "CdcStreamRunner", "StreamMetrics"]

@@ -33,6 +33,7 @@ duplicate-heavy feeds where pre-shuffle dedup pays for its state.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import uuid
@@ -47,6 +48,8 @@ from pyspark.sql.types import StructType
 from ..cdc.apply import ApplyResult, apply_changes
 from ..lake.table import SnapshotTable
 from ..schema import CHANGE_EVENT
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -224,6 +227,16 @@ class CdcStreamRunner:
             extra_lineage_stats={"event_ts_max": F.max(ts_in_scope)},
         )
         self.metrics.record(res)
+        logger.info(
+            "batch %s: events_in=%d keys=%d late=%d quarantined=%d version=%s%s",
+            batch_id,
+            res.events_in,
+            res.keys_changed,
+            max(res.filtered_out, 0),
+            max(res.quarantined, 0),
+            res.snapshot_version,
+            " (replay skipped)" if res.skipped_replay else "",
+        )
         if not res.skipped_replay and self.compact_every > 0:
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
