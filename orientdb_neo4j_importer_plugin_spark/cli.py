@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--late-drop-seconds", type=int, default=None)
+    p.add_argument("--quarantine", action="store_true",
+                   help="divert poison records to the dead-letter table "
+                        "instead of failing the batch")
     p.add_argument("--schema", choices=["v1", "v2"], default="v2",
                    help="event schema version (v1 lacks the tool column)")
     p.add_argument("--status-path", default=None, help="status JSON path")
@@ -83,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         status_path=args.status_path,
         mode=args.mode,
         compact_every=args.compact_every,
+        quarantine=args.quarantine,
     )
     metrics = runner.run_to_completion()
     print(json.dumps(metrics.to_json()))
