@@ -198,6 +198,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": lambda s, d: R.q16_supplier_cnt(
             _read(s, d, "lineitem"), _read(s, d, "part")
         ),
+        "tpch_q8": lambda s, d: R.q8_market_share(
+            _read(s, d, "lineitem"),
+            _read(s, d, "orders"),
+            _read(s, d, "customer"),
+            _read(s, d, "supplier"),
+            _read(s, d, "nation"),
+            _read(s, d, "region"),
+            _read(s, d, "part"),
+        ),
+        "tpch_q13": lambda s, d: R.q13_order_distribution(
+            _read(s, d, "customer"), _read(s, d, "orders")
+        ),
+        "tpch_q15": lambda s, d: R.q15_top_supplier(
+            _read(s, d, "lineitem"), _read(s, d, "supplier")
+        ),
+        "tpch_q17": lambda s, d: R.q17_small_quantity_revenue(
+            _read(s, d, "lineitem"), _read(s, d, "part")
+        ),
         "rollup_returns": lambda s, d: R.rollup_returns(_read(s, d, "lineitem")),
         "setop_customer_segments": lambda s, d: R.setop_customer_segments(
             _read(s, d, "customer"), _read(s, d, "orders")
@@ -271,6 +289,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q2": R.Q2_SQL,
         "tpch_q10": R.Q10_SQL,
         "tpch_q16": R.Q16_SQL,
+        "tpch_q8": R.q8_sql(),
+        "tpch_q13": R.Q13_SQL,
+        "tpch_q15": R.Q15_SQL,
+        "tpch_q17": R.Q17_SQL,
         "rollup_returns": R.ROLLUP_RETURNS_SQL,
         "setop_customer_segments": R.SETOP_CUSTOMER_SEGMENTS_SQL,
         "docs_token_stats": T.TOKEN_STATS_SQL,

@@ -134,8 +134,18 @@ measure the engine rather than the hypervisor.
 Generated by `python bench_scaling.py {n}`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # regenerate ONLY the scaling section; preserve everything from the
+    # first non-scaling "## " section onwards (single-node bench, ANN
+    # recall tables, round-over-round notes)
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## Single-node")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as fh:
+        fh.write(md + tail)
 
 
 if __name__ == "__main__":

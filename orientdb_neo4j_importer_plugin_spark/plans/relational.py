@@ -232,3 +232,183 @@ SELECT p_partkey, p_brand, l_extendedprice AS min_price, s_suppkey, s_name
 FROM ranked WHERE rn = 1
 ORDER BY p_partkey
 """
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q8 shape (adapted): supplier-nation share of ECONOMY-part
+    revenue sold to AMERICA customers, per order year. Numerator and
+    denominator are emitted separately (the q14 convention: no in-query
+    division of unrounded double sums, which risks 4dp-boundary drift
+    between engines). All dimension hops broadcast.
+    Columns: o_year, target_volume, total_volume."""
+    cust_am = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_am), F.col("o_custkey") == cust_am.c_custkey)
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(0.0)), 4
+            ).alias("target_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q8_sql(target_nation: str = "NATION_3") -> str:
+    return f"""
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = '{target_nation}'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS target_volume,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer — LEFT OUTER
+    join (customers with zero orders count at c_count=0) then a second
+    aggregation over the counts. Columns: c_count, custdist."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar max subquery — the supplier(s)
+    with the highest shipped revenue in a quarter.
+    Columns: s_suppkey, s_name, total_rev."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 (adapted): revenue from orders of less than 20% of a
+    part's average quantity — the correlated scalar-avg subquery expressed
+    as an aggregate + broadcast join back (no correlated rescan).
+    Columns: avg_yearly."""
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(
+            part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = li.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    ).withColumnRenamed("p_partkey", "cut_partkey")
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("cut_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
