@@ -216,6 +216,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": lambda s, d: R.q17_small_quantity_revenue(
             _read(s, d, "lineitem"), _read(s, d, "part")
         ),
+        "tpch_q9": lambda s, d: R.q9_product_type_profit(
+            _read(s, d, "lineitem"),
+            _read(s, d, "orders"),
+            _read(s, d, "part"),
+            _read(s, d, "supplier"),
+            _read(s, d, "nation"),
+        ),
+        "tpch_q11": lambda s, d: R.q11_important_parts(
+            _read(s, d, "lineitem"),
+            _read(s, d, "supplier"),
+            _read(s, d, "nation"),
+            _read(s, d, "region"),
+        ),
+        "tpch_q20": lambda s, d: R.q20_promo_suppliers(
+            _read(s, d, "lineitem"), _read(s, d, "supplier"), _read(s, d, "part")
+        ),
+        "tpch_q21": lambda s, d: R.q21_waiting_suppliers(
+            _read(s, d, "lineitem"), _read(s, d, "orders"), _read(s, d, "supplier")
+        ),
+        "tpch_q22": lambda s, d: R.q22_global_sales_opportunity(
+            _read(s, d, "customer"), _read(s, d, "orders")
+        ),
         "rollup_returns": lambda s, d: R.rollup_returns(_read(s, d, "lineitem")),
         "setop_customer_segments": lambda s, d: R.setop_customer_segments(
             _read(s, d, "customer"), _read(s, d, "orders")
@@ -293,6 +315,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": R.Q13_SQL,
         "tpch_q15": R.Q15_SQL,
         "tpch_q17": R.Q17_SQL,
+        "tpch_q9": R.Q9_SQL,
+        "tpch_q11": R.q11_sql(),
+        "tpch_q20": R.q20_sql(),
+        "tpch_q21": R.q21_sql(),
+        "tpch_q22": R.q22_sql(),
         "rollup_returns": R.ROLLUP_RETURNS_SQL,
         "setop_customer_segments": R.SETOP_CUSTOMER_SEGMENTS_SQL,
         "docs_token_stats": T.TOKEN_STATS_SQL,

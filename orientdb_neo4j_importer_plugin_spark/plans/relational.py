@@ -412,3 +412,291 @@ WHERE p_brand = 'Brand#3'
     SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
   )
 """
+
+
+def q9_product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted — fixtures have no partsupp, so supply cost
+    is the deterministic proxy 0.6 * p_retailprice): profit by supplier
+    nation and order year for '%bolt%' parts. Part and supplier-nation
+    dims broadcast; the only fact shuffle is lineitem<->orders.
+    Columns: n_name, o_year, sum_profit."""
+    p = part.filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted — shipped value from lineitem stands in for
+    partsupp stock value): parts whose shipped value from EUROPE suppliers
+    exceeds `fraction` of the region's total. The global total is a one-row
+    aggregate broadcast back over the per-part aggregate (no second scan
+    of the grouped data, no correlated rescan).
+    Columns: l_partkey, part_value."""
+    supp7 = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(supp7), F.col("l_suppkey") == supp7.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    total = val.agg(F.sum("raw_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("total_value") * fraction)
+        .select(
+            "l_partkey", F.round("raw_value", 4).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q11_sql(fraction: float = 0.001) -> str:
+    return f"""
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice) AS raw_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(raw_value, 4) AS part_value
+FROM val
+WHERE raw_value > (SELECT sum(raw_value) FROM val) * {fraction}
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q20_promo_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    min_qty: float = 500.0,
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers who shipped more than `min_qty`
+    units of PROMO parts during 1996 — the IN-subquery-on-an-aggregate
+    expressed as grouped agg -> left-semi join into the supplier dim.
+    Columns: s_suppkey, s_name."""
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    qualified = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            qualified, supplier.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q20_sql(min_qty: float = 500.0) -> str:
+    return f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > {min_qty}
+)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted — fixtures lack commit/receipt dates, so
+    "late" is l_shipdate > o_orderdate + late_days): suppliers who were the
+    SOLE late supplier on a multi-supplier finished order. EXISTS -> left
+    semi join (another supplier on the order), NOT EXISTS -> left anti join
+    (another LATE supplier on the order); both non-equi conditions ride the
+    orderkey equi-join. Top 20. Columns: s_name, numwait."""
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole_late = (
+        late.join(
+            other,
+            (late.l_orderkey == other.o2_orderkey)
+            & (late.l_suppkey != other.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == other_late.o3_orderkey)
+            & (F.col("l_suppkey") != other_late.o3_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            sole_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q21_sql(late_days: int = 90) -> str:
+    return f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "2000-06-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted — cntrycode := c_nationkey % 5 instead of
+    phone substring, and "never ordered" means no order since `cutoff`
+    because every fixture customer has SOME order): count + balance of
+    above-average-balance customers in codes (0,1,2) with no recent order.
+    Scalar avg broadcast back; NOT EXISTS -> left anti join on the orders
+    key. Columns: cntrycode, numcust, totacctbal."""
+    base = customer.filter(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2) & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_acctbal", (F.col("c_nationkey") % 5).alias("cntrycode"))
+    avg_bal = base.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        base.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+            ).select(F.col("o_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def q22_sql(cutoff: str = "2000-06-01") -> str:
+    return f"""
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+  FROM customer
+  WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > 0
+)
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+FROM base
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM base)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '{cutoff}'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
