@@ -338,6 +338,22 @@ def apply_changes(
                 F.count(F.lit(1)).alias("k"),
                 F.sum(F.when(F.col(DELETED_COL), 1).otherwise(0)).alias("d"),
             )
+
+            # deferred into the commit's metadata build: runs after the data
+            # write (metrics ready), lands in lineage atomically with the
+            # snapshot — no post-commit in-place rewrite (multi-writer safe)
+            def lineage_fn() -> dict:
+                m = obs.get
+                k, dl = m["k"], m["d"] or 0
+                return {"keys_changed": k, "deletes": dl, "upserts": k - dl}
+        else:
+            counted = winners.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            ).collect()[0]
+            k, dl = counted["k"], counted["d"] or 0
+            lineage.update({"keys_changed": k, "deletes": dl, "upserts": k - dl})
+            lineage_fn = None
         if mode == "mor":
             new_snap = table.commit_delta_append(
                 incoming,
@@ -345,6 +361,7 @@ def apply_changes(
                 batch_id=batch_id,
                 new_schema=schema,
                 lineage=lineage,
+                lineage_fn=lineage_fn,
             )
         else:
             existing = table.read_buckets(
@@ -372,29 +389,19 @@ def apply_changes(
                 batch_id=batch_id,
                 new_schema=schema,
                 lineage=lineage,
+                lineage_fn=lineage_fn,
             )
-        if obs is not None:
-            metrics = obs.get
-            res.keys_changed = metrics["k"]
-            res.deletes = metrics["d"] or 0
+        # counters come back through committed lineage (works even when a
+        # concurrent writer committed the same batch_id first — their entry
+        # carries the same winners); never block on obs.get here: on a
+        # replay no-op the write job may not have run at all
+        last = new_snap.lineage[-1] if new_snap.lineage else {}
+        if last.get("batch_id") == batch_id and "keys_changed" in last:
+            res.keys_changed = last["keys_changed"]
+            res.deletes = last["deletes"]
+            res.upserts = last["upserts"]
         else:
-            counted = winners.agg(
-                F.count(F.lit(1)).alias("k"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
-            ).collect()[0]
-            res.keys_changed = counted["k"]
-            res.deletes = counted["d"] or 0
-        res.upserts = res.keys_changed - res.deletes
-        # stamp winner counts into the just-committed lineage entry
-        if new_snap.lineage and new_snap.lineage[-1].get("batch_id") == batch_id:
-            new_snap.lineage[-1].update(
-                {
-                    "keys_changed": res.keys_changed,
-                    "deletes": res.deletes,
-                    "upserts": res.upserts,
-                }
-            )
-            table._write_snapshot(new_snap, expected_parent=None)
+            res.keys_changed = res.deletes = res.upserts = -1
         res.snapshot_version = new_snap.version
         return res
     finally:

@@ -1,3 +1,3 @@
-from .table import SnapshotTable
+from .table import CommitConflictError, ConcurrentCommitError, SnapshotTable
 
-__all__ = ["SnapshotTable"]
+__all__ = ["SnapshotTable", "ConcurrentCommitError", "CommitConflictError"]

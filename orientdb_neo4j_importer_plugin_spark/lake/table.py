@@ -191,6 +191,15 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table between our read and our commit."""
 
 
+class CommitConflictError(ConcurrentCommitError):
+    """A concurrent commit touched the same buckets as this rewrite — the
+    rewrite was computed against stale base files and cannot be rebased;
+    the caller must recompute (Iceberg validation-failure analogue)."""
+
+
+COMMIT_MAX_RETRIES = 5
+
+
 class SnapshotTable:
     """A CDC-upsert target table. Single logical writer (like the reference's
     pool-size-1 job executor, ``ONeo4jImporterHandler.java:35``), with an
@@ -356,20 +365,62 @@ class SnapshotTable:
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(snap.to_json())
-        os.replace(tmp, path)
-        # optimistic concurrency: pointer must still name the parent we read
+        # optimistic concurrency, two layers:
+        # 1. cheap pre-check — pointer must still name the parent we read
         if expected_parent is not None and os.path.exists(self._pointer_path()):
             with open(self._pointer_path()) as fh:
                 cur = int(fh.read().strip())
             if cur != expected_parent:
-                os.remove(path)
+                os.remove(tmp)
                 raise ConcurrentCommitError(
                     f"expected parent v{expected_parent}, pointer moved to v{cur}"
                 )
+        # 2. atomic claim of the version number — exclusive link fails if
+        #    another writer already committed this version (the put-if-absent
+        #    a real object store would provide), so a lost race can never
+        #    overwrite or delete the winner's snapshot file
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"version v{snap.version} was claimed by a concurrent writer"
+            ) from None
+        os.remove(tmp)
         ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
         with open(ptmp, "w") as fh:
             fh.write(str(snap.version))
         os.replace(ptmp, self._pointer_path())  # atomic swap = the commit
+
+    def _commit_retry(
+        self,
+        build,
+        batch_id: str | None,
+        out_dir: str | None = None,
+        max_retries: int = COMMIT_MAX_RETRIES,
+    ) -> Snapshot:
+        """Multi-writer commit loop (Iceberg commit-retry analogue): the data
+        files are already on disk — only the METADATA is rebased onto
+        whatever snapshot is current at each attempt. `build(parent)` returns
+        the candidate snapshot for that parent, or raises CommitConflictError
+        when the rebase is semantically impossible (overlapping COW buckets).
+        A concurrent commit of the SAME batch_id turns this commit into a
+        replay no-op (the orphaned data files are removed)."""
+        attempt = 0
+        while True:
+            parent = self.current()
+            if batch_id is not None and str(batch_id) in parent.ledger:
+                if out_dir and os.path.isdir(out_dir):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                return parent
+            snap = build(parent)
+            try:
+                self._write_snapshot(snap, expected_parent=parent.version)
+                return snap
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
 
     # -- read path ------------------------------------------------------------
 
@@ -452,19 +503,26 @@ class SnapshotTable:
         batch_id: str | None,
         new_schema: StructType | None = None,
         lineage: dict[str, Any] | None = None,
+        lineage_fn: Any = None,
     ) -> Snapshot:
         """Commit a copy-on-write rewrite of `touched_buckets`.
 
         `new_data` must contain BUCKET_COL and exactly the rows that should
         exist in the touched buckets after the commit; untouched buckets are
         carried forward by file reference (zero IO).
+
+        Concurrency: retried against a moving pointer (metadata-only rebase,
+        the data files are written once). If a concurrent commit touched any
+        of OUR buckets the rewrite is stale -> CommitConflictError, caller
+        recomputes.
         """
-        parent = self.current()
-        if batch_id is not None and str(batch_id) in parent.ledger:
-            return parent  # exactly-once: replay is a no-op
-        schema = new_schema or parent.schema
+        parent0 = self.current()
+        if batch_id is not None and str(batch_id) in parent0.ledger:
+            return parent0  # exactly-once: replay is a no-op
         commit_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.data_dir, f"commit-{parent.version + 1:08d}-{commit_id}")
+        out_dir = os.path.join(
+            self.data_dir, f"commit-{parent0.version + 1:08d}-{commit_id}"
+        )
         # partitionBy(BUCKET_COL) -> one directory per bucket; the bucket id is
         # re-derivable from the key, so it is not stored inside the files.
         (
@@ -472,59 +530,76 @@ class SnapshotTable:
             .mode("error")
             .parquet(out_dir)
         )
-        new_buckets = dict(parent.buckets)
-        per_bucket_counts: dict[str, int] = {}
-        for b in touched_buckets:
-            new_buckets[str(b)] = []
+        bucket_files: dict[str, list[str]] = {str(b): [] for b in touched_buckets}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
                 if not entry.startswith(f"{BUCKET_COL}="):
                     continue
                 b = entry.split("=", 1)[1]
                 bdir = os.path.join(out_dir, entry)
-                files = sorted(
+                bucket_files[b] = sorted(
                     os.path.join(bdir, f)
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
-                new_buckets[b] = files
-        # drop empty bucket entries (bucket fully deleted)
-        new_buckets = {b: fs for b, fs in new_buckets.items() if fs}
-        # a rewrite folds in whatever deltas the touched buckets had
-        new_deltas = {
-            b: fs
-            for b, fs in parent.deltas.items()
-            if int(b) not in set(touched_buckets)
-        }
-        lin = dict(lineage or {})
-        lin.update(
-            {
-                "batch_id": batch_id,
-                "touched_buckets": sorted(touched_buckets),
-                "commit_epoch": time.time(),
+        touched_set = set(touched_buckets)
+
+        def build(parent: Snapshot) -> Snapshot:
+            if parent.version != parent0.version:
+                # rebase validation: our rewrite is only correct if no
+                # intervening commit changed the buckets we rewrote
+                for b in touched_set:
+                    if parent.buckets.get(str(b)) != parent0.buckets.get(str(b)) or \
+                            parent.deltas.get(str(b)) != parent0.deltas.get(str(b)):
+                        raise CommitConflictError(
+                            f"bucket {b} changed by a concurrent commit "
+                            f"(v{parent0.version} -> v{parent.version}); "
+                            "recompute the rewrite"
+                        )
+            new_buckets = dict(parent.buckets)
+            for b, fs in bucket_files.items():
+                new_buckets[b] = fs
+            # drop empty bucket entries (bucket fully deleted)
+            new_buckets = {b: fs for b, fs in new_buckets.items() if fs}
+            # a rewrite folds in whatever deltas the touched buckets had
+            new_deltas = {
+                b: fs
+                for b, fs in parent.deltas.items()
+                if int(b) not in touched_set
             }
-        )
-        ledger = dict(parent.ledger)
-        if batch_id is not None:
-            ledger[str(batch_id)] = parent.version + 1
-        if len(ledger) > LEDGER_HORIZON:
-            for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
-                del ledger[k]
-        snap = Snapshot(
-            version=parent.version + 1,
-            schema_json=schema.json(),
-            num_buckets=parent.num_buckets,
-            partition_key=parent.partition_key,
-            buckets=new_buckets,
-            ledger=ledger,
-            lineage=(parent.lineage + [lin])[-1000:],  # bounded history
-            parent=parent.version,
-            committed_at=time.time(),
-            deltas=new_deltas,
-            key_columns=parent.key_columns,
-        )
-        self._write_snapshot(snap, expected_parent=parent.version)
-        return snap
+            lin = dict(lineage or {})
+            lin.update(
+                {
+                    "batch_id": batch_id,
+                    "touched_buckets": sorted(touched_buckets),
+                    "commit_epoch": time.time(),
+                }
+            )
+            if lineage_fn is not None:
+                # deferred stats (e.g. Observation metrics available only
+                # after the data write ran); must be idempotent across retries
+                lin.update(lineage_fn())
+            ledger = dict(parent.ledger)
+            if batch_id is not None:
+                ledger[str(batch_id)] = parent.version + 1
+            if len(ledger) > LEDGER_HORIZON:
+                for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
+                    del ledger[k]
+            return Snapshot(
+                version=parent.version + 1,
+                schema_json=(new_schema or parent.schema).json(),
+                num_buckets=parent.num_buckets,
+                partition_key=parent.partition_key,
+                buckets=new_buckets,
+                ledger=ledger,
+                lineage=(parent.lineage + [lin])[-1000:],  # bounded history
+                parent=parent.version,
+                committed_at=time.time(),
+                deltas=new_deltas,
+                key_columns=parent.key_columns,
+            )
+
+        return self._commit_retry(build, batch_id, out_dir)
 
     def commit_delta_append(
         self,
@@ -533,6 +608,7 @@ class SnapshotTable:
         batch_id: str | None,
         new_schema: StructType | None = None,
         lineage: dict[str, Any] | None = None,
+        lineage_fn: Any = None,
     ) -> Snapshot:
         """Merge-on-read commit: append winner rows (incl. tombstones) as
         delta files — O(batch) IO regardless of table size. Readers LWW-merge
@@ -542,14 +618,17 @@ class SnapshotTable:
         __lsn/__deleted), at most one row per key WITHIN the batch (the
         apply path's LWW guarantees this; across batches duplicates per key
         are fine — the read merge resolves them).
+
+        Concurrency: a delta append is a pure file addition, so it rebases
+        onto ANY concurrent commit (disjoint or not) — the LWW read-merge
+        orders rows by __lsn, not by commit order.
         """
-        parent = self.current()
-        if batch_id is not None and str(batch_id) in parent.ledger:
-            return parent
-        schema = new_schema or parent.schema
+        parent0 = self.current()
+        if batch_id is not None and str(batch_id) in parent0.ledger:
+            return parent0
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(
-            self.data_dir, f"delta-{parent.version + 1:08d}-{commit_id}"
+            self.data_dir, f"delta-{parent0.version + 1:08d}-{commit_id}"
         )
         # hash write-distribution (Iceberg's write.distribution-mode=hash):
         # without it every shuffle partition opens a file in every bucket dir
@@ -557,80 +636,115 @@ class SnapshotTable:
         # the repartition to few tasks for small batches.
         winners = winners.repartition(F.col(BUCKET_COL))
         winners.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
-        new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
+        added: dict[str, list[str]] = {}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
                 if not entry.startswith(f"{BUCKET_COL}="):
                     continue
                 b = entry.split("=", 1)[1]
                 bdir = os.path.join(out_dir, entry)
-                files = sorted(
+                added[b] = sorted(
                     os.path.join(bdir, f)
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
-                new_deltas.setdefault(b, []).extend(files)
-        lin = dict(lineage or {})
-        lin.update(
-            {
-                "batch_id": batch_id,
-                "mode": "mor",
-                "touched_buckets": sorted(touched_buckets),
-                "commit_epoch": time.time(),
-            }
-        )
-        ledger = dict(parent.ledger)
-        if batch_id is not None:
-            ledger[str(batch_id)] = parent.version + 1
-        if len(ledger) > LEDGER_HORIZON:
-            for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
-                del ledger[k]
-        snap = Snapshot(
-            version=parent.version + 1,
-            schema_json=schema.json(),
-            num_buckets=parent.num_buckets,
-            partition_key=parent.partition_key,
-            buckets=parent.buckets,
-            ledger=ledger,
-            lineage=(parent.lineage + [lin])[-1000:],
-            parent=parent.version,
-            committed_at=time.time(),
-            deltas=new_deltas,
-            key_columns=parent.key_columns,
-        )
-        self._write_snapshot(snap, expected_parent=parent.version)
-        return snap
 
-    def compact(self, bucket_ids: list[int] | None = None) -> Snapshot:
+        def build(parent: Snapshot) -> Snapshot:
+            new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
+            for b, fs in added.items():
+                new_deltas.setdefault(b, []).extend(fs)
+            lin = dict(lineage or {})
+            lin.update(
+                {
+                    "batch_id": batch_id,
+                    "mode": "mor",
+                    "touched_buckets": sorted(touched_buckets),
+                    "commit_epoch": time.time(),
+                }
+            )
+            if lineage_fn is not None:
+                lin.update(lineage_fn())
+            ledger = dict(parent.ledger)
+            if batch_id is not None:
+                ledger[str(batch_id)] = parent.version + 1
+            if len(ledger) > LEDGER_HORIZON:
+                for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
+                    del ledger[k]
+            return Snapshot(
+                version=parent.version + 1,
+                schema_json=(new_schema or parent.schema).json(),
+                num_buckets=parent.num_buckets,
+                partition_key=parent.partition_key,
+                buckets=parent.buckets,
+                ledger=ledger,
+                lineage=(parent.lineage + [lin])[-1000:],
+                parent=parent.version,
+                committed_at=time.time(),
+                deltas=new_deltas,
+                key_columns=parent.key_columns,
+            )
+
+        return self._commit_retry(build, batch_id, out_dir)
+
+    def compact(
+        self, bucket_ids: list[int] | None = None, max_recomputes: int = 2
+    ) -> Snapshot:
         """Fold delta files into base files (Iceberg rewrite_data_files /
-        minor-compaction analogue). Defaults to every bucket with deltas."""
-        snap = self.current()
-        if bucket_ids is None:
-            bucket_ids = sorted(int(b) for b in snap.deltas)
-        bucket_ids = [b for b in bucket_ids if str(b) in snap.deltas]
-        if not bucket_ids:
-            return snap
-        merged = self.read_buckets(bucket_ids, snapshot=snap, raw=True).withColumn(
-            BUCKET_COL, bucket_expr_for(snap)
-        )
-        merged = merged.repartition(max(len(bucket_ids), 1), F.col(BUCKET_COL))
-        return self.commit_bucket_rewrite(
-            merged,
-            touched_buckets=bucket_ids,
-            batch_id=None,
-            lineage={"compaction": True, "buckets": len(bucket_ids)},
+        minor-compaction analogue). Defaults to every bucket with deltas.
+
+        Maintenance loses races by design: if a concurrent writer lands a
+        delta in a bucket mid-compaction, the rewrite is recomputed from the
+        new snapshot (bounded), never committed stale."""
+        want = bucket_ids
+        for _ in range(max_recomputes + 1):
+            snap = self.current()
+            ids = (
+                sorted(int(b) for b in snap.deltas)
+                if want is None
+                else [b for b in want if str(b) in snap.deltas]
+            )
+            if not ids:
+                return snap
+            merged = self.read_buckets(ids, snapshot=snap, raw=True).withColumn(
+                BUCKET_COL, bucket_expr_for(snap)
+            )
+            merged = merged.repartition(max(len(ids), 1), F.col(BUCKET_COL))
+            try:
+                return self.commit_bucket_rewrite(
+                    merged,
+                    touched_buckets=ids,
+                    batch_id=None,
+                    lineage={"compaction": True, "buckets": len(ids)},
+                )
+            except CommitConflictError:
+                continue  # a writer touched a compacting bucket: recompute
+        raise CommitConflictError(
+            f"compaction lost the race {max_recomputes + 1} times; "
+            "table is under sustained concurrent writes to the same buckets"
         )
 
     def evolve_schema(self, incoming: StructType) -> StructType:
         """Reconcile table schema with an incoming batch schema; if new
         columns appear, commit a metadata-only snapshot (ALTER TABLE ADD
-        COLUMNS analogue). Returns the post-evolution schema."""
-        parent = self.current()
-        merged = merge_schemas(parent.schema, incoming)
-        # compare parsed structures: the stored schema_json round-trips
-        # through json.dumps with different key order than StructType.json()
-        if json.loads(merged.json()) == json.loads(parent.schema_json):
-            return parent.schema
+        COLUMNS analogue). Returns the post-evolution schema.
+
+        Metadata-only, so a lost race is resolved by re-merging against the
+        new current schema and retrying."""
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            parent = self.current()
+            merged = merge_schemas(parent.schema, incoming)
+            # compare parsed structures: the stored schema_json round-trips
+            # through json.dumps with different key order than StructType.json()
+            if json.loads(merged.json()) == json.loads(parent.schema_json):
+                return parent.schema
+            try:
+                self._commit_schema(parent, merged)
+                return merged
+            except ConcurrentCommitError:
+                if attempt == COMMIT_MAX_RETRIES:
+                    raise
+
+    def _commit_schema(self, parent: Snapshot, merged: StructType) -> None:
         snap = Snapshot(
             version=parent.version + 1,
             schema_json=merged.json(),
@@ -656,7 +770,6 @@ class SnapshotTable:
             key_columns=parent.key_columns,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
-        return merged
 
     # -- quarantine (dead-letter) side table -----------------------------------
     # Reference analogue: per-record error isolation — rollback, log, continue

@@ -1,0 +1,173 @@
+"""Multi-writer commit retry (Iceberg commit-retry analogue).
+
+Two SnapshotTable handles on the same root simulate two writers. The race is
+forced deterministically: writer A's `_write_snapshot` is wrapped so that,
+on its first invocation, writer B commits first — guaranteeing the pointer
+moves between A's snapshot read and A's swap, which is exactly the window
+the retry loop covers.
+"""
+
+import pytest
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed, write_feed_chunks
+from orientdb_neo4j_importer_plugin_spark.lake import (
+    CommitConflictError,
+    SnapshotTable,
+)
+from orientdb_neo4j_importer_plugin_spark.oracle import (
+    reduce_events_duckdb,
+    table_matches_oracle,
+)
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+OUT = ["conv_id", "turn_idx", "role", "text", "ts"]
+
+
+def state(table):
+    return [
+        tuple(r)
+        for r in table.read().orderBy("conv_id", "turn_idx").select(*OUT).collect()
+    ]
+
+
+def setup(spark, tmp_path):
+    feed = gen_feed(
+        spark, n_convs=8, turns_per_conv=5, updates_per_key=1, delete_every=9
+    )
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(feed, feed_dir)
+    root = str(tmp_path / "table")
+    SnapshotTable.create(spark, root, TRANSCRIPTS_V1, "conv_id", num_buckets=8)
+    full = spark.read.parquet(feed_dir)
+    return full, feed_dir, root
+
+
+def interleave(writer_a, commit_b):
+    """Arrange for `commit_b()` to land between writer A's snapshot read and
+    pointer swap (fires once, then restores the original path)."""
+    original = writer_a._write_snapshot
+    fired = {"done": False}
+
+    def racy(snap, expected_parent):
+        if not fired["done"]:
+            fired["done"] = True
+            commit_b()
+        return original(snap, expected_parent)
+
+    writer_a._write_snapshot = racy
+    return fired
+
+
+def test_mor_append_rebases_onto_concurrent_commit(spark, tmp_path):
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    mid = 20
+    fired = interleave(
+        a, lambda: apply_changes(full.filter(full.lsn >= mid), b, batch_id="B", mode="mor")
+    )
+    apply_changes(full.filter(full.lsn < mid), a, batch_id="A", mode="mor")
+    assert fired["done"], "the race was never exercised"
+    snap = a.current()
+    # both commits present: B landed first, A rebased on top
+    assert snap.ledger["B"] < snap.ledger["A"]
+    ok, msg = table_matches_oracle(
+        state(a),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
+
+
+def test_cow_disjoint_buckets_rebase(spark, tmp_path):
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    # partition the feed into bucket-disjoint conv sets (COW touches only
+    # the buckets its keys hash to), so the rebase-success path is exercised
+    # deterministically
+    from orientdb_neo4j_importer_plugin_spark.lake.table import bucket_expr
+
+    nb = a.current().num_buckets
+    by_bucket = full.select(
+        "conv_id", bucket_expr("conv_id", nb).alias("b")
+    ).distinct().collect()
+    half = sorted({r.conv_id for r in by_bucket if r.b < nb // 2})
+    assert half and len(half) < len({r.conv_id for r in by_bucket})
+    fa = full.filter(full.conv_id.isin(half))
+    fb = full.filter(~full.conv_id.isin(half))
+    fired = interleave(a, lambda: apply_changes(fb, b, batch_id="B"))
+    apply_changes(fa, a, batch_id="A")  # must rebase, not conflict
+    assert fired["done"]
+    final = a.current()
+    assert "A" in final.ledger and "B" in final.ledger
+    assert final.ledger["B"] < final.ledger["A"]
+    ok, msg = table_matches_oracle(
+        state(a),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
+
+
+def test_cow_overlapping_buckets_conflict(spark, tmp_path):
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    # same rows on both writers -> same buckets -> guaranteed overlap
+    fired = interleave(a, lambda: apply_changes(full, b, batch_id="B"))
+    with pytest.raises(CommitConflictError):
+        apply_changes(full, a, batch_id="A")
+    assert fired["done"]
+    # B's commit is intact; A left no snapshot
+    assert "B" in a.current().ledger and "A" not in a.current().ledger
+
+
+def test_same_batch_id_race_is_replay_noop(spark, tmp_path):
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    fired = interleave(a, lambda: apply_changes(full, b, batch_id="X", mode="mor"))
+    apply_changes(full, a, batch_id="X", mode="mor")
+    assert fired["done"]
+    snap = a.current()
+    # exactly one committed version for batch X (B's); A became a no-op
+    assert snap.ledger["X"] == 1
+    assert snap.version == 1
+
+
+def test_compaction_recomputes_after_concurrent_delta(spark, tmp_path):
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    mid = 20
+    apply_changes(full.filter(full.lsn < mid), a, batch_id="base", mode="mor")
+    # B lands a delta in the same buckets while A is mid-compaction
+    fired = interleave(
+        a,
+        lambda: apply_changes(
+            full.filter(full.lsn >= mid), b, batch_id="late", mode="mor"
+        ),
+    )
+    a.compact()
+    assert fired["done"]
+    # nothing lost: final state equals the full-feed oracle
+    ok, msg = table_matches_oracle(
+        state(a),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
