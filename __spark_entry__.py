@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": lambda s, d: V.lsh_topk(
             _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
         ),
+        "emb_lsh_topk_multi": lambda s, d: V.lsh_topk_multi(
+            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+        ),
         "emb_centroid_by_label": lambda s, d: V.centroid_by_label_str(
             _read(s, d, "embeddings"), dim=EMB_DIM
         ),
@@ -341,6 +344,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dup_pairs": V.near_dup_pairs_sql(dim=EMB_DIM),
         "emb_lsh_topk": V.lsh_topk_sql(EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM),
+        "emb_lsh_topk_multi": V.lsh_topk_multi_sql(
+            EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+        ),
         "emb_centroid_by_label": V.centroid_by_label_str_sql(dim=EMB_DIM),
         "events_props_parse": S.PROPS_PARSE_SQL,
         "events_first_value": S.FIRST_VALUE_SAMPLE_SQL,

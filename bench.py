@@ -150,12 +150,24 @@ def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
             for r in V.lsh_topk(emb, qids, k, dim=dim, planes=planes).collect()
         }
         topk_recall[str(planes)] = round(len(got & brute) / max(len(brute), 1), 3)
+    multi_recall = {}
+    for tables, planes, probes in ((8, 8, 1), (8, 4, 1), (4, 8, 1)):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in V.lsh_topk_multi(
+                emb, qids, k, dim=dim, planes=planes, tables=tables, probes=probes
+            ).collect()
+        }
+        multi_recall[f"t{tables}_p{planes}_probe{probes}"] = round(
+            len(got & brute) / max(len(brute), 1), 3
+        )
     # near-dup pair recall on a bounded deterministic subset (exact is O(n^2))
     sub = emb.filter(F.col("vec_id") < 1000)
     exact = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(sub).collect()}
     lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(sub, dim=dim).collect()}
     return {
         "lsh_topk_recall_at_5_by_planes": topk_recall,
+        "lsh_topk_multi_recall_at_5": multi_recall,
         "near_dup_pair_recall": round(len(lsh & exact) / max(len(exact), 1), 3),
         "near_dup_pairs_exact": len(exact),
     }

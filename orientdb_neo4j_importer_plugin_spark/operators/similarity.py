@@ -302,6 +302,145 @@ ORDER BY query_id, rank
 """
 
 
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 128,
+    planes: int = LSH_PLANES,
+    tables: int = 8,
+    probes: int = 1,
+) -> DataFrame:
+    """Multi-table + multiprobe hyperplane-LSH top-k — the production ANN
+    path (single-table `lsh_topk` recall collapses in low-similarity
+    regimes; see BENCH/BASELINE.md). A neighbor is a candidate if it shares
+    a bucket with the query in ANY of `tables` independent plane families;
+    with probes=1 each query additionally probes every Hamming-1 bucket
+    (one plane flipped) — recall per table rises from p^planes to
+    p^planes + planes*p^(planes-1)*(1-p) at (1+planes)/2^planes of the
+    corpus scanned.
+
+    Scale shape: the corpus is bucketed ONCE per table (one Arrow-batched
+    matmul, posexplode to (table, bucket) rows); only the tiny query side
+    explodes by the probe count and broadcasts. Candidates dedup on the id
+    pair, then exact cosine re-ranks — identical output contract to
+    brute_force_topk. Columns: query_id, rank, neighbor_id, cosine.
+    """
+    buckets_udf = lsh_buckets_vectorized(dim, tables, planes)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(buckets_udf(F.col("embedding"))).alias("tbl", "bkt"),
+    )
+    deltas = [0] + ([1 << b for b in range(planes)] if probes >= 1 else [])
+    probe_buckets = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(buckets_udf(F.col("embedding"))).alias("tbl", "qbkt"),
+        )
+        .select(
+            "query_id",
+            "tbl",
+            F.explode(F.array(*[F.lit(d) for d in deltas])).alias("delta"),
+            "qbkt",
+        )
+        .select(
+            "query_id",
+            "tbl",
+            F.col("qbkt").bitwiseXOR(F.col("delta")).alias("bkt"),
+        )
+    )
+    cand = (
+        corpus.join(F.broadcast(probe_buckets), on=["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_emb = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_emb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = cosine_vectorized()
+    scored = (
+        cand.join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_topk_multi_sql(
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    tables: int = 8,
+    probes: int = 1,
+) -> str:
+    """DuckDB twin of lsh_topk_multi: same plane families, same probe set."""
+    ids = ", ".join(str(i) for i in query_ids)
+    deltas = [0] + ([1 << b for b in range(planes)] if probes >= 1 else [])
+    dlist = ", ".join(str(d) for d in deltas)
+    table_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{lsh_bucket_sql('embeddings', dim, planes, plane_offset=t * planes)} AS bkt "
+        "FROM embeddings"
+        for t in range(tables)
+    )
+    dot = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nq = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nc = " + ".join(
+        f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(c.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH buckets AS ({table_selects}),
+probes AS (
+  SELECT b.vec_id AS query_id, b.tbl, xor(b.bkt, d.delta) AS bkt
+  FROM buckets b CROSS JOIN (SELECT unnest([{dlist}]) AS delta) d
+  WHERE b.vec_id IN ({ids})
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM probes p JOIN buckets b ON p.tbl = b.tbl AND p.bkt = b.bkt
+  WHERE b.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(({dot}) / (sqrt({nq}) * sqrt({nc})), {ROUND_DP}) AS cosine
+  FROM cand
+  JOIN embeddings q ON cand.query_id = q.vec_id
+  JOIN embeddings c ON cand.neighbor_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # Multi-table LSH for near-dup candidate generation: more tables with fewer
 # planes each trades bucket selectivity for recall (pair recall at cosine c:
 # 1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi). Defaults favor recall
