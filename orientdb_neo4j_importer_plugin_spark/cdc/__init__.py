@@ -1,5 +1,6 @@
 from .apply import ApplyResult, apply_changes
 from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
+from .replay import replay_quarantine
 
 __all__ = [
     "ApplyResult",
@@ -7,4 +8,5 @@ __all__ = [
     "lww_resolve",
     "lww_resolve_salted",
     "lww_resolve_window",
+    "replay_quarantine",
 ]

@@ -799,6 +799,60 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(qdir)
 
+    def metrics(self) -> DataFrame:
+        """Per-commit metrics as a queryable DataFrame — snapshot-level
+        observability derived from lineage (events_per_sec uses the gap to
+        the previous commit's epoch: sustained-ingest rate, not apply wall).
+        Lineage history is bounded (1000 entries), so this is driver-side
+        metadata, not data movement.
+
+        Columns: version-ordered seq, batch_id, mode, events_in,
+        keys_changed, deletes, upserts, filtered_out, quarantined,
+        touched_buckets, commit_epoch, events_per_sec, raw (full entry JSON).
+        """
+        snap = self.current()
+        rows = []
+        prev_epoch: float | None = None
+        for i, lin in enumerate(snap.lineage):
+            epoch = lin.get("commit_epoch")
+            ev = lin.get("events_in")
+            rate = None
+            if (
+                prev_epoch is not None
+                and epoch is not None
+                and isinstance(ev, int)
+                and ev > 0
+                and epoch > prev_epoch
+            ):
+                rate = ev / (epoch - prev_epoch)
+            tb = lin.get("touched_buckets")
+            rows.append(
+                (
+                    i,
+                    str(lin["batch_id"]) if lin.get("batch_id") is not None else None,
+                    lin.get("mode", "cow" if "touched_buckets" in lin else None),
+                    lin.get("events_in"),
+                    lin.get("keys_changed"),
+                    lin.get("deletes"),
+                    lin.get("upserts"),
+                    lin.get("filtered_out"),
+                    lin.get("quarantined"),
+                    len(tb) if isinstance(tb, list) else None,
+                    float(epoch) if epoch is not None else None,
+                    rate,
+                    json.dumps(lin),
+                )
+            )
+            if epoch is not None:
+                prev_epoch = epoch
+        schema = (
+            "seq int, batch_id string, mode string, events_in long, "
+            "keys_changed long, deletes long, upserts long, filtered_out long, "
+            "quarantined long, touched_buckets int, commit_epoch double, "
+            "events_per_sec double, raw string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # -- maintenance ----------------------------------------------------------
 
     def vacuum_tombstones(self, below_lsn: int) -> Snapshot:

@@ -209,3 +209,24 @@ def test_overwrite_flag(spark, tmp_path):
     with pytest.raises(FileExistsError):
         SnapshotTable.create(spark, root, TRANSCRIPTS, "conv_id")
     SnapshotTable.create(spark, root, TRANSCRIPTS, "conv_id", overwrite=True)
+
+
+def test_metrics_table(spark, tmp_path):
+    """Snapshot-level metrics: one row per commit, counters from lineage,
+    events_per_sec derived from commit-epoch gaps."""
+    from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+    from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=4, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "m"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(feed.filter("lsn < 20"), table, batch_id="m0", mode="mor")
+    apply_changes(feed.filter("lsn >= 20"), table, batch_id="m1", mode="mor")
+    m = table.metrics().orderBy("seq").collect()
+    assert [r.batch_id for r in m] == ["m0", "m1"]
+    assert all(r.mode == "mor" for r in m)
+    assert all(r.events_in > 0 and r.keys_changed >= 0 for r in m)
+    assert m[1].events_per_sec is None or m[1].events_per_sec > 0
+    assert '"batch_id": "m1"' in m[1].raw

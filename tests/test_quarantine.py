@@ -176,3 +176,71 @@ def test_custom_key_columns_persisted_and_used(spark, tmp_path):
     apply_changes(feed2, table, batch_id="b2", mode="mor")
     got = {(r.k, r.v) for r in table.read().collect()}
     assert got == {("a", "v2"), ("b", "v1")}
+
+
+# --- quarantine replay (fix-and-reinject loop) ------------------------------
+
+
+def test_replay_quarantine_with_repair(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.cdc import replay_quarantine
+
+    table = _mk_table(spark, tmp_path, "qr")
+    rows = [
+        (1, "I", "c1", 0, "user", "good", None, TS, 0),
+        (2, "X", "c1", 1, "user", "fixable op", None, TS, 0),   # bad_op
+        (3, "I", None, 2, "user", "unfixable", None, TS, 0),    # null_key
+    ]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert table.read_quarantine().count() == 2
+
+    # repair hook: the upstream bug mapped inserts to 'X' — remap and replay
+    def fix(df):
+        return df.withColumn(
+            "op", F.when(F.col("op") == "X", "I").otherwise(F.col("op"))
+        )
+
+    res = replay_quarantine(table, transform=fix, batch_id="replay-1")
+    assert res is not None
+    assert res.events_in == 1      # the fixed row applied
+    assert res.quarantined == 1    # the null-key row is still poison
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == {("c1", 0), ("c1", 1)}
+    # purge removed the replayed source rows; only the survivor remains,
+    # under the replay batch id
+    q = table.read_quarantine().collect()
+    assert len(q) == 1
+    assert q[0].batch_id == "replay-1"
+    assert q[0].reason == "null_key:conv_id"
+    # original lexical values survived the JSON round-trip
+    assert "unfixable" in q[0].event_json
+    # lineage records provenance of the replay
+    lin = table.current().lineage[-1]
+    assert lin["batch_id"] == "replay-1" and lin["replayed_from"] == ["b0"]
+
+
+def test_replay_preserves_uncastable_originals(spark, tmp_path):
+    """The all-string re-parse must re-poison uncastable values instead of
+    silently nulling them (the failure mode of a typed from_json)."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import replay_quarantine
+
+    table = _mk_table(spark, tmp_path, "qu")
+    schema = "lsn long, op string, conv_id string, turn_idx string, role string, text string, tool string, ts timestamp, source_part int"
+    rows = [(1, "I", "c1", "boom", "user", "poison", None, TS, 0)]
+    apply_changes(
+        spark.createDataFrame(rows, schema), table, batch_id="b0", quarantine=True
+    )
+    res = replay_quarantine(table, batch_id="replay-u")  # no repair
+    assert res.quarantined == 1 and res.events_in == 0
+    q = table.read_quarantine().collect()
+    assert len(q) == 1 and q[0].batch_id == "replay-u"
+    assert q[0].reason == "uncastable:turn_idx"
+    assert table.read().count() == 0
+
+
+def test_replay_empty_selection_is_noop(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.cdc import replay_quarantine
+
+    table = _mk_table(spark, tmp_path, "qe")
+    assert replay_quarantine(table) is None
+    assert replay_quarantine(table, batch_ids=["nope"]) is None

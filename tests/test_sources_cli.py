@@ -102,3 +102,55 @@ def test_cli_end_to_end(spark, tmp_path):
 
     t = SnapshotTable.load(spark, table_root)
     assert t.read().count() == 15
+
+
+# --- JSON-lines WAL source with schema inference -----------------------------
+
+
+def test_jsonl_feed_inference_and_apply(spark, tmp_path):
+    """infer_feed_schema: sample-one-value typing (lsn pinned LONG, op
+    STRING, ints LONG, temporal stays STRING), and the inferred-schema read
+    converges to the same table state as the parquet feed."""
+    import json as _json
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+    from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+    from orientdb_neo4j_importer_plugin_spark.sources.feed import (
+        infer_feed_schema,
+        read_feed,
+    )
+
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=4, updates_per_key=1)
+    rows = [r.asDict() for r in feed.collect()]
+    jdir = tmp_path / "jsonl"
+    os.makedirs(jdir)
+    half = len(rows) // 2
+    for name, chunk in [("a.jsonl", rows[:half]), ("b.jsonl", rows[half:])]:
+        with open(jdir / name, "w") as fh:
+            for r in chunk:
+                r = dict(r)
+                r["ts"] = r["ts"].isoformat()
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = infer_feed_schema(spark, str(jdir))
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert by_name["lsn"] == "bigint" and by_name["op"] == "string"
+    assert by_name["turn_idx"] == "bigint"  # JSON int -> LONG
+    assert by_name["ts"] == "string"  # ISO string stays STRING (cast at apply)
+
+    jfeed = read_feed(spark, str(jdir), schema=None, fmt="jsonl")
+    t_json = SnapshotTable.create(
+        spark, str(tmp_path / "tj"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    t_parq = SnapshotTable.create(
+        spark, str(tmp_path / "tp"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(jfeed, t_json, batch_id="j0")
+    apply_changes(feed, t_parq, batch_id="p0")
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    a = [tuple(r) for r in t_json.read().orderBy(*cols[:2]).select(*cols).collect()]
+    b = [tuple(r) for r in t_parq.read().orderBy(*cols[:2]).select(*cols).collect()]
+    assert a == b and len(a) > 0
