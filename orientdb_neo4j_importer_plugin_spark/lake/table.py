@@ -599,7 +599,13 @@ class SnapshotTable:
                 key_columns=parent.key_columns,
             )
 
-        return self._commit_retry(build, batch_id, out_dir)
+        try:
+            return self._commit_retry(build, batch_id, out_dir)
+        except CommitConflictError:
+            # the rewrite is stale — its files can never be committed;
+            # remove them so a recompute doesn't leave orphans behind
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     def commit_delta_append(
         self,
@@ -918,4 +924,33 @@ class SnapshotTable:
                     os.remove(m)
                     self._manifest_cache.pop(m, None)
             os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        return removed
+
+    def vacuum_orphans(self, older_than_sec: float = 3600.0) -> int:
+        """Remove data files referenced by NO retained snapshot — the debris
+        of crashed writers (files written, process died before the pointer
+        swap). Iceberg ``remove_orphan_files`` analogue. The age guard keeps
+        files younger than `older_than_sec` so an IN-FLIGHT commit's freshly
+        written files are never swept; run it on the maintenance schedule
+        with the default or larger. Returns files removed.
+        """
+        cutoff = time.time() - older_than_sec
+        live: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                live.update(self.snapshot_at(int(f[1:9])).all_files())
+        removed = 0
+        for dirpath, dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                path = os.path.join(dirpath, fn)
+                if path in live:
+                    continue
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
+                except FileNotFoundError:
+                    continue
+            if dirpath != self.data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
         return removed

@@ -171,3 +171,48 @@ def test_compaction_recomputes_after_concurrent_delta(spark, tmp_path):
         ],
     )
     assert ok, msg
+
+
+def test_cow_conflict_removes_stale_files(spark, tmp_path):
+    """A conflicted COW rewrite must not leave its (uncommittable) data
+    files behind."""
+    import glob
+    import os
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    fired = interleave(a, lambda: apply_changes(full, b, batch_id="B"))
+    with pytest.raises(CommitConflictError):
+        apply_changes(full, a, batch_id="A")
+    assert fired["done"]
+    live = set(a.current().all_files())
+    on_disk = {
+        p
+        for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert on_disk == live  # no orphaned commit dirs
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    """Files written by a crashed writer (no snapshot references them) are
+    swept once old enough; live files and young files survive."""
+    import os
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    t = SnapshotTable.load(spark, root)
+    apply_changes(full, t, batch_id="b0", mode="mor")
+    # simulate a crashed writer: a data dir with no snapshot reference
+    ghost = os.path.join(root, "data", "delta-99999999-dead")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    n_live = len(t.current().all_files())
+    assert t.vacuum_orphans(older_than_sec=3600) == 0  # too young to sweep
+    old = os.path.join(ghost, "part-0.parquet")
+    os.utime(old, (0, 0))
+    assert t.vacuum_orphans(older_than_sec=3600) == 1
+    assert not os.path.exists(ghost)  # empty dir pruned
+    assert len(t.current().all_files()) == n_live
+    assert t.read().count() > 0  # table still reads
