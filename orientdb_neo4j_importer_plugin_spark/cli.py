@@ -48,8 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quarantine", action="store_true",
                    help="divert poison records to the dead-letter table "
                         "instead of failing the batch")
-    p.add_argument("--schema", choices=["v1", "v2"], default="v2",
-                   help="event schema version (v1 lacks the tool column)")
+    p.add_argument("--schema", choices=["v1", "v2", "infer"], default="v2",
+                   help="event schema version (v1 lacks the tool column; "
+                        "'infer' samples a jsonl feed)")
+    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="feed file format (jsonl supports --schema infer)")
     p.add_argument("--status-path", default=None, help="status JSON path")
     p.add_argument("--once", action="store_true", default=True,
                    help="process available data then exit (availableNow)")
@@ -64,8 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     check_feed_dir(args.feed_dir)
     spark = get_spark(master=args.master, app_name="cdc-ingest")
     spark.sparkContext.setLogLevel(args.log_level)
-    table_schema = TRANSCRIPTS if args.schema == "v2" else TRANSCRIPTS_V1
-    event_schema = CHANGE_EVENT if args.schema == "v2" else CHANGE_EVENT_V1
+    if args.schema == "infer":
+        if args.format != "jsonl":
+            raise SystemExit("--schema infer requires --format jsonl")
+        table_schema, event_schema = TRANSCRIPTS, None
+    else:
+        table_schema = TRANSCRIPTS if args.schema == "v2" else TRANSCRIPTS_V1
+        event_schema = CHANGE_EVENT if args.schema == "v2" else CHANGE_EVENT_V1
     if SnapshotTable.exists(args.table) and not args.overwrite:
         table = SnapshotTable.load(spark, args.table)
         log.info("loaded table %s at v%d", args.table, table.current().version)
@@ -87,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         compact_every=args.compact_every,
         quarantine=args.quarantine,
+        feed_format=args.format,
     )
     metrics = runner.run_to_completion()
     print(json.dumps(metrics.to_json()))

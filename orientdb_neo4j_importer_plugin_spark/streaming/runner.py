@@ -133,6 +133,7 @@ class CdcStreamRunner:
         mode: str = "cow",
         compact_every: int = 0,
         quarantine: bool = False,
+        feed_format: str = "parquet",
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -148,6 +149,9 @@ class CdcStreamRunner:
         # committed batches — the sustained-throughput configuration.
         self.mode = mode
         self.compact_every = compact_every
+        # "parquet" (normal WAL) or "json"/"jsonl" (text WAL; pass
+        # event_schema=None to infer it from a bounded sample)
+        self.feed_format = feed_format
         # divert poison records to the table's dead-letter side table instead
         # of failing the micro-batch (reference: Migrator:274-283,585-594)
         self.quarantine = quarantine
@@ -177,10 +181,18 @@ class CdcStreamRunner:
     # -- source -------------------------------------------------------------
 
     def _source(self) -> DataFrame:
-        reader = self.spark.readStream.schema(self.event_schema)
+        schema = self.event_schema
+        if schema is None and self.feed_format in ("json", "jsonl"):
+            from ..sources.feed import infer_feed_schema
+
+            schema = infer_feed_schema(self.spark, self.feed_dir)
+        reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        df = reader.parquet(self.feed_dir)
+        if self.feed_format in ("json", "jsonl"):
+            df = reader.json(self.feed_dir)
+        else:
+            df = reader.parquet(self.feed_dir)
         if self.stream_dedup_watermark:
             df = df.withWatermark("ts", self.stream_dedup_watermark)
             df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "lsn"])

@@ -154,3 +154,49 @@ def test_jsonl_feed_inference_and_apply(spark, tmp_path):
     a = [tuple(r) for r in t_json.read().orderBy(*cols[:2]).select(*cols).collect()]
     b = [tuple(r) for r in t_parq.read().orderBy(*cols[:2]).select(*cols).collect()]
     assert a == b and len(a) > 0
+
+
+def test_cli_jsonl_inferred_schema(spark, tmp_path):
+    """CLI end-to-end on a JSONL WAL with --schema infer: the stream reads
+    through the sampled schema and converges to the same state as the
+    typed parquet path."""
+    import json as _json
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+
+    feed = gen_feed(spark, n_convs=3, turns_per_conv=5, updates_per_key=1)
+    jdir = tmp_path / "jsonl"
+    os.makedirs(jdir)
+    with open(jdir / "wal.jsonl", "w") as fh:
+        for r in feed.collect():
+            d = r.asDict()
+            d["ts"] = d["ts"].isoformat()
+            fh.write(_json.dumps(d) + "\n")
+    table_root = str(tmp_path / "table")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "orientdb_neo4j_importer_plugin_spark.cli",
+            "--feed-dir", str(jdir),
+            "--table", table_root,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--master", "local[4]",
+            "--format", "jsonl",
+            "--schema", "infer",
+            "--mode", "mor",
+            "--overwrite",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["status"] == "FINISHED"
+    assert metrics["events_in"] == feed.count()
+    table = SnapshotTable.load(spark, table_root)
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert len(got) > 0
