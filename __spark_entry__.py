@@ -28,6 +28,7 @@ from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
 from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
+from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
 from orientdb_neo4j_importer_plugin_spark.operators import textstats as T
 from orientdb_neo4j_importer_plugin_spark.plans import relational as R
 from orientdb_neo4j_importer_plugin_spark.plans import tpch as Q
@@ -268,6 +269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "events")
         ),
         "events_span_summary": lambda s, d: S.span_summary(_read(s, d, "events")),
+        "events_asof_join": lambda s, d: TP.purchase_asof_click(
+            _read(s, d, "events")
+        ),
+        "events_value_quantiles": lambda s, d: TP.value_quantiles(
+            _read(s, d, "events")
+        ),
         "docs_contains_probe": lambda s, d: T.contains_probe(
             _read(s, d, "documents")
         ),
@@ -351,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_parse": S.PROPS_PARSE_SQL,
         "events_first_value": S.FIRST_VALUE_SAMPLE_SQL,
         "events_span_summary": S.SPAN_SUMMARY_SQL,
+        "events_asof_join": TP.PURCHASE_ASOF_CLICK_SQL,
+        "events_value_quantiles": TP.VALUE_QUANTILES_SQL,
         "docs_contains_probe": T.contains_probe_sql(),
         "docs_normalize": (
             "SELECT doc_id, "

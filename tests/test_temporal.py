@@ -1,0 +1,58 @@
+"""As-of join semantics: equal-ts tie goes to the right row (ASOF >=),
+no-match rows null-fill, and the latest (not first) preceding right wins."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from orientdb_neo4j_importer_plugin_spark.operators.temporal import asof_join
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10), 100.0),  # after r@5 and r@10 -> r@10 (equal ts wins)
+            (2, "u1", _ts(7), 200.0),   # between r@5 and r@10 -> r@5
+            (3, "u1", _ts(1), 300.0),   # before any right -> null
+            (4, "u2", _ts(30), 400.0),  # different key, r@20 -> 20.0
+            (5, "u3", _ts(30), 500.0),  # key with no right rows -> null
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 5.0),
+            ("u1", _ts(10), 10.0),
+            ("u1", _ts(15), 15.0),  # future of every left u1 row
+            ("u2", _ts(20), 20.0),
+        ],
+        "user_id string, ts timestamp, click_value double",
+    )
+    out = {
+        r.event_id: r.last_click
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_value="click_value", out_name="last_click",
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 5.0, 3: None, 4: 20.0, 5: None}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(1), 1.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(0), 9.0)], "user_id string, ts timestamp, click_value double"
+    )
+    plan = asof_join(
+        left, right, key="user_id", ts="ts", right_value="click_value"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the union+window form must not degrade into any join operator
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
