@@ -195,8 +195,12 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "emb_topk_cosine",
         "emb_near_dup_pairs",
+        "emb_lsh_topk_multi",
         "tpch_q10",
+        "tpch_q9",
+        "tpch_q21",
         "rollup_returns",
+        "events_asof_join",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
