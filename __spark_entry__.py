@@ -26,6 +26,7 @@ from orientdb_neo4j_importer_plugin_spark.functions.hashes import (
 from orientdb_neo4j_importer_plugin_spark.functions import normalize as N
 from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
 from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
+from orientdb_neo4j_importer_plugin_spark.operators import sampling as SM
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
@@ -248,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": lambda s, d: T.quality_score(_read(s, d, "documents")),
         "docs_lang_id": lambda s, d: T.lang_id(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
+        "docs_stratified_sample": lambda s, d: SM.stratified_sample(
+            _read(s, d, "documents")
+        ),
+        "docs_train_split": lambda s, d: SM.train_split(_read(s, d, "documents")),
         # dedup suite
         "dedup_exact_groups": lambda s, d: D.exact_dedup_groups(
             _read(s, d, "documents")
@@ -336,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_score": T.QUALITY_SCORE_SQL,
         "docs_lang_id": T.LANG_ID_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
+        "docs_stratified_sample": SM.stratified_sample_sql(),
+        "docs_train_split": SM.train_split_sql(),
         "dedup_exact_groups": f"""
             SELECT {h64_sql("text")} AS content_hash,
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id

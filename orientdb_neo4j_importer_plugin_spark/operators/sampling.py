@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+No RNG anywhere: membership is a pure function of the record key via the
+portable md5-derived hash (`functions.hashes.h64`), so a sample is
+- reproducible across runs, engines and cluster sizes (the DuckDB twin
+  computes the identical membership),
+- stable under re-partitioning and retries (unlike `df.sample`, whose
+  output depends on partition layout even with a fixed seed),
+- incremental-friendly: new records join the same strata/splits without
+  reshuffling old ones — exactly what a 100 TB corpus refreshed daily needs.
+
+Both operators are stateless row-local filters: no shuffle, fully
+codegen'd, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h64, h64_sql
+
+# hash-bucket resolution for rates/splits (1 bp = 0.01%)
+RESOLUTION = 10_000
+
+
+def _bucket(key: Column) -> Column:
+    return F.pmod(h64(key.cast("string")), F.lit(RESOLUTION))
+
+
+def _bucket_sql(key_expr: str) -> str:
+    # DuckDB % can return negatives; h64 is non-negative (60-bit), plain %
+    return f"({h64_sql(f'CAST({key_expr} AS VARCHAR)')} % {RESOLUTION})"
+
+
+LENGTH_STRATA = [(200, "short"), (400, "mid")]  # else "long"
+DEFAULT_RATES = {"short": 0.25, "mid": 0.5, "long": 1.0}
+
+
+def stratified_sample(
+    documents: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Per-stratum downsampling by text-length bucket — the data-mixing
+    primitive (e.g. keep all long documents, thin out boilerplate-short
+    ones). Keep iff hash-bucket(doc_id) < rate * RESOLUTION.
+    Columns: doc_id, stratum."""
+    rates = rates or DEFAULT_RATES
+    ln = F.length("text")
+    stratum = F.lit("long")
+    for cut, name in reversed(LENGTH_STRATA):
+        stratum = F.when(ln < cut, F.lit(name)).otherwise(stratum)
+    rate = F.lit(None).cast("int")
+    for name, r in rates.items():
+        rate = F.when(F.lit(name) == stratum, F.lit(int(r * RESOLUTION))).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id", stratum.alias("stratum"), _bucket(F.col("doc_id")).alias("__b"), rate.alias("__r")
+        )
+        .filter(F.col("__b") < F.col("__r"))
+        .select("doc_id", "stratum")
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample_sql(rates: dict[str, float] | None = None) -> str:
+    rates = rates or DEFAULT_RATES
+    cuts = " ".join(
+        f"WHEN length(text) < {cut} THEN '{name}'" for cut, name in LENGTH_STRATA
+    )
+    rate_cases = " ".join(
+        f"WHEN '{name}' THEN {int(r * RESOLUTION)}" for name, r in rates.items()
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE {cuts} ELSE 'long' END AS stratum,
+         {_bucket_sql("doc_id")} AS b
+  FROM documents
+)
+SELECT doc_id, stratum
+FROM s
+WHERE b < CASE stratum {rate_cases} END
+ORDER BY doc_id
+"""
+
+
+SPLITS = [("train", 9_000), ("val", 9_500)]  # bp cut points; else "test"
+
+
+def train_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 by hash range) —
+    stable per record forever; a document never migrates between splits as
+    the corpus grows. Columns: doc_id, split."""
+    b = _bucket(F.col("doc_id"))
+    split = F.lit("test")
+    for name, cut in reversed(SPLITS):
+        split = F.when(b < cut, F.lit(name)).otherwise(split)
+    return documents.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+def train_split_sql() -> str:
+    cases = " ".join(f"WHEN b < {cut} THEN '{name}'" for name, cut in SPLITS)
+    return f"""
+SELECT doc_id, CASE {cases} ELSE 'test' END AS split
+FROM (SELECT doc_id, {_bucket_sql("doc_id")} AS b FROM documents) s
+ORDER BY doc_id
+"""

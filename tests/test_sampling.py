@@ -1,0 +1,51 @@
+"""Deterministic sampling invariants: membership is a pure function of the
+key (stable under repartitioning), rates land near target, splits are
+disjoint+exhaustive and never migrate."""
+
+from orientdb_neo4j_importer_plugin_spark.operators import sampling as SM
+
+
+def test_sample_stable_under_repartition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id for r in SM.stratified_sample(docs).collect()}
+    b = {r.doc_id for r in SM.stratified_sample(docs.repartition(13)).collect()}
+    assert a == b and a  # df.sample would fail this even with a fixed seed
+
+
+def test_sample_rates_near_target(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    ln = F.length("text")
+    stratum = F.when(ln < 200, "short").when(ln < 400, "mid").otherwise("long")
+    totals = {
+        r.stratum: r.n
+        for r in docs.select(stratum.alias("stratum")).groupBy("stratum")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r.stratum: r.n
+        for r in SM.stratified_sample(docs).groupBy("stratum")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert kept.get("long", 0) == totals.get("long", 0)  # rate 1.0 keeps all
+    for name, rate in (("short", 0.25), ("mid", 0.5)):
+        if totals.get(name, 0) >= 40:
+            got = kept.get(name, 0) / totals[name]
+            assert abs(got - rate) < 0.15, (name, got)
+
+
+def test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SM.train_split(docs).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    frac = {}
+    for r in out:
+        frac[r.split] = frac.get(r.split, 0) + 1
+    assert set(frac) <= {"train", "val", "test"}
+    assert frac["train"] / len(out) > 0.8
+    # growing the corpus never reassigns an existing record
+    sub = docs.limit(100)
+    small = {r.doc_id: r.split for r in SM.train_split(sub).collect()}
+    full = {r.doc_id: r.split for r in out}
+    assert all(full[d] == s for d, s in small.items())
