@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents")
         ),
         "docs_train_split": lambda s, d: SM.train_split(_read(s, d, "documents")),
+        "docs_pack_sequences": lambda s, d: SM.pack_documents(
+            _read(s, d, "documents")
+        ),
         # dedup suite
         "dedup_exact_groups": lambda s, d: D.exact_dedup_groups(
             _read(s, d, "documents")
@@ -343,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": T.FINGERPRINT_SQL,
         "docs_stratified_sample": SM.stratified_sample_sql(),
         "docs_train_split": SM.train_split_sql(),
+        "docs_pack_sequences": SM.pack_documents_sql(),
         "dedup_exact_groups": f"""
             SELECT {h64_sql("text")} AS content_hash,
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id

@@ -105,3 +105,73 @@ SELECT doc_id, CASE {cases} ELSE 'test' END AS split
 FROM (SELECT doc_id, {_bucket_sql("doc_id")} AS b FROM documents) s
 ORDER BY doc_id
 """
+
+
+# -- sequence packing ---------------------------------------------------------
+
+PACK_BUDGET = 128  # tokens per pack (training sequence length)
+PACK_BUCKETS = 16  # independent packing domains
+
+
+def pack_documents(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs for
+    training-batch assembly. Contiguous greedy packing per hash bucket —
+    each bucket is an independent packing domain (embarrassingly parallel:
+    one window per bucket, never a global sort), ordered deterministically
+    by doc_id; a document's pack is the budget-quotient of its START
+    offset in the bucket's running token total.
+
+    Packs can overflow by at most one document (the standard contiguous
+    trade-off); at 10^9 docs the per-bucket remainder waste is O(buckets),
+    i.e. negligible. First-fit-decreasing packs ~2-5% tighter but needs a
+    global sort by length and a stateful scan — the wrong trade at scale.
+
+    Columns: doc_id, bucket, n_tokens, pack_id.
+    """
+    from ..functions.hashes import tokens
+
+    from pyspark.sql.window import Window
+
+    tok = F.size(tokens(F.col("text")))
+    b = F.pmod(h64(F.col("doc_id").cast("string")), F.lit(buckets))
+    base = documents.select(
+        "doc_id", b.alias("bucket"), tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long").alias("pack_id"),
+    ).orderBy("doc_id")
+
+
+def pack_documents_sql(
+    budget: int = PACK_BUDGET, buckets: int = PACK_BUCKETS
+) -> str:
+    from ..functions.hashes import tokens_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ({h64_sql("CAST(doc_id AS VARCHAR)")} % {buckets}) AS bucket,
+         len({tokens_sql("text")}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (
+          PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING
+       ) - n_tokens) * 1.0 / {budget}) AS BIGINT) AS pack_id
+FROM base
+ORDER BY doc_id
+"""

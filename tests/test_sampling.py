@@ -49,3 +49,26 @@ def test_split_disjoint_exhaustive_stable(spark, sf_dir):
     small = {r.doc_id: r.split for r in SM.train_split(sub).collect()}
     full = {r.doc_id: r.split for r in out}
     assert all(full[d] == s for d, s in small.items())
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    """Each pack fits the budget except at most its LAST member (the
+    contiguous-packing overflow rule); packs are dense per bucket."""
+    from pyspark.sql import functions as F
+
+    budget = 128
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SM.pack_documents(docs, budget=budget).collect()
+    by_pack = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        by_pack.setdefault((r.bucket, r.pack_id), []).append(r.n_tokens)
+    for (bkt, pid), toks in by_pack.items():
+        assert sum(toks) - toks[-1] < budget, (bkt, pid, toks)
+    # dense pack ids per bucket (0..max with no gaps)
+    per_bucket = {}
+    for (bkt, pid) in by_pack:
+        per_bucket.setdefault(bkt, set()).add(pid)
+    for bkt, pids in per_bucket.items():
+        assert pids == set(range(max(pids) + 1)), (bkt, sorted(pids))
+    # every document packed exactly once
+    assert len(out) == docs.count()
