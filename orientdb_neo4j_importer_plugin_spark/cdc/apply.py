@@ -77,9 +77,13 @@ def poison_reason_expr(
     for f in target.fields:
         it = in_types.get(f.name)
         if it is not None and it != f.dataType:
+            # KEY columns must cast for deletes too: a tombstone whose key
+            # nulls out targets a row that can never exist (and a null
+            # partition key would route to a null bucket directory)
+            gate = F.lit(True) if f.name in keys else (F.col("op") != "D")
             checks.append(
                 (
-                    (F.col("op") != "D")
+                    gate
                     & F.col(f.name).isNotNull()
                     & F.col(f.name).try_cast(f.dataType).isNull(),
                     f"uncastable:{f.name}",
@@ -213,6 +217,8 @@ def apply_changes(
     # counts, the lsn range, the touched-bucket set (cheap key hash — no LWW
     # evaluation needed for pruning) and any caller extras ------------------
     touched: list[int] | None = None
+    batch_ts_max = None
+    has_ts = "ts" in events.columns
     if collect_stats:
         agg = events.agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -223,6 +229,12 @@ def apply_changes(
             F.min(F.when(keep, F.col("lsn"))).alias("lo"),
             F.max(F.when(keep, F.col("lsn"))).alias("hi"),
             F.collect_set(F.when(keep, bucket_expr(key, nb))).alias("buckets"),
+            # event-time max over rows passing the FULL keep predicate: a
+            # quarantined row's corrupt future timestamp must never advance
+            # the committed watermark (it would late-drop all good events)
+            F.max(F.when(keep, F.col("ts")) if has_ts else F.lit(None)).alias(
+                "__ts_max"
+            ),
             *[e.alias(f"__x_{n}") for n, e in extra_stats.items()],
         ).collect()[0]
         res.filtered_out = agg["n_filtered"] or 0
@@ -230,6 +242,7 @@ def apply_changes(
         res.events_in = agg["n_total"] - res.filtered_out - res.quarantined
         res.lsn_min, res.lsn_max = agg["lo"], agg["hi"]
         touched = sorted(agg["buckets"])
+        batch_ts_max = agg["__ts_max"]
         res.extra = {n: _jsonable(agg[f"__x_{n}"]) for n in extra_stats}
     else:
         res.events_in = -1
@@ -245,7 +258,8 @@ def apply_changes(
                 F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias(
                     "event_json"
                 ),
-            )
+            ),
+            batch_id=batch_id,  # per-batch overwrite: idempotent on retries
         )
     if event_filter is not None or reason is not None:
         events = events.filter(keep)
@@ -258,6 +272,22 @@ def apply_changes(
         lineage_base["filtered_out"] = res.filtered_out
     if res.quarantined:
         lineage_base["quarantined"] = res.quarantined
+    if collect_stats and has_ts:
+        # CUMULATIVE event-time high watermark: carrying forward the last
+        # committed value keeps the watermark monotone even after the entry
+        # that held the true max rolls out of the bounded lineage window
+        prev_hwm = next(
+            (
+                e["event_ts_max"]
+                for e in reversed(snap.lineage)
+                if e.get("event_ts_max") is not None
+            ),
+            None,
+        )
+        cur_hwm = _jsonable(batch_ts_max) if batch_ts_max is not None else None
+        hwm = max((x for x in (prev_hwm, cur_hwm) if x is not None), default=None)
+        if hwm is not None:
+            lineage_base["event_ts_max"] = hwm
 
     if res.events_in == 0:
         # empty-feed no-op (reference: shouldImportEmptyDb) — still ledger the
@@ -364,8 +394,13 @@ def apply_changes(
                 lineage_fn=lineage_fn,
             )
         else:
+            # read and rewrite from the SAME snapshot, and tell the commit
+            # which one: conflict validation must cover the window between
+            # this read and the commit (a concurrent delta landing in a
+            # touched bucket would otherwise be silently folded away)
+            base_snap = table.current()
             existing = table.read_buckets(
-                touched, snapshot=None, raw=True
+                touched, snapshot=base_snap, raw=True
             ).withColumn(BUCKET_COL, bucket_expr(key, nb))
             win_keys = winners.select(*keys)
             # keys_changed <= events_in: a safe pre-write broadcast decision
@@ -390,6 +425,7 @@ def apply_changes(
                 new_schema=schema,
                 lineage=lineage,
                 lineage_fn=lineage_fn,
+                base_snapshot=base_snap,
             )
         # counters come back through committed lineage (works even when a
         # concurrent writer committed the same batch_id first — their entry

@@ -198,6 +198,11 @@ class CommitConflictError(ConcurrentCommitError):
 
 
 COMMIT_MAX_RETRIES = 5
+# A version file claimed (os.link) by a writer that died before the pointer
+# swap blocks that version number forever; claims older than this with the
+# pointer still behind them are reclaimed by the next committer. Generous:
+# the link->swap window is microseconds.
+ORPHAN_CLAIM_TIMEOUT_SEC = 60.0
 
 
 class SnapshotTable:
@@ -382,15 +387,43 @@ class SnapshotTable:
         try:
             os.link(tmp, path)
         except FileExistsError:
-            os.remove(tmp)
-            raise ConcurrentCommitError(
-                f"version v{snap.version} was claimed by a concurrent writer"
-            ) from None
+            # liveness: if the claimant died between link and pointer swap,
+            # the pointer never advanced and the stale claim would block
+            # this version number forever — reclaim it after a timeout
+            if self._reclaim_orphan_claim(snap.version, path):
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    os.remove(tmp)
+                    raise ConcurrentCommitError(
+                        f"version v{snap.version} was re-claimed concurrently"
+                    ) from None
+            else:
+                os.remove(tmp)
+                raise ConcurrentCommitError(
+                    f"version v{snap.version} was claimed by a concurrent writer"
+                ) from None
         os.remove(tmp)
         ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
         with open(ptmp, "w") as fh:
             fh.write(str(snap.version))
         os.replace(ptmp, self._pointer_path())  # atomic swap = the commit
+
+    def _reclaim_orphan_claim(self, version: int, path: str) -> bool:
+        """True if `path` was a crashed writer's claim (version AHEAD of the
+        pointer, older than the timeout) and was removed."""
+        try:
+            with open(self._pointer_path()) as fh:
+                pointed = int(fh.read().strip())
+            if version <= pointed:
+                return False  # a committed snapshot, never reclaim
+            age = time.time() - os.path.getmtime(path)
+            if age < ORPHAN_CLAIM_TIMEOUT_SEC:
+                return False  # may be a live writer between link and swap
+            os.remove(path)
+            return True
+        except (FileNotFoundError, ValueError):
+            return False
 
     def _commit_retry(
         self,
@@ -421,6 +454,7 @@ class SnapshotTable:
                 attempt += 1
                 if attempt > max_retries:
                     raise
+                time.sleep(min(0.1 * attempt, 1.0))
 
     # -- read path ------------------------------------------------------------
 
@@ -504,6 +538,7 @@ class SnapshotTable:
         new_schema: StructType | None = None,
         lineage: dict[str, Any] | None = None,
         lineage_fn: Any = None,
+        base_snapshot: Snapshot | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write rewrite of `touched_buckets`.
 
@@ -515,10 +550,16 @@ class SnapshotTable:
         the data files are written once). If a concurrent commit touched any
         of OUR buckets the rewrite is stale -> CommitConflictError, caller
         recomputes.
+
+        `base_snapshot` MUST be the snapshot the rewrite was READ from
+        (callers that read the table before rewriting pass it) — validation
+        against a snapshot read here would miss a commit landing between
+        the caller's read and this call.
         """
-        parent0 = self.current()
-        if batch_id is not None and str(batch_id) in parent0.ledger:
-            return parent0  # exactly-once: replay is a no-op
+        cur = self.current()
+        if batch_id is not None and str(batch_id) in cur.ledger:
+            return cur  # exactly-once: replay is a no-op
+        parent0 = base_snapshot if base_snapshot is not None else cur
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(
             self.data_dir, f"commit-{parent0.version + 1:08d}-{commit_id}"
@@ -585,9 +626,16 @@ class SnapshotTable:
             if len(ledger) > LEDGER_HORIZON:
                 for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
                     del ledger[k]
+            # re-merge on rebase: a concurrent schema evolution in `parent`
+            # must not be clobbered by our (older) evolved schema
+            merged_schema = (
+                merge_schemas(parent.schema, new_schema)
+                if new_schema is not None
+                else parent.schema
+            )
             return Snapshot(
                 version=parent.version + 1,
-                schema_json=(new_schema or parent.schema).json(),
+                schema_json=merged_schema.json(),
                 num_buckets=parent.num_buckets,
                 partition_key=parent.partition_key,
                 buckets=new_buckets,
@@ -676,9 +724,14 @@ class SnapshotTable:
             if len(ledger) > LEDGER_HORIZON:
                 for k in sorted(ledger, key=ledger.get)[: len(ledger) - LEDGER_HORIZON]:
                     del ledger[k]
+            merged_schema = (
+                merge_schemas(parent.schema, new_schema)
+                if new_schema is not None
+                else parent.schema
+            )
             return Snapshot(
                 version=parent.version + 1,
-                schema_json=(new_schema or parent.schema).json(),
+                schema_json=merged_schema.json(),
                 num_buckets=parent.num_buckets,
                 partition_key=parent.partition_key,
                 buckets=parent.buckets,
@@ -721,6 +774,7 @@ class SnapshotTable:
                     touched_buckets=ids,
                     batch_id=None,
                     lineage={"compaction": True, "buckets": len(ids)},
+                    base_snapshot=snap,
                 )
             except CommitConflictError:
                 continue  # a writer touched a compacting bucket: recompute
@@ -786,9 +840,23 @@ class SnapshotTable:
     def quarantine_dir(self) -> str:
         return os.path.join(self.root, "quarantine")
 
-    def quarantine_append(self, df: DataFrame) -> None:
-        """Append poison rows (batch_id, reason, lsn, event_json)."""
-        df.write.mode("append").parquet(self.quarantine_dir())
+    def quarantine_append(self, df: DataFrame, batch_id: str | None = None) -> None:
+        """Write poison rows (batch_id, reason, lsn, event_json).
+
+        With a batch_id the write is an OVERWRITE of that batch's own
+        subdirectory — idempotent under commit retries, conflict recomputes,
+        checkpoint replays, and same-batch writer races (all of which
+        re-derive the identical poison set; a plain append would duplicate
+        it on every re-attempt)."""
+        if batch_id is None:
+            df.write.mode("append").parquet(self.quarantine_dir())
+            return
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in str(batch_id))
+        # no '=' in the dir name: it must read as a plain nested dir, not a
+        # Hive partition column
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.quarantine_dir(), f"b-{safe}")
+        )
 
     def read_quarantine(self) -> DataFrame:
         """The dead-letter table; empty DataFrame if nothing was quarantined."""
@@ -803,7 +871,11 @@ class SnapshotTable:
         )
         if not os.path.isdir(qdir):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(qdir)
+        return (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(qdir)
+        )
 
     def metrics(self) -> DataFrame:
         """Per-commit metrics as a queryable DataFrame — snapshot-level
@@ -872,7 +944,7 @@ class SnapshotTable:
         Rewrites every bucket that currently holds an expirable tombstone.
         """
         snap = self.current()
-        raw = self.read(raw=True)
+        raw = self.read(snapshot=snap, raw=True)
         expr = F.col(DELETED_COL) & (F.col(LSN_COL) < below_lsn)
         touched = [
             r["b"]
@@ -884,7 +956,7 @@ class SnapshotTable:
         if not touched:
             return snap
         kept = (
-            self.read_buckets(touched, raw=True)
+            self.read_buckets(touched, snapshot=snap, raw=True)
             .filter(~expr)
             .withColumn(BUCKET_COL, bucket_expr_for(snap))
         )
@@ -893,17 +965,29 @@ class SnapshotTable:
             touched_buckets=touched,
             batch_id=None,
             lineage={"vacuum_tombstones_below": below_lsn},
+            base_snapshot=snap,
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files only referenced by snapshots older than the last
-        `keep_last` (Iceberg `expire_snapshots` analogue). Returns files removed."""
+        `keep_last` (Iceberg `expire_snapshots` analogue). Returns files removed.
+
+        Retention is anchored on the POINTER, not on the highest version
+        file: an orphan claim from a crashed writer (version file ahead of
+        the pointer) must neither count toward retention nor cause the
+        live pointed snapshot to be expired."""
+        with open(self._pointer_path()) as fh:
+            pointed = int(fh.read().strip())
         versions = sorted(
-            int(f[1:9])
-            for f in os.listdir(self.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
+            v
+            for v in (
+                int(f[1:9])
+                for f in os.listdir(self.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            if v <= pointed  # orphan claims handled by _reclaim_orphan_claim
         )
-        keep = set(versions[-keep_last:])
+        keep = set(versions[-keep_last:]) | {pointed}
         live: set[str] = set()
         live_manifests: set[str] = set()
         for v in keep:
@@ -936,11 +1020,20 @@ class SnapshotTable:
         """
         cutoff = time.time() - older_than_sec
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for f in os.listdir(self.meta_dir):
             if f.startswith("v") and f.endswith(".json"):
-                live.update(self.snapshot_at(int(f[1:9])).all_files())
+                snap = self.snapshot_at(int(f[1:9]))
+                live.update(snap.all_files())
+                live_manifests.update(snap.manifest_paths.values())
         removed = 0
         for dirpath, dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            # dir mtime BEFORE sweeping its files (removal touches it): the
+            # age guard keeps an in-flight write's freshly created dir alive
+            try:
+                dir_mtime = os.path.getmtime(dirpath)
+            except FileNotFoundError:
+                continue
             for fn in filenames:
                 path = os.path.join(dirpath, fn)
                 if path in live:
@@ -951,6 +1044,27 @@ class SnapshotTable:
                         removed += 1
                 except FileNotFoundError:
                     continue
-            if dirpath != self.data_dir and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+            try:
+                if (
+                    dirpath != self.data_dir
+                    and dir_mtime < cutoff
+                    and not os.listdir(dirpath)
+                ):
+                    os.rmdir(dirpath)
+            except (FileNotFoundError, OSError):
+                pass
+        # manifests written by failed/retried commit attempts are referenced
+        # by no snapshot — sweep them on the same age guard
+        if os.path.isdir(self.manifest_dir):
+            for fn in os.listdir(self.manifest_dir):
+                path = os.path.join(self.manifest_dir, fn)
+                if path in live_manifests:
+                    continue
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        self._manifest_cache.pop(path, None)
+                        removed += 1
+                except FileNotFoundError:
+                    continue
         return removed

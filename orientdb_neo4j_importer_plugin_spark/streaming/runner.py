@@ -225,7 +225,10 @@ class CdcStreamRunner:
                     f"INTERVAL {self.late_drop_delay_seconds} SECONDS"
                 )
                 flt = F.col("ts").isNull() | (F.col("ts") >= cutoff)
-        ts_in_scope = F.when(flt, F.col("ts")) if flt is not None else F.col("ts")
+        # event_ts_max is computed by apply_changes itself: cumulative, and
+        # over rows passing the FULL keep predicate — a quarantined row's
+        # corrupt future timestamp can't poison the watermark, and the value
+        # stays monotone across the bounded lineage window
         res = apply_changes(
             batch,
             self.table,
@@ -236,7 +239,6 @@ class CdcStreamRunner:
             stats_via_observation=False,
             event_filter=flt,
             quarantine=self.quarantine,
-            extra_lineage_stats={"event_ts_max": F.max(ts_in_scope)},
         )
         self.metrics.record(res)
         logger.info(

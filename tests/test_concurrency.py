@@ -212,7 +212,98 @@ def test_vacuum_orphans(spark, tmp_path):
     assert t.vacuum_orphans(older_than_sec=3600) == 0  # too young to sweep
     old = os.path.join(ghost, "part-0.parquet")
     os.utime(old, (0, 0))
+    os.utime(ghost, (0, 0))  # dirs are age-guarded too (in-flight writes)
     assert t.vacuum_orphans(older_than_sec=3600) == 1
     assert not os.path.exists(ghost)  # empty dir pruned
     assert len(t.current().all_files()) == n_live
     assert t.read().count() > 0  # table still reads
+
+
+def test_cow_conflict_detected_across_read_window(spark, tmp_path):
+    """A commit landing between a caller's table READ and its
+    commit_bucket_rewrite must conflict — validation is anchored on the
+    snapshot the rewrite was read from (base_snapshot), not on whatever is
+    current at commit time."""
+    from pyspark.sql import functions as F
+
+    from orientdb_neo4j_importer_plugin_spark.lake.table import (
+        BUCKET_COL,
+        bucket_expr_for,
+    )
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    apply_changes(full.filter("lsn < 20"), a, batch_id="seed", mode="mor")
+    # A reads for a rewrite of every delta bucket...
+    snap_a = a.current()
+    ids = sorted(int(x) for x in snap_a.deltas)
+    merged = a.read_buckets(ids, snapshot=snap_a, raw=True).withColumn(
+        BUCKET_COL, bucket_expr_for(snap_a)
+    )
+    # ...B lands more rows in those buckets AFTER A's read...
+    apply_changes(full.filter("lsn >= 20"), b, batch_id="late", mode="mor")
+    # ...A's commit must refuse (B's rows would be folded away)
+    with pytest.raises(CommitConflictError):
+        a.commit_bucket_rewrite(
+            merged, touched_buckets=ids, batch_id=None, base_snapshot=snap_a
+        )
+    # and B's rows are intact
+    ok, msg = table_matches_oracle(
+        state(a),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
+
+
+def test_rebase_preserves_concurrent_schema_evolution(spark, tmp_path):
+    """A rebased commit must re-merge schemas: a column added by a
+    concurrent writer survives in the rebased snapshot."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+
+    def b_evolves():
+        incoming = StructType(
+            list(b.current().schema.fields)
+            + [StructField("tool", StringType(), True)]
+        )
+        b.evolve_schema(incoming)
+
+    fired = interleave(a, b_evolves)
+    apply_changes(full.filter("lsn < 20"), a, batch_id="A", mode="mor")
+    assert fired["done"]
+    names = {f.name for f in a.current().schema.fields}
+    assert "tool" in names, "concurrent schema evolution was clobbered by rebase"
+
+
+def test_orphan_version_claim_is_reclaimed(spark, tmp_path):
+    """A version file claimed by a crashed writer (pointer never advanced)
+    must not wedge the table: old claims are reclaimed, young ones block."""
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.lake import ConcurrentCommitError
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    t = SnapshotTable.load(spark, root)
+    # fake a crashed writer's claim of v1 (pointer still at v0)
+    claim = os.path.join(root, "metadata", "v00000001.json")
+    with open(claim, "w") as fh:
+        fh.write("{}")
+    # young claim: commit fails loudly (could be a live writer mid-swap)
+    with pytest.raises(ConcurrentCommitError):
+        apply_changes(full.filter("lsn < 20"), t, batch_id="x", mode="mor")
+    # stale claim: reclaimed and the commit goes through
+    os.utime(claim, (0, 0))
+    res = apply_changes(full.filter("lsn < 20"), t, batch_id="x2", mode="mor")
+    assert res.snapshot_version == 1
+    # expire anchored on the pointer never deletes the live snapshot
+    assert t.expire_snapshots(keep_last=1) == 0
+    assert t.current().version == 1

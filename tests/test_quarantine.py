@@ -244,3 +244,69 @@ def test_replay_empty_selection_is_noop(spark, tmp_path):
     table = _mk_table(spark, tmp_path, "qe")
     assert replay_quarantine(table) is None
     assert replay_quarantine(table, batch_ids=["nope"]) is None
+
+
+def test_quarantined_future_ts_does_not_poison_watermark(spark, tmp_path):
+    """A poison row's corrupt future timestamp must never advance the
+    committed event-time watermark (it would late-drop all good events)."""
+    table = _mk_table(spark, tmp_path, "qw")
+    far = datetime.datetime(3000, 1, 1)
+    rows = [
+        (1, "I", "c1", 0, "user", "good", None, TS, 0),
+        (2, "X", "c1", 1, "user", "poison from the future", None, far, 0),
+    ]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    res = apply_changes(feed, table, batch_id="b0", quarantine=True)
+    assert res.quarantined == 1
+    hwm = table.current().lineage[-1]["event_ts_max"]
+    assert hwm.startswith("2024"), hwm  # the good row's ts, not year 3000
+
+
+def test_watermark_cumulative_across_batches(spark, tmp_path):
+    """event_ts_max is monotone: a later batch of older events carries the
+    previous high watermark forward (survives lineage-window truncation)."""
+    table = _mk_table(spark, tmp_path, "qm")
+    late_ts = datetime.datetime(2023, 6, 1)
+    b0 = [(1, "I", "c1", 0, "user", "new", None, TS, 0)]
+    b1 = [(2, "I", "c2", 0, "user", "older", None, late_ts, 0)]
+    apply_changes(spark.createDataFrame(b0, EVENT_COLS), table, batch_id="b0")
+    apply_changes(spark.createDataFrame(b1, EVENT_COLS), table, batch_id="b1")
+    assert table.current().lineage[-1]["event_ts_max"].startswith("2024")
+
+
+def test_delete_with_uncastable_key_quarantined(spark, tmp_path):
+    """A tombstone whose key can't cast must quarantine, not become a
+    null-key tombstone that can never match its row."""
+    table = _mk_table(spark, tmp_path, "qd")
+    schema = "lsn long, op string, conv_id string, turn_idx string, role string, text string, tool string, ts timestamp, source_part int"
+    rows = [
+        (1, "I", "c1", "0", "user", "live", None, TS, 0),
+        (2, "D", "c1", "zero", None, None, None, TS, 0),  # corrupt key delete
+    ]
+    res = apply_changes(
+        spark.createDataFrame(rows, schema), table, batch_id="b0", quarantine=True
+    )
+    assert res.quarantined == 1 and res.events_in == 1
+    assert table.read_quarantine().collect()[0].reason == "uncastable:turn_idx"
+    assert table.read().count() == 1  # the live row was NOT deleted
+
+
+def test_quarantine_write_idempotent_per_batch(spark, tmp_path):
+    """Re-deriving a batch's poison set (conflict recompute / checkpoint
+    replay) overwrites rather than duplicates the dead-letter rows."""
+    table = _mk_table(spark, tmp_path, "qi")
+    rows = [
+        (1, "I", "c1", 0, "user", "good", None, TS, 0),
+        (2, "X", "c1", 1, "user", "bad", None, TS, 0),
+    ]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    apply_changes(feed, table, batch_id="b0", quarantine=True)
+    # simulate the re-attempt: the ledger makes the COMMIT a replay no-op,
+    # but the quarantine write happens before the commit — it must overwrite
+    apply_changes(feed, table, batch_id="b0", quarantine=True)
+    # force the pre-commit path again with a fresh handle (no warm ledger)
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+
+    t2 = SnapshotTable.load(spark, str(tmp_path / "qi"))
+    apply_changes(feed, t2, batch_id="b0", quarantine=True)
+    assert table.read_quarantine().count() == 1  # not 2 or 3
