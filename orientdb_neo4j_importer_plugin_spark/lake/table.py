@@ -222,6 +222,11 @@ class SnapshotTable:
         # In steady state a commit touches few buckets, so loading the next
         # snapshot reads the root + only the handful of NEW manifests.
         self._manifest_cache: dict[str, tuple[list[str], list[str]]] = {}
+        # per-data-file stats (rows, __lsn min/max, tombstone presence),
+        # keyed by path (files are immutable). Populated by commits from
+        # parquet footers and persisted inside manifests; used for
+        # metadata-only pruning (vacuum_tombstones, file_stats()).
+        self._stats_cache: dict[str, dict] = {}
 
     # -- creation / loading -------------------------------------------------
 
@@ -319,7 +324,46 @@ class SnapshotTable:
                 d = json.load(fh)
             got = (d.get("base", []), d.get("deltas", []))
             self._manifest_cache[path] = got
+            # stats ride inside the manifest (Iceberg data-file stats
+            # analogue); absent for pre-stats manifests
+            self._stats_cache.update(d.get("stats", {}))
         return got
+
+    @staticmethod
+    def _footer_stats(paths: list[str]) -> dict[str, dict]:
+        """Per-file stats from parquet footers: row count, __lsn min/max,
+        tombstone presence. Driver-side footer reads, O(files per commit) —
+        on a real cluster these come back from the write tasks instead; the
+        footer read is the single-node stand-in (same information)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for p in paths:
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:
+                continue  # stats are an optimization, never a correctness gate
+            lsn_min = lsn_max = None
+            tombstones = False
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if col.path_in_schema == LSN_COL:
+                        lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
+                        lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
+                    elif col.path_in_schema == DELETED_COL:
+                        tombstones = tombstones or bool(st.max)
+            out[p] = {
+                "rows": md.num_rows,
+                "lsn_min": lsn_min,
+                "lsn_max": lsn_max,
+                "tombstones": tombstones,
+            }
+        return out
 
     def _resolve_manifests(self, snap: Snapshot) -> None:
         """Populate the in-memory buckets/deltas dicts from manifest refs
@@ -356,9 +400,16 @@ class SnapshotTable:
                 self.manifest_dir,
                 f"m-{snap.version:08d}-{b}-{uuid.uuid4().hex[:8]}.json",
             )
+            stats = {
+                f: self._stats_cache[f]
+                for f in content[0] + content[1]
+                if f in self._stats_cache
+            }
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump({"base": content[0], "deltas": content[1]}, fh)
+                json.dump(
+                    {"base": content[0], "deltas": content[1], "stats": stats}, fh
+                )
             os.replace(tmp, path)
             self._manifest_cache[path] = content
             out[b] = path
@@ -505,6 +556,41 @@ class SnapshotTable:
             return merged
         return merged.filter(~F.col(DELETED_COL)).drop(*META_COLS)
 
+    def file_stats(self, snapshot: Snapshot | None = None) -> dict[str, dict]:
+        """Per-data-file stats of a snapshot (rows, __lsn min/max, tombstone
+        presence), read from manifests — pure metadata, no data IO. Files
+        from pre-stats manifests are absent from the result."""
+        snap = snapshot or self.current()
+        self._resolve_manifests(snap)  # populates _stats_cache as a side effect
+        for path in snap.manifest_paths.values():
+            self._read_manifest(path)
+        return {
+            f: self._stats_cache[f]
+            for f in snap.all_files()
+            if f in self._stats_cache
+        }
+
+    def changes_since(self, version: int, raw: bool = False) -> DataFrame:
+        """Incremental scan (Iceberg incremental-read analogue): the rows
+        WRITTEN between `version` (exclusive) and the current snapshot —
+        file-level set difference over immutable files, so a downstream
+        consumer reads O(new data), never the table. Raw storage rows
+        (payload + __lsn/__deleted, tombstones included) by default with
+        raw=True semantics; raw=False filters tombstones and meta columns.
+
+        Note: COW rewrites copy surviving rows into new files, so a rewrite
+        surfaces its whole bucket here (the honest file-level contract; MOR
+        deltas — the streaming path — surface exactly the changed rows).
+        """
+        old = self.snapshot_at(version)
+        cur = self.current()
+        seen = set(old.all_files())
+        new_files = [f for f in cur.all_files() if f not in seen]
+        rows = self._read_files(new_files, cur.schema)
+        if raw:
+            return rows
+        return rows.filter(~F.col(DELETED_COL)).drop(*META_COLS)
+
     def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
         """One storage row per primary key: max __lsn wins (algebraic agg).
         `keys` comes from snapshot metadata — never a table-specific global."""
@@ -583,6 +669,9 @@ class SnapshotTable:
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
+        self._stats_cache.update(
+            self._footer_stats([f for fs in bucket_files.values() for f in fs])
+        )
         touched_set = set(touched_buckets)
 
         def build(parent: Snapshot) -> Snapshot:
@@ -702,6 +791,9 @@ class SnapshotTable:
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
+        self._stats_cache.update(
+            self._footer_stats([f for fs in added.values() for f in fs])
+        )
 
         def build(parent: Snapshot) -> Snapshot:
             new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
@@ -944,15 +1036,36 @@ class SnapshotTable:
         Rewrites every bucket that currently holds an expirable tombstone.
         """
         snap = self.current()
-        raw = self.read(snapshot=snap, raw=True)
         expr = F.col(DELETED_COL) & (F.col(LSN_COL) < below_lsn)
-        touched = [
-            r["b"]
-            for r in raw.filter(expr)
-            .select(bucket_expr_for(snap).alias("b"))
-            .distinct()
-            .collect()
-        ]
+        stats = self.file_stats(snap)
+        all_files = snap.all_files()
+        if all_files and all(f in stats for f in all_files):
+            # metadata-only pruning: a bucket is a candidate iff some file
+            # holds a tombstone AND spans below the watermark (safe
+            # over-approximation — the rewrite's ~expr filter is exact)
+            def candidate(files: list[str]) -> bool:
+                return any(
+                    stats[f]["tombstones"]
+                    and stats[f]["lsn_min"] is not None
+                    and stats[f]["lsn_min"] < below_lsn
+                    for f in files
+                )
+
+            touched = sorted(
+                int(b)
+                for b in set(snap.buckets) | set(snap.deltas)
+                if candidate(snap.buckets.get(b, []) + snap.deltas.get(b, []))
+            )
+        else:
+            # pre-stats table: fall back to the scan
+            raw = self.read(snapshot=snap, raw=True)
+            touched = [
+                r["b"]
+                for r in raw.filter(expr)
+                .select(bucket_expr_for(snap).alias("b"))
+                .distinct()
+                .collect()
+            ]
         if not touched:
             return snap
         kept = (

@@ -230,3 +230,63 @@ def test_metrics_table(spark, tmp_path):
     assert all(r.events_in > 0 and r.keys_changed >= 0 for r in m)
     assert m[1].events_per_sec is None or m[1].events_per_sec > 0
     assert '"batch_id": "m1"' in m[1].raw
+
+
+def test_file_stats_and_changes_since(spark, tmp_path):
+    """Manifest-carried file stats (rows/lsn-range/tombstones) and the
+    incremental scan: changes_since(v) reads exactly the files added
+    after v."""
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=5, updates_per_key=1,
+                    delete_every=5)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "fs"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    mid = 25
+    apply_changes(feed.filter(feed.lsn < mid), table, batch_id="b0", mode="mor")
+    v0 = table.current().version
+    apply_changes(feed.filter(feed.lsn >= mid), table, batch_id="b1", mode="mor")
+
+    # stats cover every file, straight from manifests (fresh handle: no
+    # warm in-memory cache — proves persistence)
+    t2 = SnapshotTable.load(spark, str(tmp_path / "fs"))
+    stats = t2.file_stats()
+    snap = t2.current()
+    assert set(stats) == set(snap.all_files())
+    # stats count PHYSICAL rows (pre-LWW-merge union of base + deltas)
+    total_rows = sum(s["rows"] for s in stats.values())
+    physical = t2._read_files(snap.all_files(), snap.schema).count()
+    assert total_rows == physical > 0
+    assert any(s["tombstones"] for s in stats.values())
+    assert all(
+        s["lsn_min"] is not None and s["lsn_min"] <= s["lsn_max"]
+        for s in stats.values()
+    )
+
+    # incremental scan: exactly batch b1's winner rows (MOR deltas)
+    inc = t2.changes_since(v0, raw=True)
+    assert inc.count() > 0
+    assert inc.agg({"__lsn": "min"}).collect()[0][0] >= mid
+    # and nothing from before v0's commit
+    assert t2.changes_since(snap.version, raw=True).count() == 0
+
+
+def test_vacuum_tombstones_prunes_from_metadata(spark, tmp_path):
+    """With full stats coverage the tombstone vacuum picks candidate
+    buckets from manifests (no table scan) and still converges."""
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=6, updates_per_key=2,
+                    delete_every=4)
+    feed_dir = str(tmp_path / "feed_vs")
+    write_feed_chunks(feed, feed_dir)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_vs"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(spark.read.parquet(feed_dir), table, batch_id="b0")
+    stats = table.file_stats()
+    assert set(stats) == set(table.current().all_files())  # metadata path taken
+    max_lsn = feed.agg({"lsn": "max"}).collect()[0][0]
+    table.vacuum_tombstones(below_lsn=max_lsn + 1)
+    assert table.read(raw=True).filter("__deleted").count() == 0
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
