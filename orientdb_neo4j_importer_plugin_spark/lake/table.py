@@ -923,6 +923,46 @@ class SnapshotTable:
         )
         self._write_snapshot(snap, expected_parent=parent.version)
 
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to a retained snapshot (Iceberg
+        ``rollback_to_snapshot`` analogue): commits a NEW version whose
+        content (files, schema, ledger) mirrors the target — history moves
+        forward, nothing is deleted, and time travel over the abandoned
+        versions still works until they expire. Restoring the target's
+        LEDGER is the point: batches committed after the target re-apply
+        on replay instead of being skipped as already-ledgered."""
+        target = self.snapshot_at(version)
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            parent = self.current()
+            if parent.version == version:
+                return parent
+            snap = Snapshot(
+                version=parent.version + 1,
+                schema_json=target.schema_json,
+                num_buckets=target.num_buckets,
+                partition_key=target.partition_key,
+                buckets=target.buckets,
+                ledger=dict(target.ledger),
+                lineage=(
+                    parent.lineage
+                    + [{"rollback_to": version, "commit_epoch": time.time()}]
+                )[-1000:],
+                parent=parent.version,
+                committed_at=time.time(),
+                deltas=target.deltas,
+                key_columns=target.key_columns,
+                # seed with the target's manifests: unchanged buckets carry
+                # forward by reference instead of being rewritten
+                manifest_paths=dict(target.manifest_paths),
+            )
+            try:
+                self._write_snapshot(snap, expected_parent=parent.version)
+                return snap
+            except ConcurrentCommitError:
+                if attempt == COMMIT_MAX_RETRIES:
+                    raise
+                time.sleep(min(0.1 * (attempt + 1), 1.0))
+
     # -- quarantine (dead-letter) side table -----------------------------------
     # Reference analogue: per-record error isolation — rollback, log, continue
     # (``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283,585-594``). Poison

@@ -290,3 +290,33 @@ def test_vacuum_tombstones_prunes_from_metadata(spark, tmp_path):
         final_state(table), oracle_state(feed_dir, has_tool=False)
     )
     assert ok, msg
+
+
+def test_rollback_restores_state_and_ledger(spark, tmp_path):
+    """rollback(v): state reverts, history moves FORWARD (old versions
+    retained for time travel), and the ledger reverts so post-rollback
+    replays of the abandoned batch re-apply instead of no-oping."""
+    feed = gen_feed(spark, n_convs=5, turns_per_conv=4, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "rb"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    mid = 15
+    apply_changes(feed.filter(feed.lsn < mid), table, batch_id="b0", mode="mor")
+    v1 = table.current().version
+    state_v1 = final_state(table)
+    apply_changes(feed.filter(feed.lsn >= mid), table, batch_id="b1", mode="mor")
+    assert final_state(table) != state_v1
+
+    snap = table.rollback(v1)
+    assert snap.version == v1 + 2  # forward commit, not a pointer rewind
+    assert final_state(table) == state_v1
+    assert "b1" not in snap.ledger and "b0" in snap.ledger
+    assert snap.lineage[-1]["rollback_to"] == v1
+    # time travel over the abandoned version still works
+    assert table.snapshot_at(v1 + 1).version == v1 + 1
+    # the abandoned batch re-applies (ledger was restored)
+    res = apply_changes(feed.filter(feed.lsn >= mid), table, batch_id="b1", mode="mor")
+    assert not res.skipped_replay
+    assert final_state(table) != state_v1
+    # rollback to the current version is a no-op
+    assert table.rollback(table.current().version).version == table.current().version
