@@ -625,8 +625,13 @@ class SnapshotTable:
         lineage: dict[str, Any] | None = None,
         lineage_fn: Any = None,
         base_snapshot: Snapshot | None = None,
+        new_num_buckets: int | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write rewrite of `touched_buckets`.
+
+        `new_num_buckets` turns the commit into a FULL-table relayout
+        (rebucketing): the parent's bucket map is discarded entirely and
+        ANY concurrent commit conflicts (a full rewrite can't be rebased).
 
         `new_data` must contain BUCKET_COL and exactly the rows that should
         exist in the touched buckets after the commit; untouched buckets are
@@ -675,28 +680,39 @@ class SnapshotTable:
         touched_set = set(touched_buckets)
 
         def build(parent: Snapshot) -> Snapshot:
-            if parent.version != parent0.version:
-                # rebase validation: our rewrite is only correct if no
-                # intervening commit changed the buckets we rewrote
-                for b in touched_set:
-                    if parent.buckets.get(str(b)) != parent0.buckets.get(str(b)) or \
-                            parent.deltas.get(str(b)) != parent0.deltas.get(str(b)):
-                        raise CommitConflictError(
-                            f"bucket {b} changed by a concurrent commit "
-                            f"(v{parent0.version} -> v{parent.version}); "
-                            "recompute the rewrite"
-                        )
-            new_buckets = dict(parent.buckets)
-            for b, fs in bucket_files.items():
-                new_buckets[b] = fs
-            # drop empty bucket entries (bucket fully deleted)
-            new_buckets = {b: fs for b, fs in new_buckets.items() if fs}
-            # a rewrite folds in whatever deltas the touched buckets had
-            new_deltas = {
-                b: fs
-                for b, fs in parent.deltas.items()
-                if int(b) not in touched_set
-            }
+            if new_num_buckets is not None:
+                # full relayout: bucket ids are renumbered, so NO concurrent
+                # commit can be rebased under it
+                if parent.version != parent0.version:
+                    raise CommitConflictError(
+                        f"table advanced during rebucket "
+                        f"(v{parent0.version} -> v{parent.version}); recompute"
+                    )
+                new_buckets = {b: fs for b, fs in bucket_files.items() if fs}
+                new_deltas: dict[str, list[str]] = {}
+            else:
+                if parent.version != parent0.version:
+                    # rebase validation: our rewrite is only correct if no
+                    # intervening commit changed the buckets we rewrote
+                    for b in touched_set:
+                        if parent.buckets.get(str(b)) != parent0.buckets.get(str(b)) or \
+                                parent.deltas.get(str(b)) != parent0.deltas.get(str(b)):
+                            raise CommitConflictError(
+                                f"bucket {b} changed by a concurrent commit "
+                                f"(v{parent0.version} -> v{parent.version}); "
+                                "recompute the rewrite"
+                            )
+                new_buckets = dict(parent.buckets)
+                for b, fs in bucket_files.items():
+                    new_buckets[b] = fs
+                # drop empty bucket entries (bucket fully deleted)
+                new_buckets = {b: fs for b, fs in new_buckets.items() if fs}
+                # a rewrite folds in whatever deltas the touched buckets had
+                new_deltas = {
+                    b: fs
+                    for b, fs in parent.deltas.items()
+                    if int(b) not in touched_set
+                }
             lin = dict(lineage or {})
             lin.update(
                 {
@@ -725,7 +741,7 @@ class SnapshotTable:
             return Snapshot(
                 version=parent.version + 1,
                 schema_json=merged_schema.json(),
-                num_buckets=parent.num_buckets,
+                num_buckets=new_num_buckets or parent.num_buckets,
                 partition_key=parent.partition_key,
                 buckets=new_buckets,
                 ledger=ledger,
@@ -922,6 +938,42 @@ class SnapshotTable:
             key_columns=parent.key_columns,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
+
+    def rebucket(
+        self, new_num_buckets: int, max_recomputes: int = 2
+    ) -> Snapshot:
+        """Change the table's bucket count — inherently a full rewrite
+        (bucket assignment is a pure key hash), run as ONE Spark job:
+        LWW-merged raw state (tombstones kept) re-hashed into the new
+        layout, all deltas folded. The grow path when buckets exceed the
+        6-25 GB target at 100 TB (SCALE.md); readers are unaffected
+        (snapshot isolation), concurrent commits lose and recompute."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        for _ in range(max_recomputes + 1):
+            snap = self.current()
+            if snap.num_buckets == new_num_buckets:
+                return snap
+            data = self.read(snapshot=snap, raw=True).withColumn(
+                BUCKET_COL, bucket_expr(snap.partition_key, new_num_buckets)
+            )
+            data = data.repartition(
+                max(min(new_num_buckets, 256), 1), F.col(BUCKET_COL)
+            )
+            try:
+                return self.commit_bucket_rewrite(
+                    data,
+                    touched_buckets=list(range(new_num_buckets)),
+                    batch_id=None,
+                    lineage={"rebucket_to": new_num_buckets},
+                    base_snapshot=snap,
+                    new_num_buckets=new_num_buckets,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"rebucket lost the race {max_recomputes + 1} times"
+        )
 
     def rollback(self, version: int) -> Snapshot:
         """Roll the table back to a retained snapshot (Iceberg

@@ -320,3 +320,33 @@ def test_rollback_restores_state_and_ledger(spark, tmp_path):
     assert final_state(table) != state_v1
     # rollback to the current version is a no-op
     assert table.rollback(table.current().version).version == table.current().version
+
+
+def test_rebucket_preserves_state(spark, tmp_path):
+    """Bucket-count migration: state identical, new layout used by
+    subsequent applies, deltas folded, conflict loses to a live writer."""
+    feed = gen_feed(spark, n_convs=6, turns_per_conv=5, updates_per_key=1,
+                    delete_every=6)
+    feed_dir = str(tmp_path / "feed_rbk")
+    write_feed_chunks(feed, feed_dir)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "rbk"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    full = spark.read.parquet(feed_dir)
+    mid = 20
+    apply_changes(full.filter(full.lsn < mid), table, batch_id="b0", mode="mor")
+    before = final_state(table)
+    snap = table.rebucket(16)
+    assert snap.num_buckets == 16
+    assert not snap.deltas  # folded
+    assert all(int(b) < 16 for b in snap.buckets)
+    assert final_state(table) == before
+    # later batches hash into the NEW layout and still converge
+    apply_changes(full.filter(full.lsn >= mid), table, batch_id="b1", mode="mor")
+    table.compact()
+    ok, msg = table_matches_oracle(
+        final_state(table), oracle_state(feed_dir, has_tool=False)
+    )
+    assert ok, msg
+    # no-op when already at the target count
+    assert table.rebucket(16).version == table.current().version
