@@ -46,7 +46,7 @@ from ..lake.table import (
     bucket_expr,
 )
 from ..schema import CDC_META_COLUMNS
-from .lww import lww_resolve
+from .lww import lww_resolve, lww_resolve_with_stats
 
 # Below this many changed keys the anti-join build side is broadcast.
 # Above it, building/serializing the broadcast on the driver becomes a serial
@@ -219,7 +219,18 @@ def apply_changes(
     touched: list[int] | None = None
     batch_ts_max = None
     has_ts = "ts" in events.columns
-    if collect_stats:
+    # fold-stats fast path: with no admission predicates and no caller
+    # extras, EVERY counter rides the LWW aggregate itself — per-key stats
+    # in the same map-side-combinable shuffle, globals from the (persisted)
+    # winners. Removes the separate raw-batch stats scan, which measured as
+    # ~58% of MOR apply wall time at sf0.1.
+    fold_stats = (
+        collect_stats
+        and event_filter is None
+        and reason is None
+        and not extra_stats
+    )
+    if collect_stats and not fold_stats:
         agg = events.agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum((~flt).cast("long")).alias("n_filtered"),
@@ -244,7 +255,7 @@ def apply_changes(
         touched = sorted(agg["buckets"])
         batch_ts_max = agg["__ts_max"]
         res.extra = {n: _jsonable(agg[f"__x_{n}"]) for n in extra_stats}
-    else:
+    elif not collect_stats:
         res.events_in = -1
         res.filtered_out = res.quarantined = -1
 
@@ -272,7 +283,7 @@ def apply_changes(
         lineage_base["filtered_out"] = res.filtered_out
     if res.quarantined:
         lineage_base["quarantined"] = res.quarantined
-    if collect_stats and has_ts:
+    def _cumulative_hwm(batch_max):
         # CUMULATIVE event-time high watermark: carrying forward the last
         # committed value keeps the watermark monotone even after the entry
         # that held the true max rolls out of the bounded lineage window
@@ -284,12 +295,47 @@ def apply_changes(
             ),
             None,
         )
-        cur_hwm = _jsonable(batch_ts_max) if batch_ts_max is not None else None
-        hwm = max((x for x in (prev_hwm, cur_hwm) if x is not None), default=None)
+        cur_hwm = _jsonable(batch_max) if batch_max is not None else None
+        return max((x for x in (prev_hwm, cur_hwm) if x is not None), default=None)
+
+    if collect_stats and not fold_stats and has_ts:
+        hwm = _cumulative_hwm(batch_ts_max)
         if hwm is not None:
             lineage_base["event_ts_max"] = hwm
 
+    winners = None
+    if fold_stats:
+        winners = (
+            lww_resolve_with_stats(
+                events, keys=keys, ts_col="ts" if has_ts else None
+            )
+            .withColumn(BUCKET_COL, bucket_expr(key, nb))
+            .persist()
+        )
+        g = winners.agg(
+            F.coalesce(F.sum("__n_events"), F.lit(0)).alias("n"),
+            F.min("__lsn_min").alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
+            F.max(F.col("__ts_max") if has_ts else F.lit(None)).alias("tmax"),
+        ).collect()[0]
+        res.events_in = int(g["n"])
+        res.filtered_out = res.quarantined = 0
+        res.lsn_min, res.lsn_max = g["lo"], g["hi"]
+        res.keys_changed = g["k"]
+        res.deletes = g["d"] or 0
+        res.upserts = res.keys_changed - res.deletes
+        touched = sorted(g["buckets"])
+        if has_ts:
+            hwm = _cumulative_hwm(g["tmax"])
+            if hwm is not None:
+                lineage_base["event_ts_max"] = hwm
+
     if res.events_in == 0:
+        if winners is not None:
+            winners.unpersist()
         # empty-feed no-op (reference: shouldImportEmptyDb) — still ledger the
         # batch id so a replayed empty batch stays a no-op.
         new = table.commit_bucket_rewrite(
@@ -308,9 +354,11 @@ def apply_changes(
     # --- dedup + LWW: one algebraic aggregate does both --------------------
     # Duplicate deliveries (same lsn, same row) collapse in the same max()
     # that resolves the winner — no separate dropDuplicates pass needed here.
-    winners = lww_resolve(events, keys=keys).withColumn(
-        BUCKET_COL, bucket_expr(key, nb)
-    )
+    # (fold_stats built winners above, with stats riding the aggregate.)
+    if winners is None:
+        winners = lww_resolve(events, keys=keys).withColumn(
+            BUCKET_COL, bucket_expr(key, nb)
+        )
     lineage = {
         "lsn_range": [res.lsn_min, res.lsn_max],
         **lineage_base,
@@ -358,11 +406,21 @@ def apply_changes(
 
     # winner counts ride along the WRITE job via an Observation — no extra
     # driver action (matters at 1 batch/min x 1000 executors)
-    obs = Observation() if stats_via_observation else None
+    obs = Observation() if stats_via_observation and not fold_stats else None
     winners = winners.persist()
     try:
         incoming = to_storage(winners)
-        if obs is not None:
+        if fold_stats:
+            # counters already came back with the fold agg
+            lineage.update(
+                {
+                    "keys_changed": res.keys_changed,
+                    "deletes": res.deletes,
+                    "upserts": res.upserts,
+                }
+            )
+            lineage_fn = None
+        elif obs is not None:
             incoming = incoming.observe(
                 obs,
                 F.count(F.lit(1)).alias("k"),

@@ -89,3 +89,32 @@ def lww_resolve_salted(
     )
     phase2 = phase1.groupBy(*keys).agg(F.max("__w").alias("__w"))
     return phase2.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in ordered])
+
+
+def lww_resolve_with_stats(
+    events: DataFrame, keys: list[str] | None = None, ts_col: str | None = None
+) -> DataFrame:
+    """lww_resolve plus per-key batch stats riding the SAME aggregate —
+    same single shuffle, every added counter map-side combinable. Columns:
+    the winner row + __n_events, __lsn_min (and __ts_max when ts_col).
+
+    This is what lets apply_changes collect full batch statistics without
+    a separate scan of the raw batch (measured: the standalone stats job
+    was ~58% of MOR apply wall time at sf0.1)."""
+    keys = keys or KEY_COLUMNS
+    rest = _non_key_columns(events, keys)
+    ordered = ["lsn"] + [c for c in rest if c != "lsn"]
+    aggs = [
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w"),
+        F.count(F.lit(1)).alias("__n_events"),
+        F.min("lsn").alias("__lsn_min"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.max(F.col(ts_col)).alias("__ts_max"))
+    out = events.groupBy(*keys).agg(*aggs)
+    stat_cols = ["__n_events", "__lsn_min"] + (
+        ["__ts_max"] if ts_col is not None else []
+    )
+    return out.select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in ordered], *stat_cols
+    )
