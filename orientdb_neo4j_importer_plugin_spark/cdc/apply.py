@@ -389,6 +389,7 @@ def apply_changes(
             batch_id=batch_id,
             new_schema=schema,
             lineage={**lineage, "stats": "skipped"},
+            base_snapshot=snap,  # bucket ids derive from snap's layout
         )
         res.keys_changed = res.deletes = res.upserts = -1
         res.snapshot_version = new_snap.version
@@ -450,6 +451,7 @@ def apply_changes(
                 new_schema=schema,
                 lineage=lineage,
                 lineage_fn=lineage_fn,
+                base_snapshot=snap,  # bucket ids derive from snap's layout
             )
         else:
             # read and rewrite from the SAME snapshot, and tell the commit
@@ -457,6 +459,15 @@ def apply_changes(
             # this read and the commit (a concurrent delta landing in a
             # touched bucket would otherwise be silently folded away)
             base_snap = table.current()
+            if base_snap.num_buckets != nb:
+                # a rebucket landed after this apply captured the layout;
+                # the winners' bucket ids are stale — caller recomputes
+                from ..lake import CommitConflictError
+
+                raise CommitConflictError(
+                    f"table was rebucketed ({nb} -> {base_snap.num_buckets}) "
+                    "during apply; re-run the batch"
+                )
             existing = table.read_buckets(
                 touched, snapshot=base_snap, raw=True
             ).withColumn(BUCKET_COL, bucket_expr(key, nb))

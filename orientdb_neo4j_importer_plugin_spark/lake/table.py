@@ -43,6 +43,8 @@ physical layer is whatever the cluster's FileSystem is; the driver-side
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
 import json
 import os
 import shutil
@@ -344,7 +346,8 @@ class SnapshotTable:
             except Exception:
                 continue  # stats are an optimization, never a correctness gate
             lsn_min = lsn_max = None
-            tombstones = False
+            tomb = False
+            del_rgs = 0
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -356,12 +359,18 @@ class SnapshotTable:
                         lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
                         lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
                     elif col.path_in_schema == DELETED_COL:
-                        tombstones = tombstones or bool(st.max)
+                        del_rgs += 1
+                        tomb = tomb or bool(st.max)
+            # tombstones: True / False (every row group had stats) / None
+            # (UNKNOWN — some row group lacked __deleted stats; consumers
+            # must treat unknown conservatively, never as "no tombstones")
             out[p] = {
                 "rows": md.num_rows,
                 "lsn_min": lsn_min,
                 "lsn_max": lsn_max,
-                "tombstones": tombstones,
+                "tombstones": True
+                if tomb
+                else (False if del_rgs == md.num_row_groups else None),
             }
         return out
 
@@ -434,35 +443,78 @@ class SnapshotTable:
         # 2. atomic claim of the version number — exclusive link fails if
         #    another writer already committed this version (the put-if-absent
         #    a real object store would provide), so a lost race can never
-        #    overwrite or delete the winner's snapshot file
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            # liveness: if the claimant died between link and pointer swap,
-            # the pointer never advanced and the stale claim would block
-            # this version number forever — reclaim it after a timeout
-            if self._reclaim_orphan_claim(snap.version, path):
-                try:
-                    os.link(tmp, path)
-                except FileExistsError:
+        #    overwrite or delete the winner's snapshot file. Claim, orphan
+        #    reclaim (liveness: a claimant that died between link and swap
+        #    must not block the version number forever) and the pointer swap
+        #    all run under the pointer mutex, which FENCES a stalled
+        #    claimant: it cannot wake up and swap the pointer to a version
+        #    file that was reclaimed out from under it (TOCTOU).
+        with self._pointer_mutex():
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                if self._reclaim_orphan_claim(snap.version, path):
+                    try:
+                        os.link(tmp, path)
+                    except FileExistsError:
+                        os.remove(tmp)
+                        raise ConcurrentCommitError(
+                            f"version v{snap.version} was re-claimed concurrently"
+                        ) from None
+                else:
                     os.remove(tmp)
                     raise ConcurrentCommitError(
-                        f"version v{snap.version} was re-claimed concurrently"
+                        f"version v{snap.version} was claimed by a concurrent writer"
                     ) from None
-            else:
-                os.remove(tmp)
+            claimed_ino = os.stat(tmp).st_ino
+            os.remove(tmp)
+            # fencing recheck: our claim must still be OUR file (a mutex
+            # timeout + stale-lock break could otherwise let a reclaim slip
+            # between our link and this swap)
+            if os.stat(path).st_ino != claimed_ino:
                 raise ConcurrentCommitError(
-                    f"version v{snap.version} was claimed by a concurrent writer"
-                ) from None
-        os.remove(tmp)
-        ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(ptmp, "w") as fh:
-            fh.write(str(snap.version))
-        os.replace(ptmp, self._pointer_path())  # atomic swap = the commit
+                    f"claim of v{snap.version} was reclaimed before the swap"
+                )
+            ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(ptmp, "w") as fh:
+                fh.write(str(snap.version))
+            os.replace(ptmp, self._pointer_path())  # atomic swap = the commit
+
+    @contextlib.contextmanager
+    def _pointer_mutex(self, timeout: float = 10.0):
+        """Microsecond-critical-section mutex around {version claim, pointer
+        swap, orphan reclaim} — the local-FS stand-in for an object store's
+        conditional operations. Held only across a handful of metadata file
+        ops (never data IO); stale locks (holder crashed mid-section) break
+        after `timeout`."""
+        lock = os.path.join(self.meta_dir, "_swap.lock")
+        t0 = time.time()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > timeout:
+                        os.remove(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() - t0 > timeout:
+                    raise ConcurrentCommitError("pointer mutex timeout")
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
 
     def _reclaim_orphan_claim(self, version: int, path: str) -> bool:
         """True if `path` was a crashed writer's claim (version AHEAD of the
-        pointer, older than the timeout) and was removed."""
+        pointer, older than the timeout) and was removed. Caller must hold
+        the pointer mutex: the pointer re-check and the remove must be
+        atomic w.r.t. a stalled claimant waking up to swap the pointer."""
         try:
             with open(self._pointer_path()) as fh:
                 pointed = int(fh.read().strip())
@@ -561,9 +613,8 @@ class SnapshotTable:
         presence), read from manifests — pure metadata, no data IO. Files
         from pre-stats manifests are absent from the result."""
         snap = snapshot or self.current()
-        self._resolve_manifests(snap)  # populates _stats_cache as a side effect
-        for path in snap.manifest_paths.values():
-            self._read_manifest(path)
+        # resolving manifests populates _stats_cache as a side effect
+        self._resolve_manifests(snap)
         return {
             f: self._stats_cache[f]
             for f in snap.all_files()
@@ -691,6 +742,12 @@ class SnapshotTable:
                 new_buckets = {b: fs for b, fs in bucket_files.items() if fs}
                 new_deltas: dict[str, list[str]] = {}
             else:
+                if parent.num_buckets != parent0.num_buckets:
+                    raise CommitConflictError(
+                        "table was rebucketed by a concurrent commit "
+                        f"({parent0.num_buckets} -> {parent.num_buckets} "
+                        "buckets); recompute against the new layout"
+                    )
                 if parent.version != parent0.version:
                     # rebase validation: our rewrite is only correct if no
                     # intervening commit changed the buckets we rewrote
@@ -768,6 +825,7 @@ class SnapshotTable:
         new_schema: StructType | None = None,
         lineage: dict[str, Any] | None = None,
         lineage_fn: Any = None,
+        base_snapshot: Snapshot | None = None,
     ) -> Snapshot:
         """Merge-on-read commit: append winner rows (incl. tombstones) as
         delta files — O(batch) IO regardless of table size. Readers LWW-merge
@@ -812,6 +870,12 @@ class SnapshotTable:
         )
 
         def build(parent: Snapshot) -> Snapshot:
+            if parent.num_buckets != parent0.num_buckets:
+                raise CommitConflictError(
+                    "table was rebucketed by a concurrent commit "
+                    f"({parent0.num_buckets} -> {parent.num_buckets} buckets); "
+                    "delta bucket ids are stale — recompute"
+                )
             new_deltas = {b: list(fs) for b, fs in parent.deltas.items()}
             for b, fs in added.items():
                 new_deltas.setdefault(b, []).extend(fs)
@@ -995,8 +1059,12 @@ class SnapshotTable:
                 partition_key=target.partition_key,
                 buckets=target.buckets,
                 ledger=dict(target.ledger),
+                # the TARGET's lineage: the event-time watermark and all
+                # counters must roll back with the state, or replayed
+                # batches would be late-dropped against the abandoned
+                # future watermark
                 lineage=(
-                    parent.lineage
+                    target.lineage
                     + [{"rollback_to": version, "commit_epoch": time.time()}]
                 )[-1000:],
                 parent=parent.version,
@@ -1035,11 +1103,15 @@ class SnapshotTable:
         if batch_id is None:
             df.write.mode("append").parquet(self.quarantine_dir())
             return
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in str(batch_id))
-        # no '=' in the dir name: it must read as a plain nested dir, not a
-        # Hive partition column
+        # readable prefix + short hash = injective (plain sanitization lets
+        # distinct ids like 'b:1' and 'b_1' collide and overwrite each
+        # other's dead-letter rows); no '=' so it reads as a nested dir,
+        # not a Hive partition column
+        raw = str(batch_id)
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in raw)
+        digest = hashlib.md5(raw.encode()).hexdigest()[:8]
         df.write.mode("overwrite").parquet(
-            os.path.join(self.quarantine_dir(), f"b-{safe}")
+            os.path.join(self.quarantine_dir(), f"b-{safe}-{digest}")
         )
 
     def read_quarantine(self) -> DataFrame:
@@ -1136,10 +1208,14 @@ class SnapshotTable:
             # holds a tombstone AND spans below the watermark (safe
             # over-approximation — the rewrite's ~expr filter is exact)
             def candidate(files: list[str]) -> bool:
+                # UNKNOWN stats (None) are conservative candidates — stats
+                # prune, they never gate correctness
                 return any(
-                    stats[f]["tombstones"]
-                    and stats[f]["lsn_min"] is not None
-                    and stats[f]["lsn_min"] < below_lsn
+                    stats[f]["tombstones"] is not False
+                    and (
+                        stats[f]["lsn_min"] is None
+                        or stats[f]["lsn_min"] < below_lsn
+                    )
                     for f in files
                 )
 
@@ -1207,6 +1283,7 @@ class SnapshotTable:
             for f in snap.all_files():
                 if f not in live and os.path.exists(f):
                     os.remove(f)
+                    self._stats_cache.pop(f, None)
                     removed += 1
             for m in snap.manifest_paths.values():
                 if m not in live_manifests and os.path.exists(m):
@@ -1246,6 +1323,7 @@ class SnapshotTable:
                 try:
                     if os.path.getmtime(path) < cutoff:
                         os.remove(path)
+                        self._stats_cache.pop(path, None)
                         removed += 1
                 except FileNotFoundError:
                     continue

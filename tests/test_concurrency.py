@@ -307,3 +307,45 @@ def test_orphan_version_claim_is_reclaimed(spark, tmp_path):
     # expire anchored on the pointer never deletes the live snapshot
     assert t.expire_snapshots(keep_last=1) == 0
     assert t.current().version == 1
+
+
+def test_mor_append_conflicts_with_concurrent_rebucket(spark, tmp_path):
+    """A delta append whose bucket ids were computed under the OLD layout
+    must conflict with a concurrent rebucket, not rebase (the rows would be
+    invisible to every pruned read under the new layout)."""
+    full, feed_dir, root = setup(spark, tmp_path)
+    a = SnapshotTable.load(spark, root)
+    b = SnapshotTable.load(spark, root)
+    apply_changes(full.filter("lsn < 20"), a, batch_id="seed", mode="mor")
+    fired = interleave(a, lambda: b.rebucket(16))
+    with pytest.raises(CommitConflictError):
+        apply_changes(full.filter("lsn >= 20"), a, batch_id="late", mode="mor")
+    assert fired["done"]
+    # recompute against the new layout converges
+    apply_changes(full.filter("lsn >= 20"), a, batch_id="late", mode="mor")
+    ok, msg = table_matches_oracle(
+        state(a),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
+
+
+def test_rollback_reverts_watermark(spark, tmp_path):
+    """Rolling back must restore the TARGET's event-time watermark, or
+    replayed batches get late-dropped against the abandoned future hwm."""
+    full, feed_dir, root = setup(spark, tmp_path)
+    t = SnapshotTable.load(spark, root)
+    apply_changes(full.filter("lsn < 20"), t, batch_id="b0", mode="mor")
+    v1 = t.current().version
+    hwm_v1 = t.current().lineage[-1].get("event_ts_max")
+    apply_changes(full.filter("lsn >= 20"), t, batch_id="b1", mode="mor")
+    assert t.current().lineage[-1]["event_ts_max"] >= hwm_v1
+    snap = t.rollback(v1)
+    assert snap.lineage[-2].get("event_ts_max") == hwm_v1  # [-1] is the marker
+    hwms = [e["event_ts_max"] for e in snap.lineage if "event_ts_max" in e]
+    assert max(hwms) == hwm_v1  # b1's future watermark is gone

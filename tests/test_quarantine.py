@@ -310,3 +310,16 @@ def test_quarantine_write_idempotent_per_batch(spark, tmp_path):
     t2 = SnapshotTable.load(spark, str(tmp_path / "qi"))
     apply_changes(feed, t2, batch_id="b0", quarantine=True)
     assert table.read_quarantine().count() == 1  # not 2 or 3
+
+
+def test_quarantine_batch_ids_never_collide(spark, tmp_path):
+    """Distinct batch ids that sanitize identically must keep distinct
+    dead-letter directories (injective encoding)."""
+    table = _mk_table(spark, tmp_path, "qc")
+    rows = [(2, "X", "c1", 1, "user", "bad", None, TS, 0)]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    apply_changes(feed, table, batch_id="b:1", quarantine=True)
+    apply_changes(feed, table, batch_id="b_1", quarantine=True)
+    q = table.read_quarantine().collect()
+    assert len(q) == 2
+    assert {r.batch_id for r in q} == {"b:1", "b_1"}
