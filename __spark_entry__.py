@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": lambda s, d: T.token_stats(_read(s, d, "documents")),
         "docs_quality_score": lambda s, d: T.quality_score(_read(s, d, "documents")),
         "docs_lang_id": lambda s, d: T.lang_id(_read(s, d, "documents")),
+        "docs_lang_id_ngram": lambda s, d: T.lang_id_ngram(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
         "docs_stratified_sample": lambda s, d: SM.stratified_sample(
             _read(s, d, "documents")
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": T.TOKEN_STATS_SQL,
         "docs_quality_score": T.QUALITY_SCORE_SQL,
         "docs_lang_id": T.LANG_ID_SQL,
+        "docs_lang_id_ngram": T.LANG_ID_NGRAM_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
         "docs_stratified_sample": SM.stratified_sample_sql(),
         "docs_train_split": SM.train_split_sql(),

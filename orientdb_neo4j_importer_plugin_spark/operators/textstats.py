@@ -210,3 +210,98 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+# Character-trigram profiles per language, most-frequent first (public
+# Cavnar–Trenkle-style rank profiles, restricted to [a-z ] so they survive
+# the accent-stripping normalization below). Rank-weighted: the i-th trigram
+# of a K-long profile contributes (K - i) per occurrence — all-integer, so
+# both engines produce bit-identical scores.
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of ", "ion"],
+    "es": [" de", "de ", " la", "la ", "os ", "que", " qu", "es ", " el", "el "],
+    "de": ["en ", "er ", "ch ", " de", "der", "ein", "sch", "die", "und", " un"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "et ", "on "],
+}
+
+# lowercase, collapse every non-letter run to one space, pad the ends so
+# word-boundary trigrams (" th", "nd ") match at string edges
+_NORM_SPARK = "concat(' ', regexp_replace(lower(text), '[^a-z]+', ' '), ' ')"
+_NORM_SQL = "concat(' ', regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')"
+
+
+def _trigram_score(norm_col, grams: list[str]):
+    """Rank-weighted occurrence count as a Spark Column (bigint)."""
+    k = len(grams)
+    terms = [
+        (
+            (F.length(norm_col) - F.length(F.replace(norm_col, F.lit(g))))
+            / F.lit(len(g))
+        ).cast("long")
+        * F.lit(k - i)
+        for i, g in enumerate(grams)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("long")
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle rank profiles).
+
+    Upgrade over the marker-word `lang_id`: scores every language on
+    rank-weighted counts of its top character trigrams over the normalized
+    text — robust to texts that never contain a whole marker word. Pure
+    built-in expressions (length/replace arithmetic), whole-stage codegen,
+    integer scores for cross-engine bit-parity. Reference analogue: the
+    importer's per-record classification during migration
+    (``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283`` routes records
+    by per-record string inspection).
+
+    Columns: doc_id, lang_guess, lang_score.
+    """
+    norm = F.expr(_NORM_SPARK)
+    scored = documents.select(
+        "doc_id",
+        *[
+            _trigram_score(norm, grams).alias(f"score_{lang}")
+            for lang, grams in LANG_TRIGRAMS.items()
+        ],
+    )
+    langs = list(LANG_TRIGRAMS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    guess = F.lit("und")
+    for lg in reversed(langs):  # first language (fixed order) achieving max
+        guess = F.when(
+            (F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(guess)
+    return scored.select(
+        "doc_id", guess.alias("lang_guess"), best.alias("lang_score")
+    )
+
+
+def _trigram_score_sql(grams: list[str]) -> str:
+    k = len(grams)
+    terms = [
+        f"CAST((length(n) - length(replace(n, '{g}', ''))) / {len(g)} AS BIGINT)"
+        f" * {k - i}"
+        for i, g in enumerate(grams)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+LANG_ID_NGRAM_SQL = (
+    f"WITH nrm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents), "
+    "s AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_trigram_score_sql(grams)} AS score_{lang}"
+        for lang, grams in LANG_TRIGRAMS.items()
+    )
+    + ", greatest("
+    + ", ".join(f"{_trigram_score_sql(grams)}" for grams in LANG_TRIGRAMS.values())
+    + ") AS best FROM nrm) SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN score_{lg} = best AND best > 0 THEN '{lg}'" for lg in LANG_TRIGRAMS
+    )
+    + " ELSE 'und' END AS lang_guess, best AS lang_score FROM s ORDER BY doc_id"
+)
