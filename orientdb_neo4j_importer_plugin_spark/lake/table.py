@@ -328,7 +328,16 @@ class SnapshotTable:
             self._manifest_cache[path] = got
             # stats ride inside the manifest (Iceberg data-file stats
             # analogue); absent for pre-stats manifests
-            self._stats_cache.update(d.get("stats", {}))
+            stats = d.get("stats", {})
+            if d.get("stats_v", 1) < 2:
+                # v1 manifests collapsed "no __deleted footer stats" into
+                # False; their False is really UNKNOWN — keep only True
+                # trustworthy so maintenance never prunes on a v1 False
+                stats = {
+                    f: {**s, "tombstones": True if s.get("tombstones") else None}
+                    for f, s in stats.items()
+                }
+            self._stats_cache.update(stats)
         return got
 
     @staticmethod
@@ -417,7 +426,13 @@ class SnapshotTable:
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(
-                    {"base": content[0], "deltas": content[1], "stats": stats}, fh
+                    {
+                        "base": content[0],
+                        "deltas": content[1],
+                        "stats": stats,
+                        "stats_v": 2,  # v2: tombstones is 3-state (see _footer_stats)
+                    },
+                    fh,
                 )
             os.replace(tmp, path)
             self._manifest_cache[path] = content
@@ -471,7 +486,11 @@ class SnapshotTable:
             # fencing recheck: our claim must still be OUR file (a mutex
             # timeout + stale-lock break could otherwise let a reclaim slip
             # between our link and this swap)
-            if os.stat(path).st_ino != claimed_ino:
+            try:
+                still_ours = os.stat(path).st_ino == claimed_ino
+            except FileNotFoundError:
+                still_ours = False
+            if not still_ours:
                 raise ConcurrentCommitError(
                     f"claim of v{snap.version} was reclaimed before the swap"
                 )
@@ -488,18 +507,26 @@ class SnapshotTable:
         ops (never data IO); stale locks (holder crashed mid-section) break
         after `timeout`."""
         lock = os.path.join(self.meta_dir, "_swap.lock")
+        token = uuid.uuid4().hex
         t0 = time.time()
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > timeout:
-                        os.remove(lock)
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > timeout
                 except FileNotFoundError:
+                    continue
+                if stale:
+                    # atomic break: exactly ONE breaker wins the rename (a
+                    # bare check-then-remove would let two waiters both
+                    # "break" — the second removing the first's fresh lock)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.rename(lock, f"{lock}.stale-{token}")
+                        os.remove(f"{lock}.stale-{token}")
                     continue
                 if time.time() - t0 > timeout:
                     raise ConcurrentCommitError("pointer mutex timeout")
@@ -507,8 +534,13 @@ class SnapshotTable:
         try:
             yield
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(lock)
+            # ownership-verified unlink: a holder that stalled past the
+            # timeout and was broken must NOT remove the breaker's lock
+            with contextlib.suppress(FileNotFoundError, OSError):
+                with open(lock) as fh:
+                    owned = fh.read() == token
+                if owned:
+                    os.remove(lock)
 
     def _reclaim_orphan_claim(self, version: int, path: str) -> bool:
         """True if `path` was a crashed writer's claim (version AHEAD of the
@@ -814,6 +846,9 @@ class SnapshotTable:
         except CommitConflictError:
             # the rewrite is stale — its files can never be committed;
             # remove them so a recompute doesn't leave orphans behind
+            for fs in bucket_files.values():
+                for f in fs:
+                    self._stats_cache.pop(f, None)
             shutil.rmtree(out_dir, ignore_errors=True)
             raise
 
@@ -838,11 +873,15 @@ class SnapshotTable:
 
         Concurrency: a delta append is a pure file addition, so it rebases
         onto ANY concurrent commit (disjoint or not) — the LWW read-merge
-        orders rows by __lsn, not by commit order.
+        orders rows by __lsn, not by commit order. The one exception is a
+        rebucket: `base_snapshot` MUST be the snapshot the winners' bucket
+        ids were computed from (validating against a snapshot read HERE
+        would miss a rebucket landing during the caller's Spark jobs).
         """
-        parent0 = self.current()
-        if batch_id is not None and str(batch_id) in parent0.ledger:
-            return parent0
+        cur = self.current()
+        if batch_id is not None and str(batch_id) in cur.ledger:
+            return cur
+        parent0 = base_snapshot if base_snapshot is not None else cur
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(
             self.data_dir, f"delta-{parent0.version + 1:08d}-{commit_id}"
@@ -915,7 +954,16 @@ class SnapshotTable:
                 key_columns=parent.key_columns,
             )
 
-        return self._commit_retry(build, batch_id, out_dir)
+        try:
+            return self._commit_retry(build, batch_id, out_dir)
+        except CommitConflictError:
+            # stale bucket ids can never be committed — remove the written
+            # delta files so the caller's recompute doesn't leave orphans
+            for fs in added.values():
+                for f in fs:
+                    self._stats_cache.pop(f, None)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     def compact(
         self, bucket_ids: list[int] | None = None, max_recomputes: int = 2
@@ -1110,6 +1158,13 @@ class SnapshotTable:
         raw = str(batch_id)
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in raw)
         digest = hashlib.md5(raw.encode()).hexdigest()[:8]
+        # migrate the pre-hash layout: a replay must OVERWRITE the batch's
+        # old dead-letter dir, not leave it to double-count in reads (the
+        # legacy name was also ambiguous across colliding batch ids, so the
+        # old code would have clobbered it on the next colliding write too)
+        shutil.rmtree(
+            os.path.join(self.quarantine_dir(), f"b-{safe}"), ignore_errors=True
+        )
         df.write.mode("overwrite").parquet(
             os.path.join(self.quarantine_dir(), f"b-{safe}-{digest}")
         )

@@ -123,6 +123,32 @@ LANG_MARKERS = {
 }
 
 
+
+def _pick_best_lang(langs: list[str], score_fmt: str):
+    """Shared argmax + deterministic tie-break for the language classifiers:
+    first language (in the dict's fixed order) achieving the max, 'und' when
+    every score is 0. Returns (guess Column, best Column)."""
+    best = F.greatest(*[F.col(score_fmt.format(lg)) for lg in langs])
+    guess = F.lit("und")
+    for lg in reversed(langs):
+        guess = F.when(
+            (F.col(score_fmt.format(lg)) == best) & (best > 0), F.lit(lg)
+        ).otherwise(guess)
+    return guess, best
+
+
+def _pick_best_lang_sql(langs: list[str], score_fmt: str) -> str:
+    """SQL twin of _pick_best_lang (expects a `best` column in scope)."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {score_fmt.format(lg)} = best AND best > 0 THEN '{lg}'"
+            for lg in langs
+        )
+        + " ELSE 'und' END"
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language guess with deterministic tie-break.
 
@@ -136,14 +162,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         for lang, ms in LANG_MARKERS.items()
     ]
     scored = documents.select("doc_id", *scores)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
-    guess = F.lit("und")
-    # deterministic priority: first language (in fixed order) achieving max
-    for lg in reversed(langs):
-        guess = F.when(
-            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
-        ).otherwise(guess)
+    guess, best = _pick_best_lang(list(LANG_MARKERS), "hits_{}")
     return scored.select("doc_id", guess.alias("lang_guess"), best.alias("lang_hits"))
 
 
@@ -157,11 +176,9 @@ LANG_ID_SQL = (
     + ", ".join(f"{_lang_hits_sql(lg)} AS hits_{lg}" for lg in LANG_MARKERS)
     + ", greatest("
     + ", ".join(f"{_lang_hits_sql(lg)}" for lg in LANG_MARKERS)
-    + ") AS best FROM documents) SELECT doc_id, CASE "
-    + " ".join(
-        f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}'" for lg in LANG_MARKERS
-    )
-    + " ELSE 'und' END AS lang_guess, best AS lang_hits FROM s ORDER BY doc_id"
+    + ") AS best FROM documents) SELECT doc_id, "
+    + _pick_best_lang_sql(list(LANG_MARKERS), "hits_{}")
+    + " AS lang_guess, best AS lang_hits FROM s ORDER BY doc_id"
 )
 
 
@@ -268,13 +285,7 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
             for lang, grams in LANG_TRIGRAMS.items()
         ],
     )
-    langs = list(LANG_TRIGRAMS)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    guess = F.lit("und")
-    for lg in reversed(langs):  # first language (fixed order) achieving max
-        guess = F.when(
-            (F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)
-        ).otherwise(guess)
+    guess, best = _pick_best_lang(list(LANG_TRIGRAMS), "score_{}")
     return scored.select(
         "doc_id", guess.alias("lang_guess"), best.alias("lang_score")
     )
@@ -299,9 +310,7 @@ LANG_ID_NGRAM_SQL = (
     )
     + ", greatest("
     + ", ".join(f"{_trigram_score_sql(grams)}" for grams in LANG_TRIGRAMS.values())
-    + ") AS best FROM nrm) SELECT doc_id, CASE "
-    + " ".join(
-        f"WHEN score_{lg} = best AND best > 0 THEN '{lg}'" for lg in LANG_TRIGRAMS
-    )
-    + " ELSE 'und' END AS lang_guess, best AS lang_score FROM s ORDER BY doc_id"
+    + ") AS best FROM nrm) SELECT doc_id, "
+    + _pick_best_lang_sql(list(LANG_TRIGRAMS), "score_{}")
+    + " AS lang_guess, best AS lang_score FROM s ORDER BY doc_id"
 )

@@ -349,3 +349,51 @@ def test_rollback_reverts_watermark(spark, tmp_path):
     assert snap.lineage[-2].get("event_ts_max") == hwm_v1  # [-1] is the marker
     hwms = [e["event_ts_max"] for e in snap.lineage if "event_ts_max" in e]
     assert max(hwms) == hwm_v1  # b1's future watermark is gone
+
+
+def test_mor_append_conflicts_with_rebucket_before_commit_call(spark, tmp_path):
+    """The wide window: a rebucket that fully lands while the apply is still
+    in its Spark jobs (i.e. BEFORE commit_delta_append is even called) must
+    still conflict — the guard has to validate against the snapshot the
+    bucket ids were computed from, not the commit-time current()."""
+    import glob
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import BUCKET_COL, bucket_expr
+    from pyspark.sql import functions as F
+
+    full, feed_dir, root = setup(spark, tmp_path)
+    t = SnapshotTable.load(spark, root)
+    apply_changes(full.filter("lsn < 20"), t, batch_id="seed", mode="mor")
+    snap = t.current()  # bucket ids will derive from THIS layout (8 buckets)
+    winners = (
+        full.filter("lsn >= 20 and op = 'I'")
+        .select(
+            "conv_id", "turn_idx", "role", "text", "ts",
+            F.col("lsn").alias("__lsn"), F.lit(False).alias("__deleted"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr("conv_id", snap.num_buckets))
+    )
+    SnapshotTable.load(spark, root).rebucket(16)  # lands fully, no interleave
+    with pytest.raises(CommitConflictError):
+        t.commit_delta_append(
+            winners, list(range(snap.num_buckets)), batch_id="late",
+            base_snapshot=snap,
+        )
+    # the conflicted append's delta files were cleaned up, not orphaned
+    # (snap is v1 -> the conflicted dir would be delta-00000002-*; the seed
+    # batch's live delta-00000001-* must survive)
+    assert not glob.glob(os.path.join(root, "data", "delta-00000002-*"))
+    assert glob.glob(os.path.join(root, "data", "delta-00000001-*"))
+    # recompute against the new layout converges
+    apply_changes(full.filter("lsn >= 20"), t, batch_id="late", mode="mor")
+    ok, msg = table_matches_oracle(
+        state(t),
+        [
+            tuple(r)
+            for r in reduce_events_duckdb(
+                f"{feed_dir}/*.parquet", has_tool=False
+            ).fetchall()
+        ],
+    )
+    assert ok, msg
