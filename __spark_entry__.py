@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "customer"), _read(s, d, "orders")
         ),
         "rollup_returns": lambda s, d: R.rollup_returns(_read(s, d, "lineitem")),
+        "cube_ship_years": lambda s, d: R.cube_ship_years(_read(s, d, "lineitem")),
+        "gsets_order_mix": lambda s, d: R.gsets_order_mix(_read(s, d, "orders")),
         "setop_customer_segments": lambda s, d: R.setop_customer_segments(
             _read(s, d, "customer"), _read(s, d, "orders")
         ),
@@ -340,6 +342,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21": R.q21_sql(),
         "tpch_q22": R.q22_sql(),
         "rollup_returns": R.ROLLUP_RETURNS_SQL,
+        "cube_ship_years": R.CUBE_SHIP_YEARS_SQL,
+        "gsets_order_mix": R.GSETS_ORDER_MIX_SQL,
         "setop_customer_segments": R.SETOP_CUSTOMER_SEGMENTS_SQL,
         "docs_token_stats": T.TOKEN_STATS_SQL,
         "docs_quality_score": T.QUALITY_SCORE_SQL,

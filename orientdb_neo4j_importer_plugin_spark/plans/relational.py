@@ -47,6 +47,75 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def cube_ship_years(lineitem: DataFrame) -> DataFrame:
+    """Quantity/count over EVERY subset of (ship year, returnflag) — the full
+    cube (4 grouping sets in one shuffle with map-side partials; Catalyst
+    expands the sets, Tungsten aggregates each partial in the same exchange).
+    Columns: ship_year, l_returnflag, n_rows, sum_qty."""
+    return (
+        lineitem.withColumn(
+            "ship_year", F.year("l_shipdate").cast("string")
+        )
+        .cube("ship_year", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("ship_year", F.lit(ALL)).alias("ship_year"),
+            F.coalesce("l_returnflag", F.lit(ALL)).alias("l_returnflag"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+CUBE_SHIP_YEARS_SQL = f"""
+SELECT coalesce(CAST(year(l_shipdate) AS VARCHAR), '{ALL}') AS ship_year,
+       coalesce(l_returnflag, '{ALL}') AS l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (year(l_shipdate), l_returnflag)
+ORDER BY ship_year, l_returnflag
+"""
+
+
+def gsets_order_mix(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — two independent one-column breakdowns
+    ((o_orderpriority), (o_orderstatus)) computed in ONE pass over orders
+    instead of two scans + union. Columns: o_orderpriority, o_orderstatus,
+    n_orders, sum_total."""
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit(ALL)).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit(ALL)).alias("o_orderstatus"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+GSETS_ORDER_MIX_SQL = f"""
+SELECT coalesce(o_orderpriority, '{ALL}') AS o_orderpriority,
+       coalesce(o_orderstatus, '{ALL}') AS o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def setop_customer_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set-operator suite in one query: (BUILDING customers INTERSECT 1996+
     orderers) UNION (negative-balance customers EXCEPT any orderer).
