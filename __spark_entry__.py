@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_by_label": lambda s, d: V.centroid_by_label_str(
             _read(s, d, "embeddings"), dim=EMB_DIM
         ),
+        "emb_ivf_topk": lambda s, d: V.ivf_topk(
+            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK
+        ),
     }
 
 
@@ -372,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
             EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
         ),
         "emb_centroid_by_label": V.centroid_by_label_str_sql(dim=EMB_DIM),
+        "emb_ivf_topk": V.ivf_topk_sql(EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM),
         "events_props_parse": S.PROPS_PARSE_SQL,
         "events_first_value": S.FIRST_VALUE_SAMPLE_SQL,
         "events_span_summary": S.SPAN_SUMMARY_SQL,

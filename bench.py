@@ -161,6 +161,15 @@ def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
         multi_recall[f"t{tables}_p{planes}_probe{probes}"] = round(
             len(got & brute) / max(len(brute), 1), 3
         )
+    ivf_recall = {}
+    for n_cells, nprobe in ((32, 4), (32, 8), (64, 8)):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in V.ivf_topk(emb, qids, k, n_cells=n_cells, nprobe=nprobe).collect()
+        }
+        ivf_recall[f"c{n_cells}_probe{nprobe}"] = round(
+            len(got & brute) / max(len(brute), 1), 3
+        )
     # near-dup pair recall on a bounded deterministic subset (exact is O(n^2))
     sub = emb.filter(F.col("vec_id") < 1000)
     exact = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(sub).collect()}
@@ -168,6 +177,7 @@ def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
     return {
         "lsh_topk_recall_at_5_by_planes": topk_recall,
         "lsh_topk_multi_recall_at_5": multi_recall,
+        "ivf_topk_recall_at_5": ivf_recall,
         "near_dup_pair_recall": round(len(lsh & exact) / max(len(exact), 1), 3),
         "near_dup_pairs_exact": len(exact),
     }

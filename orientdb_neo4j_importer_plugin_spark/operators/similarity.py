@@ -674,3 +674,182 @@ def centroid_by_label(embeddings: DataFrame, dim: int = 128) -> DataFrame:
         )
     )
     return means
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (centroid cells — the inverted-file scale path)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 32
+IVF_NPROBE = 4
+
+
+def ivf_cells_vectorized(centroids: list[tuple[int, list[float]]], m: int):
+    """Top-`m` nearest-centroid cell ids per vector in ONE Arrow-batched
+    matmul (batch x dim) @ (dim x n_cells). Cosines are rounded to ROUND_DP
+    BEFORE the argsort and ties break on the smaller cell id, so the
+    assignment is bit-identical to the SQL twin's window-ranked form (an
+    unrounded argmax could flip near-ties between numpy's BLAS sum and the
+    oracle's left-fold sum).
+
+    Returns a pandas_udf: array<float> -> array<int> (length m).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cell_ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    C = np.array([c[1] for c in centroids], dtype=np.float64)  # (n_cells, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<long>")
+    def cells(emb: pd.Series) -> pd.Series:
+        A = np.vstack(emb.to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        cos = np.round(An @ Cn.T, ROUND_DP)  # (batch, n_cells)
+        # rank by (-cosine, cell_id): lexsort's LAST key is primary
+        order = np.lexsort((cell_ids[None, :].repeat(len(A), 0), -cos), axis=1)
+        top = cell_ids[order[:, :m]]
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: partition the corpus into `n_cells`
+    centroid cells, probe the `nprobe` nearest cells per query, exact-cosine
+    re-rank the candidates. The third ANN family next to LSH
+    (lsh_topk_multi) and exact brute force — cells adapt to the data
+    distribution where LSH planes are data-oblivious.
+
+    Centroids are a deterministic seed sample (the n_cells smallest vec_ids
+    — equivalent to random init on i.i.d. fixture vectors) rather than
+    Lloyd-refined: assignment stays exactly expressible in the SQL oracle.
+
+    Scale shape: the centroid matrix is bounded (n_cells x dim, ~32 KB) and
+    ships inside the UDF closure — the corpus is assigned in one Arrow
+    matmul pass with NO shuffle; only (query_id, cell) probes broadcast.
+    Build cost is O(corpus x n_cells) multiply-adds, the standard IVF
+    quantization cost. Candidates ≈ corpus x nprobe / n_cells.
+
+    Columns: query_id, rank, neighbor_id, cosine (same contract as
+    brute_force_topk, so recall@k is directly measurable).
+    """
+    centroids = [
+        (int(r.vec_id), list(r.embedding))
+        for r in embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assign1 = ivf_cells_vectorized(centroids, 1)
+    corpus_cells = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.explode(assign1(F.col("embedding"))).alias("cell"),
+    )
+    probe = ivf_cells_vectorized(centroids, nprobe)
+    probe_cells = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe(F.col("embedding"))).alias("cell"),
+        )
+    )
+    q_emb = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine_vectorized()
+    scored = (
+        corpus_cells.join(F.broadcast(probe_cells), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of ivf_topk: same seed centroids, same rounded-cosine
+    assignment with the same (cosine DESC, cell ASC) tie-break."""
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def cos(a: str, b: str) -> str:
+        dot = " + ".join(
+            f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        na = " + ".join(
+            f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({a}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        nb = " + ".join(
+            f"CAST({b}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}
+),
+corpus_assign AS (
+  SELECT e.vec_id AS neighbor_id, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cos('e', 'cents')}, {ROUND_DP}) DESC, cents.cell ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents
+),
+corpus_cells AS (
+  SELECT neighbor_id, cell FROM corpus_assign WHERE rn = 1
+),
+probe_assign AS (
+  SELECT e.vec_id AS query_id, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cos('e', 'cents')}, {ROUND_DP}) DESC, cents.cell ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents
+  WHERE e.vec_id IN ({ids})
+),
+probe_cells AS (
+  SELECT query_id, cell FROM probe_assign WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         round({cos('q', 'c')}, {ROUND_DP}) AS cosine
+  FROM probe_cells p
+  JOIN corpus_cells cc ON p.cell = cc.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = cc.neighbor_id
+  WHERE cc.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
