@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": lambda s, d: T.lang_id(_read(s, d, "documents")),
         "docs_lang_id_ngram": lambda s, d: T.lang_id_ngram(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
+        "docs_redact_pii": lambda s, d: T.redact_pii(_read(s, d, "documents")),
         "docs_stratified_sample": lambda s, d: SM.stratified_sample(
             _read(s, d, "documents")
         ),
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": T.LANG_ID_SQL,
         "docs_lang_id_ngram": T.LANG_ID_NGRAM_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
+        "docs_redact_pii": T.redact_pii_sql(),
         "docs_stratified_sample": SM.stratified_sample_sql(),
         "docs_train_split": SM.train_split_sql(),
         "docs_pack_sequences": SM.pack_documents_sql(),

@@ -314,3 +314,77 @@ LANG_ID_NGRAM_SQL = (
     + _pick_best_lang_sql(list(LANG_TRIGRAMS), "score_{}")
     + " AS lang_guess, best AS lang_score FROM s ORDER BY doc_id"
 )
+
+
+# PII-style scrubbing patterns (heuristic, deterministic; RE2-compatible so
+# the Spark (Java regex) and DuckDB (RE2) engines match identically — no
+# lookarounds, no backrefs). A date like 2026-08-16 deliberately matches the
+# phone pattern (digit runs with separators are scrubbed conservatively).
+PII_PATTERNS = [
+    # order matters: emails first (an IP inside a hostname must not be
+    # half-masked), then IPs, then phone-like digit runs
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub email / IP / phone-like spans from `text`, counting each
+    category on the ORIGINAL text (counts are independent of mask order;
+    masking is sequential in PII_PATTERNS order). Pure regexp built-ins —
+    whole-stage codegen, no Python in the hot path. Reference analogue: the
+    importer's per-record value sanitization during migration
+    (``ONeo4jImporterVerticesAndEdgesMigrator.java:306-335``).
+
+    Columns: doc_id, text_redacted, n_email, n_ip, n_phone, n_pii.
+    """
+    red = F.col("text")
+    counts = []
+    for name, pat, mask in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, mask)
+    out = documents.select("doc_id", red.alias("text_redacted"), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long")).select(
+        "doc_id",
+        "text_redacted",
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
+        "n_pii",
+    )
+
+
+def _sql_quote(pat: str) -> str:
+    # DuckDB string literals do NOT process backslash escapes — pass the
+    # regex through verbatim, only double the quote character
+    return pat.replace("'", "''")
+
+
+def redact_pii_sql() -> str:
+    red = "text"
+    for _, pat, mask in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{_sql_quote(pat)}', '{mask}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_quote(pat)}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_quote(pat)}')) AS BIGINT)"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {red} AS text_redacted,
+       {counts},
+       CAST({total} AS BIGINT) AS n_pii
+FROM documents
+ORDER BY doc_id
+"""

@@ -58,3 +58,23 @@ def test_profiles_are_normalization_closed():
         for g in grams:
             assert len(g) == 3 and all(c == " " or "a" <= c <= "z" for c in g)
             assert "  " not in g  # runs collapse to ONE space
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com or call +1 415 555 0000"),
+            (2, "server 192.168.0.1 logged 2026-08-16 at 10.2.3.4"),
+            (3, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].text_redacted == "mail [EMAIL] or call [PHONE]"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_pii) == (1, 1, 2)
+    # emails mask before IPs: the hostname's dotted part is never half-masked
+    assert rows[2].text_redacted == "server [IP] logged [PHONE] at [IP]"
+    assert rows[2].n_ip == 2 and rows[2].n_phone == 1  # date scrubs as phone
+    assert rows[3].n_pii == 0 and rows[3].text_redacted == "clean text"
