@@ -211,6 +211,10 @@ def main() -> None:
         "tpch_q21",
         "rollup_returns",
         "events_asof_join",
+        "emb_ivf_topk",
+        "cube_ship_years",
+        "docs_redact_pii",
+        "docs_lang_id_ngram",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
