@@ -128,6 +128,72 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+_CHLOG_B1 = (
+    "(op = 'I' AND pmod(turn_idx, 5) != 0) OR (op != 'I' AND pmod(turn_idx, 2) = 0)"
+)
+_CHLOG_B2 = (
+    "(op = 'I' AND pmod(turn_idx, 5) = 0) OR (op != 'I' AND pmod(turn_idx, 2) = 1)"
+)
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed between two snapshot versions: apply the
+    feed in two deterministic halves (some keys' inserts held back to the
+    2nd batch so all of I/U/D appear), then diff v1 -> v2 with
+    SnapshotTable.changelog."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_chlog_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="c1", mode="mor")
+    v1 = table.current().version
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="c2", mode="mor")
+    return table.changelog(v1).orderBy("conv_id", "turn_idx")
+
+
+# the oracle diffs the two LWW states the same two halves induce
+CDC_CHANGELOG_SQL = f"""
+{_FEED_SQL},
+s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+    WHERE (op = 'I' AND turn_idx % 5 <> 0) OR (op <> 'I' AND turn_idx % 2 = 0)
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT coalesce(s2.conv_id, s1.conv_id) AS conv_id,
+         coalesce(s2.turn_idx, s1.turn_idx) AS turn_idx,
+         CASE WHEN (s1.lsn IS NULL OR s1.op = 'D') AND s2.op <> 'D' THEN 'I'
+              WHEN s1.op <> 'D' AND (s2.lsn IS NULL OR s2.op = 'D') THEN 'D'
+              WHEN s1.op <> 'D' AND s2.op <> 'D' AND s1.lsn <> s2.lsn THEN 'U'
+         END AS chg,
+         s2.role AS role, s2.text AS text, s2.tool AS tool, s2.ts AS ts
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+)
+SELECT conv_id, turn_idx, chg AS op,
+       CASE WHEN chg <> 'D' THEN role END AS role,
+       CASE WHEN chg <> 'D' THEN text END AS text,
+       CASE WHEN chg <> 'D' THEN tool END AS tool,
+       CASE WHEN chg <> 'D' THEN ts END AS ts
+FROM d WHERE chg IS NOT NULL
+ORDER BY conv_id, turn_idx
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_replay_state(spark, "/root/testdata/sf0.001")
@@ -143,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC / event semantics
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
+        "cdc_changelog": cdc_changelog,
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
@@ -320,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_state": CDC_REPLAY_SQL,
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
+        "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),

@@ -674,6 +674,91 @@ class SnapshotTable:
             return rows
         return rows.filter(~F.col(DELETED_COL)).drop(*META_COLS)
 
+    def changelog(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change-data-feed between two snapshots (Delta CDF /
+        Iceberg create_changelog_view analogue): one row per key whose LWW
+        state changed, with ``op`` I/U/D and the NEW payload (nulls for D).
+
+        Scale shape: candidate keys come from the file-level diff (O(files
+        written since from_version), pure metadata + new-file scan); both
+        states are then read BUCKET-PRUNED to the candidates' buckets and
+        semi-joined down to candidates — cost is O(changed data + touched
+        buckets), never O(table). COW rewrites surface whole buckets as
+        candidates (honest file-level contract, same as changes_since); the
+        state diff still filters them to true changes.
+        """
+        old_snap = self.snapshot_at(from_version)
+        new_snap = (
+            self.current() if to_version is None else self.snapshot_at(to_version)
+        )
+        keys = list(new_snap.keys)
+        seen = set(old_snap.all_files())
+        new_files = [f for f in new_snap.all_files() if f not in seen]
+        cand = (
+            self._read_files(new_files, new_snap.schema).select(*keys).distinct()
+        )
+        # touched buckets under EACH snapshot's own layout (a rebucket
+        # between the two versions changes the key->bucket mapping)
+        def pruned_state(snap: Snapshot) -> DataFrame:
+            touched = [
+                r.b
+                for r in cand.select(
+                    bucket_expr_for(snap).alias("b")
+                ).distinct().collect()
+            ]
+            state = self.read_buckets(touched, snapshot=snap, raw=True)
+            return state.join(F.broadcast(cand), on=keys, how="left_semi")
+
+        old_state = pruned_state(old_snap)
+        new_state = pruned_state(new_snap)
+        payload = [
+            c
+            for c in new_state.columns
+            if c not in keys and c not in META_COLS
+        ]
+        o = old_state.select(
+            *keys,
+            F.col(LSN_COL).alias("__o_lsn"),
+            F.col(DELETED_COL).alias("__o_del"),
+        )
+        n = new_state.select(
+            *keys,
+            *payload,
+            F.col(LSN_COL).alias("__n_lsn"),
+            F.col(DELETED_COL).alias("__n_del"),
+        )
+        j = n.join(o, on=keys, how="full_outer")
+        old_live = F.col("__o_lsn").isNotNull() & ~F.coalesce(
+            F.col("__o_del"), F.lit(False)
+        )
+        new_live = F.col("__n_lsn").isNotNull() & ~F.coalesce(
+            F.col("__n_del"), F.lit(False)
+        )
+        op = (
+            F.when(~old_live & new_live, F.lit("I"))
+            .when(old_live & ~new_live, F.lit("D"))
+            .when(
+                old_live & new_live & (F.col("__o_lsn") != F.col("__n_lsn")),
+                F.lit("U"),
+            )
+        )
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                *keys,
+                "op",
+                # D rows keep nulls (the tombstone row's payload is null
+                # already; guard anyway so COW/MOR agree)
+                *[
+                    F.when(F.col("op") != "D", F.col(c)).alias(c)
+                    for c in payload
+                ],
+            )
+        )
+
     def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
         """One storage row per primary key: max __lsn wins (algebraic agg).
         `keys` comes from snapshot metadata — never a table-specific global."""
