@@ -504,43 +504,35 @@ class SnapshotTable:
         """Microsecond-critical-section mutex around {version claim, pointer
         swap, orphan reclaim} — the local-FS stand-in for an object store's
         conditional operations. Held only across a handful of metadata file
-        ops (never data IO); stale locks (holder crashed mid-section) break
-        after `timeout`."""
+        ops (never data IO).
+
+        Kernel-mediated advisory lock (flock): released automatically when
+        the holder's fd closes — including a process crash — so there are
+        NO stale-lock heuristics, and a merely-stalled holder can never
+        have the lock broken out from under it mid-section (any
+        file-based break-after-timeout scheme reintroduces a TOCTOU
+        between the staleness check and the break). Waiters that exhaust
+        `timeout` fail their commit with ConcurrentCommitError: failing a
+        commit is safe, breaking mutual exclusion is not."""
+        import fcntl
+
         lock = os.path.join(self.meta_dir, "_swap.lock")
-        token = uuid.uuid4().hex
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         t0 = time.time()
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.path.getmtime(lock) > timeout
-                except FileNotFoundError:
-                    continue
-                if stale:
-                    # atomic break: exactly ONE breaker wins the rename (a
-                    # bare check-then-remove would let two waiters both
-                    # "break" — the second removing the first's fresh lock)
-                    with contextlib.suppress(FileNotFoundError):
-                        os.rename(lock, f"{lock}.stale-{token}")
-                        os.remove(f"{lock}.stale-{token}")
-                    continue
-                if time.time() - t0 > timeout:
-                    raise ConcurrentCommitError("pointer mutex timeout")
-                time.sleep(0.005)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if time.time() - t0 > timeout:
+                        raise ConcurrentCommitError(
+                            "pointer mutex timeout"
+                        ) from None
+                    time.sleep(0.005)
             yield
         finally:
-            # ownership-verified unlink: a holder that stalled past the
-            # timeout and was broken must NOT remove the breaker's lock
-            with contextlib.suppress(FileNotFoundError, OSError):
-                with open(lock) as fh:
-                    owned = fh.read() == token
-                if owned:
-                    os.remove(lock)
+            os.close(fd)  # releases the flock
 
     def _reclaim_orphan_claim(self, version: int, path: str) -> bool:
         """True if `path` was a crashed writer's claim (version AHEAD of the
@@ -694,10 +686,22 @@ class SnapshotTable:
             self.current() if to_version is None else self.snapshot_at(to_version)
         )
         keys = list(new_snap.keys)
-        seen = set(old_snap.all_files())
-        new_files = [f for f in new_snap.all_files() if f not in seen]
+        old_files = set(old_snap.all_files())
+        new_files = set(new_snap.all_files())
+        added = sorted(new_files - old_files)
+        # removal-only changes matter too: a rollback in the window removes
+        # files without adding any, and a tombstone vacuum drops a key from
+        # the rewritten bucket — keys of REMOVED files must be candidates
+        # or those D/I transitions are silently missed. (Removed files are
+        # still on disk: old_snap must be readable for the diff at all.)
+        removed = sorted(old_files - new_files)
         cand = (
-            self._read_files(new_files, new_snap.schema).select(*keys).distinct()
+            self._read_files(added, new_snap.schema)
+            .select(*keys)
+            .unionByName(self._read_files(removed, old_snap.schema).select(*keys))
+            .distinct()
+            # read once, reused by two bucket-collects + two semi-joins
+            .persist()
         )
         # touched buckets under EACH snapshot's own layout (a rebucket
         # between the two versions changes the key->bucket mapping)
@@ -928,9 +932,10 @@ class SnapshotTable:
 
         try:
             return self._commit_retry(build, batch_id, out_dir)
-        except CommitConflictError:
-            # the rewrite is stale — its files can never be committed;
-            # remove them so a recompute doesn't leave orphans behind
+        except ConcurrentCommitError:
+            # stale rewrite OR retries exhausted — either way these files
+            # can never be committed; remove them so the caller's recompute
+            # doesn't leave orphans behind
             for fs in bucket_files.values():
                 for f in fs:
                     self._stats_cache.pop(f, None)
@@ -1041,9 +1046,10 @@ class SnapshotTable:
 
         try:
             return self._commit_retry(build, batch_id, out_dir)
-        except CommitConflictError:
-            # stale bucket ids can never be committed — remove the written
-            # delta files so the caller's recompute doesn't leave orphans
+        except ConcurrentCommitError:
+            # stale bucket ids OR retries exhausted: these delta files can
+            # never be committed — remove them so the caller's recompute
+            # doesn't leave orphans
             for fs in added.values():
                 for f in fs:
                     self._stats_cache.pop(f, None)
@@ -1246,10 +1252,20 @@ class SnapshotTable:
         # migrate the pre-hash layout: a replay must OVERWRITE the batch's
         # old dead-letter dir, not leave it to double-count in reads (the
         # legacy name was also ambiguous across colliding batch ids, so the
-        # old code would have clobbered it on the next colliding write too)
-        shutil.rmtree(
-            os.path.join(self.quarantine_dir(), f"b-{safe}"), ignore_errors=True
+        # old code would have clobbered it on the next colliding write too).
+        # Skip when the legacy name itself looks like a CURRENT-format dir
+        # (ends in -<8 hex>): batch_id 'x-<md5(x)[:8]>' must never delete
+        # batch 'x''s live quarantine dir.
+        looks_current = (
+            len(safe) > 9
+            and safe[-9] == "-"
+            and all(c in "0123456789abcdef" for c in safe[-8:])
         )
+        if not looks_current:
+            shutil.rmtree(
+                os.path.join(self.quarantine_dir(), f"b-{safe}"),
+                ignore_errors=True,
+            )
         df.write.mode("overwrite").parquet(
             os.path.join(self.quarantine_dir(), f"b-{safe}-{digest}")
         )

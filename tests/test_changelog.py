@@ -92,3 +92,26 @@ def test_changelog_across_rebucket(spark, tmp_path):
     # diff must still reduce to exactly the true changes
     want = _expected_diff(spark, full, PRED1)
     assert got == want
+
+
+def test_changelog_sees_removal_only_window(spark, tmp_path):
+    """A rollback inside the window removes files without adding any — the
+    keys that went live->gone must still surface as D rows (candidates come
+    from removed files too, not just added ones)."""
+    full, table = setup(spark, tmp_path)
+    apply_changes(full.filter("lsn < 10"), table, batch_id="b1", mode="mor")
+    v1 = table.current().version
+    live_v1 = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    apply_changes(full.filter("lsn >= 10 and lsn < 20"), table, batch_id="b2",
+                  mode="mor")
+    live_v2 = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    v2 = table.current().version
+    table.rollback(v1)  # removal-only: v3's file set == v1's
+    got = {(r.conv_id, r.turn_idx): r.op for r in table.changelog(v2).collect()}
+    want = {}
+    for k in live_v2 - live_v1:
+        want[k] = "D"  # live at v2, gone after rollback
+    for k in live_v1 - live_v2:
+        want[k] = "I"  # deleted by b2, resurrected by the rollback
+    # keys live in both may differ by payload (b2 updates rolled back) -> U
+    assert {k: v for k, v in got.items() if v in ("I", "D")} == want

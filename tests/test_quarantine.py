@@ -323,3 +323,16 @@ def test_quarantine_batch_ids_never_collide(spark, tmp_path):
     q = table.read_quarantine().collect()
     assert len(q) == 2
     assert {r.batch_id for r in q} == {"b:1", "b_1"}
+
+
+def test_quarantine_adversarial_id_never_deletes_sibling(spark, tmp_path):
+    """batch_id 'x-<md5(x)[:8]>' sanitizes to batch 'x''s CURRENT-format dir
+    name; the legacy-layout migration delete must not destroy it."""
+    table = _mk_table(spark, tmp_path, "qa")
+    rows = [(2, "X", "c1", 1, "user", "bad", None, TS, 0)]
+    feed = spark.createDataFrame(rows, EVENT_COLS)
+    apply_changes(feed, table, batch_id="x", quarantine=True)
+    apply_changes(feed, table, batch_id="x-9dd4e461", quarantine=True)  # md5('x')[:8]
+    q = table.read_quarantine().collect()
+    assert len(q) == 2
+    assert {r.batch_id for r in q} == {"x", "x-9dd4e461"}
