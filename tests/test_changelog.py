@@ -115,3 +115,114 @@ def test_changelog_sees_removal_only_window(spark, tmp_path):
         want[k] = "I"  # deleted by b2, resurrected by the rollback
     # keys live in both may differ by payload (b2 updates rolled back) -> U
     assert {k: v for k, v in got.items() if v in ("I", "D")} == want
+
+
+# --- property: changelog == pure-Python state diff on random sequences ----
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from orientdb_neo4j_importer_plugin_spark.schema import CHANGE_EVENT_V1
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _py_state(events):
+    """LWW winner per key: (role, text, live) — ~10-line reference."""
+    win = {}
+    for e in events:
+        k = (e["conv_id"], e["turn_idx"])
+        if k not in win or e["lsn"] > win[k]["lsn"]:
+            win[k] = e
+    return {
+        k: (e["role"], e["text"], e["op"] != "D") for k, e in win.items()
+    }
+
+
+def _py_changelog(events, split):
+    s1 = _py_state([e for e in events if e["lsn"] in split])
+    s2 = _py_state(events)
+    out = {}
+    for k, (role, text, live2) in s2.items():
+        old = s1.get(k)
+        live1 = old is not None and old[2]
+        if not live1 and live2:
+            out[k] = ("I", text)
+        elif live1 and not live2:
+            out[k] = ("D", None)
+        elif live1 and live2:
+            w1 = max(
+                (e["lsn"] for e in events
+                 if e["lsn"] in split
+                 and (e["conv_id"], e["turn_idx"]) == k),
+            )
+            w2 = max(
+                e["lsn"] for e in events
+                if (e["conv_id"], e["turn_idx"]) == k
+            )
+            if w1 != w2:
+                out[k] = ("U", text)
+    return out
+
+
+@st.composite
+def changelog_sequences(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    events = []
+    for lsn in range(n):
+        conv = draw(st.integers(min_value=0, max_value=2))
+        turn = draw(st.integers(min_value=0, max_value=2))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        events.append(
+            {
+                "lsn": lsn, "op": op, "source_part": 0,
+                "conv_id": f"conv_{conv}", "turn_idx": turn,
+                "role": None if op == "D" else "user",
+                "text": None if op == "D" else f"t {conv}/{turn} @ {lsn}",
+                "ts": BASE + datetime.timedelta(seconds=lsn),
+            }
+        )
+    split = set(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n - 1),
+                min_size=1, max_size=n - 1, unique=True,
+            )
+        )
+    )
+    return events, split
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(changelog_sequences())
+def test_changelog_equals_python_diff(spark, tmp_path_factory, seq):
+    events, split = seq
+    tmp = tmp_path_factory.mktemp("chprop")
+    table = SnapshotTable.create(
+        spark, str(tmp / "t"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    rows = [
+        (e["lsn"], e["op"], e["source_part"], e["conv_id"], e["turn_idx"],
+         e["role"], e["text"], e["ts"])
+        for e in events
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_V1)
+    apply_changes(df.filter(df.lsn.isin(list(split))), table,
+                  batch_id="p1", mode="mor")
+    v1 = table.current().version
+    apply_changes(df.filter(~df.lsn.isin(list(split))), table,
+                  batch_id="p2", mode="mor")
+    got = {
+        (r.conv_id, r.turn_idx): (r.op, r.text)
+        for r in table.changelog(v1).collect()
+    }
+    assert got == _py_changelog(events, split)
