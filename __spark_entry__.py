@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
             _read(s, d, "events")
         ),
+        "events_rolling_stats": lambda s, d: S.rolling_stats(_read(s, d, "events")),
         # relational plans
         "tpch_q1": lambda s, d: Q.q1_pricing_summary(_read(s, d, "lineitem")),
         "tpch_q3": lambda s, d: Q.q3_shipping_priority(
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),
+        "events_rolling_stats": S.rolling_stats_sql(),
         "tpch_q1": Q.Q1_SQL,
         "tpch_q3": Q.Q3_SQL,
         "tpch_q4": Q.Q4_SQL,

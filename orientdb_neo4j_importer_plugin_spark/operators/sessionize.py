@@ -246,3 +246,50 @@ FROM events
 GROUP BY 1, 2
 ORDER BY event_type, window_start
 """
+
+
+def rolling_stats(events: DataFrame, window_rows: int = 5) -> DataFrame:
+    """Frame-spec window breadth: per-user rolling mean/max of `value` over
+    the previous `window_rows` events (ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW) plus lag/lead deltas — the moving-aggregate family the reference
+    lacks entirely (SURVEY §2.5) but any event-analytics user expects.
+
+    One shuffle on user_id; the frame evaluates streamingly inside the
+    sorted partition (no O(frame) re-scan per row — Spark's window exec
+    keeps a running frame buffer). Ties on ts are broken by event_id so
+    both engines order identically.
+
+    Columns: event_id, user_id, ts, value, roll_avg, roll_max, prev_gap_s,
+    next_gap_s.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-window_rows, 0)
+    ep = _epoch(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(frame), 4).alias("roll_avg"),
+        F.round(F.max("value").over(frame), 4).alias("roll_max"),
+        (ep - F.lag(ep).over(w)).alias("prev_gap_s"),
+        (F.lead(ep).over(w) - ep).alias("next_gap_s"),
+    )
+
+
+def rolling_stats_sql(window_rows: int = 5) -> str:
+    return f"""
+SELECT event_id, user_id, ts, value,
+       round(avg(value) OVER w_frame, 4) AS roll_avg,
+       round(max(value) OVER w_frame, 4) AS roll_max,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER w_order)) AS BIGINT) AS prev_gap_s,
+       CAST(floor(epoch(lead(ts) OVER w_order)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS next_gap_s
+FROM events
+WINDOW
+  w_order AS (PARTITION BY user_id ORDER BY ts, event_id),
+  w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {window_rows} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
