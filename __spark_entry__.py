@@ -29,6 +29,7 @@ from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
 from orientdb_neo4j_importer_plugin_spark.operators import sampling as SM
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
+from orientdb_neo4j_importer_plugin_spark.operators import pipeline as PL
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
 from orientdb_neo4j_importer_plugin_spark.operators import textstats as T
 from orientdb_neo4j_importer_plugin_spark.plans import relational as R
@@ -321,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id_ngram": lambda s, d: T.lang_id_ngram(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
         "docs_redact_pii": lambda s, d: T.redact_pii(_read(s, d, "documents")),
+        "docs_training_pipeline": lambda s, d: PL.training_pipeline(
+            _read(s, d, "documents")
+        ),
         "docs_stratified_sample": lambda s, d: SM.stratified_sample(
             _read(s, d, "documents")
         ),
@@ -425,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id_ngram": T.LANG_ID_NGRAM_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
         "docs_redact_pii": T.redact_pii_sql(),
+        "docs_training_pipeline": PL.training_pipeline_sql(),
         "docs_stratified_sample": SM.stratified_sample_sql(),
         "docs_train_split": SM.train_split_sql(),
         "docs_pack_sequences": SM.pack_documents_sql(),
