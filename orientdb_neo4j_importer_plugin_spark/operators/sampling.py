@@ -87,22 +87,38 @@ ORDER BY doc_id
 SPLITS = [("train", 9_000), ("val", 9_500)]  # bp cut points; else "test"
 
 
+def split_expr(key: Column) -> Column:
+    """Deterministic split assignment as a row-local Column — the single
+    source of the split rule, shared by train_split and pipeline composers."""
+    b = _bucket(key)
+    split = F.lit("test")
+    for name, cut in reversed(SPLITS):
+        split = F.when(b < cut, F.lit(name)).otherwise(split)
+    return split
+
+
+def split_case_sql(key_expr: str) -> str:
+    """SQL twin of split_expr (same rule, same order)."""
+    cases = " ".join(
+        f"WHEN {_bucket_sql(key_expr)} < {cut} THEN '{name}'"
+        for name, cut in SPLITS
+    )
+    return f"CASE {cases} ELSE 'test' END"
+
+
 def train_split(documents: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (90/5/5 by hash range) —
     stable per record forever; a document never migrates between splits as
     the corpus grows. Columns: doc_id, split."""
-    b = _bucket(F.col("doc_id"))
-    split = F.lit("test")
-    for name, cut in reversed(SPLITS):
-        split = F.when(b < cut, F.lit(name)).otherwise(split)
-    return documents.select("doc_id", split.alias("split")).orderBy("doc_id")
+    return documents.select(
+        "doc_id", split_expr(F.col("doc_id")).alias("split")
+    ).orderBy("doc_id")
 
 
 def train_split_sql() -> str:
-    cases = " ".join(f"WHEN b < {cut} THEN '{name}'" for name, cut in SPLITS)
     return f"""
-SELECT doc_id, CASE {cases} ELSE 'test' END AS split
-FROM (SELECT doc_id, {_bucket_sql("doc_id")} AS b FROM documents) s
+SELECT doc_id, {split_case_sql("doc_id")} AS split
+FROM documents
 ORDER BY doc_id
 """
 

@@ -250,14 +250,21 @@ ORDER BY event_type, window_start
 
 def rolling_stats(events: DataFrame, window_rows: int = 5) -> DataFrame:
     """Frame-spec window breadth: per-user rolling mean/max of `value` over
-    the previous `window_rows` events (ROWS BETWEEN n PRECEDING AND CURRENT
-    ROW) plus lag/lead deltas — the moving-aggregate family the reference
-    lacks entirely (SURVEY §2.5) but any event-analytics user expects.
+    the previous `window_rows` events plus lag/lead deltas — the
+    moving-aggregate family the reference lacks entirely (SURVEY §2.5) but
+    any event-analytics user expects.
 
-    One shuffle on user_id; the frame evaluates streamingly inside the
-    sorted partition (no O(frame) re-scan per row — Spark's window exec
-    keeps a running frame buffer). Ties on ts are broken by event_id so
-    both engines order identically.
+    One shuffle on user_id; frame evaluation is O(frame) per row inside the
+    sorted partition (Spark re-aggregates the buffered frame — fine for
+    small windows; for window_rows in the thousands pre-aggregate instead).
+    Ties on ts are broken by event_id so both engines order identically.
+
+    Parity note: the rolling MEAN is built as an explicit lag-chain sum
+    (left-to-right association) rather than avg() OVER a frame — engines
+    disagree on frame-aggregate summation order (DuckDB segment tree vs
+    Spark sequential), and a float ULP at a round(.,4) half-boundary would
+    flip the last digit. An identical expression tree is bit-identical.
+    max() is association-free and stays a frame aggregate.
 
     Columns: event_id, user_id, ts, value, roll_avg, roll_max, prev_gap_s,
     next_gap_s.
@@ -265,12 +272,18 @@ def rolling_stats(events: DataFrame, window_rows: int = 5) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-window_rows, 0)
     ep = _epoch(F.col("ts"))
+    total = F.col("value")
+    n = F.lit(1)
+    for i in range(1, window_rows + 1):
+        lv = F.lag("value", i).over(w)
+        total = total + F.coalesce(lv, F.lit(0.0))
+        n = n + F.when(lv.isNotNull(), 1).otherwise(0)
     return events.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(F.avg("value").over(frame), 4).alias("roll_avg"),
+        F.round(total / n, 4).alias("roll_avg"),
         F.round(F.max("value").over(frame), 4).alias("roll_max"),
         (ep - F.lag(ep).over(w)).alias("prev_gap_s"),
         (F.lead(ep).over(w) - ep).alias("next_gap_s"),
@@ -278,9 +291,17 @@ def rolling_stats(events: DataFrame, window_rows: int = 5) -> DataFrame:
 
 
 def rolling_stats_sql(window_rows: int = 5) -> str:
+    lag_sum = "value" + "".join(
+        f" + coalesce(lag(value, {i}) OVER w_order, 0.0)"
+        for i in range(1, window_rows + 1)
+    )
+    lag_n = "1" + "".join(
+        f" + CASE WHEN lag(value, {i}) OVER w_order IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, window_rows + 1)
+    )
     return f"""
 SELECT event_id, user_id, ts, value,
-       round(avg(value) OVER w_frame, 4) AS roll_avg,
+       round(({lag_sum}) / ({lag_n}), 4) AS roll_avg,
        round(max(value) OVER w_frame, 4) AS roll_max,
        CAST(floor(epoch(ts)) AS BIGINT)
          - CAST(floor(epoch(lag(ts) OVER w_order)) AS BIGINT) AS prev_gap_s,

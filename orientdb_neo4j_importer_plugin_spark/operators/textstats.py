@@ -49,14 +49,11 @@ ORDER BY doc_id
 """
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic quality signals in integer basis points (0..10000): length
-    term, punctuation ratio, stopword ratio, uppercase ratio, and a
-    composite score. All-integer floor arithmetic — bit-identical across
-    engines (no float round-at-half-boundary hazards).
-
-    Columns: doc_id, n_tokens, punct_bp, stopword_bp, upper_bp, quality_bp.
-    """
+def quality_exprs() -> dict:
+    """The quality signals as row-local Columns over a `text` column — the
+    single source of the scoring formula, shared by quality_score and
+    pipeline composers. All-integer floor arithmetic (bit-identical across
+    engines; no float round-at-half-boundary hazards)."""
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     text_len = F.greatest(F.length("text"), F.lit(1)).cast("long")
@@ -77,26 +74,40 @@ def quality_score(documents: DataFrame) -> DataFrame:
         )
         / 10
     )
+    return {
+        "n_tokens": n_tok,
+        "punct_bp": punct_bp,
+        "stopword_bp": stop_bp,
+        "upper_bp": upper_bp,
+        "quality_bp": quality_bp,
+    }
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals in integer basis points (0..10000): length
+    term, punctuation ratio, stopword ratio, uppercase ratio, and a
+    composite score (formula: quality_exprs).
+
+    Columns: doc_id, n_tokens, punct_bp, stopword_bp, upper_bp, quality_bp.
+    """
+    q = quality_exprs()
     return documents.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        punct_bp.alias("punct_bp"),
-        stop_bp.alias("stopword_bp"),
-        upper_bp.alias("upper_bp"),
-        quality_bp.alias("quality_bp"),
+        "doc_id", *[c.alias(name) for name, c in q.items()]
     )
 
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-QUALITY_SCORE_SQL = f"""
-WITH t AS (
+# the t/bp CTE pair computing the quality signals — the single SQL source of
+# the formula, shared by QUALITY_SCORE_SQL and pipeline composers. Keeps
+# doc_id + text in scope so composers can hash/redact downstream.
+QUALITY_CTES_SQL = f"""t AS (
   SELECT doc_id, text, {tokens_sql("text")} AS toks,
          greatest(length(text), 1) AS tl
   FROM documents
 ),
 bp AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          len(toks) AS n_tokens,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10000 // tl AS punct_bp,
          len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) * 10000
@@ -104,10 +115,17 @@ bp AS (
          length(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000 // tl AS upper_bp,
          least(len(toks) * 10000 // 64, 10000) AS len_term
   FROM t
+)"""
+
+QUALITY_BP_SQL = (
+    "(len_term * 5 + stopword_bp * 3"
+    " + (10000 - least(punct_bp * 10, 10000)) * 2) // 10"
 )
+
+QUALITY_SCORE_SQL = f"""
+WITH {QUALITY_CTES_SQL}
 SELECT doc_id, n_tokens, punct_bp, stopword_bp, upper_bp,
-       (len_term * 5 + stopword_bp * 3
-        + (10000 - least(punct_bp * 10, 10000)) * 2) // 10 AS quality_bp
+       {QUALITY_BP_SQL} AS quality_bp
 FROM bp
 ORDER BY doc_id
 """
@@ -367,6 +385,25 @@ def _sql_quote(pat: str) -> str:
     return pat.replace("'", "''")
 
 
+def pii_total_expr():
+    """Total PII span count on the ORIGINAL text as a row-local Column —
+    the single source of the counting rule, shared with pipeline composers."""
+    total = None
+    for _, pat, _ in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")
+        total = c if total is None else total + c
+    return total.cast("long")
+
+
+def pii_total_sql() -> str:
+    """SQL twin of pii_total_expr."""
+    total = " + ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_quote(pat)}')) AS BIGINT)"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"CAST({total} AS BIGINT)"
+
+
 def redact_pii_sql() -> str:
     red = "text"
     for _, pat, mask in PII_PATTERNS:
@@ -376,15 +413,12 @@ def redact_pii_sql() -> str:
         f" AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
-    total = " + ".join(
-        f"CAST(len(regexp_extract_all(text, '{_sql_quote(pat)}')) AS BIGINT)"
-        for _, pat, _ in PII_PATTERNS
-    )
+    total = pii_total_sql()
     return f"""
 SELECT doc_id,
        {red} AS text_redacted,
        {counts},
-       CAST({total} AS BIGINT) AS n_pii
+       {total} AS n_pii
 FROM documents
 ORDER BY doc_id
 """
