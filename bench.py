@@ -215,6 +215,9 @@ def main() -> None:
         "cube_ship_years",
         "docs_redact_pii",
         "docs_lang_id_ngram",
+        "docs_training_pipeline",
+        "events_rolling_stats",
+        "cdc_changelog",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
