@@ -763,6 +763,21 @@ class SnapshotTable:
             )
         )
 
+    def iter_changelogs(self, from_version: int, to_version: int | None = None):
+        """Yield ``(version, changelog DataFrame)`` for every committed
+        version in (from_version, to_version] — the pull-based CDC tail a
+        downstream consumer drives at its own pace (the streaming analogue:
+        call again later with the last version you processed; versions are
+        contiguous integers, so resumption needs no extra bookkeeping).
+
+        Each element is `changelog(v-1, v)` — O(that commit's changed data).
+        Consecutive elements compose: applying them in order onto the state
+        at `from_version` reconstructs the state at `to_version` exactly
+        (tests/test_changelog.py proves the invariant)."""
+        end = self.current().version if to_version is None else to_version
+        for v in range(from_version + 1, end + 1):
+            yield v, self.changelog(v - 1, v)
+
     def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
         """One storage row per primary key: max __lsn wins (algebraic agg).
         `keys` comes from snapshot metadata — never a table-specific global."""

@@ -226,3 +226,34 @@ def test_changelog_equals_python_diff(spark, tmp_path_factory, seq):
         for r in table.changelog(v1).collect()
     }
     assert got == _py_changelog(events, split)
+
+
+def test_changelog_chain_reconstructs_state(spark, tmp_path):
+    """CDC-feed completeness: applying every per-version changelog in order
+    onto the state at v0 must reconstruct the final state exactly — proves
+    no change is ever dropped or duplicated across commits (incl. a
+    compaction commit in the middle, which must contribute zero rows)."""
+    full, table = setup(spark, tmp_path)
+    apply_changes(full.filter("lsn < 15"), table, batch_id="c1", mode="mor")
+    v0 = table.current().version
+    state = {
+        (r.conv_id, r.turn_idx): r.text for r in table.read().collect()
+    }
+    apply_changes(full.filter("lsn >= 15 and lsn < 30"), table, batch_id="c2",
+                  mode="mor")
+    table.compact()  # mid-chain maintenance commit: must diff to nothing
+    apply_changes(full.filter("lsn >= 30"), table, batch_id="c3", mode="mor")
+    n_versions = 0
+    for v, chlog in table.iter_changelogs(v0):
+        n_versions += 1
+        for r in chlog.collect():
+            k = (r.conv_id, r.turn_idx)
+            if r.op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = r.text
+    assert n_versions == table.current().version - v0
+    final = {
+        (r.conv_id, r.turn_idx): r.text for r in table.read().collect()
+    }
+    assert state == final
