@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(
             _read(s, d, "documents")
         ),
+        "dedup_levenshtein_pairs": lambda s, d: D.levenshtein_pairs(
+            _read(s, d, "documents")
+        ),
         # scalar-function / probe analogues (SURVEY §2.5-2.7)
         "events_props_parse": lambda s, d: S.props_parse(_read(s, d, "events")),
         "events_first_value": lambda s, d: S.first_value_sample(
@@ -443,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(),
         "dedup_simhash": D.simhash_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(),
+        "dedup_levenshtein_pairs": D.levenshtein_pairs_sql(),
         "emb_topk_cosine": V.brute_force_topk_sql(
             EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
         ),

@@ -385,3 +385,70 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance (Levenshtein) fuzzy pairs
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 16  # blocking key length (chars of normalized prefix)
+LEV_MAXLEN = 64  # compare a bounded prefix: edit distance is O(len^2) per pair
+
+
+def levenshtein_pairs(
+    documents: DataFrame, max_dist: int = 8, prefix: int = LEV_PREFIX
+) -> DataFrame:
+    """Near-identical document pairs by edit distance on a bounded text
+    prefix, blocked so it never goes all-pairs: candidates must share the
+    first `prefix` normalized characters (documents differing that early
+    can't be near-identical anyway), then exact Levenshtein <= max_dist on
+    the first LEV_MAXLEN chars. Complements the set-based dedup family
+    (Jaccard/MinHash/SimHash) with an ORDER-sensitive measure — "ab cd" vs
+    "cd ab" are identical sets but distant strings.
+
+    Scale shape: one shuffle on the block key; pair blowup is bounded by
+    block sizes (same guard philosophy as MAX_SHINGLE_DF — a pathological
+    corpus sharing one prefix should raise `prefix`). Levenshtein is exact
+    DP, bit-identical across engines.
+
+    Columns: doc_a, doc_b, edit_dist.
+    """
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = documents.select(
+        F.col("doc_id"),
+        F.substring(norm, 1, prefix).alias("blk"),
+        F.substring(norm, 1, LEV_MAXLEN).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "blk", F.col("head").alias("head_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "blk", F.col("head").alias("head_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+def levenshtein_pairs_sql(max_dist: int = 8, prefix: int = LEV_PREFIX) -> str:
+    norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substring({norm}, 1, {prefix}) AS blk,
+         substring({norm}, 1, {LEV_MAXLEN}) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {max_dist}
+ORDER BY doc_a, doc_b
+"""
