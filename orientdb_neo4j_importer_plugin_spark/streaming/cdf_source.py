@@ -1,0 +1,320 @@
+"""`lake_cdf` — a PySpark 4 Python Data Source that turns the snapshot
+table's commit log into a real ``spark.readStream`` source (the push-based
+companion to the pull-based ``SnapshotTable.iter_changelogs``).
+
+Reference analogue: the plugin's one-shot import has no change feed at all;
+this is the "keep the copy live" capability the north rule asks for — a
+downstream consumer subscribes to the lake table exactly like Delta CDF /
+Iceberg's changelog scan, with Spark's own streaming machinery (offsets,
+checkpoints, exactly-once) doing the bookkeeping.
+
+Scale shape
+-----------
+* **Planning is metadata-only and driver-side**: offsets are snapshot
+  versions (one integer), and ``partitions(start, end)`` diffs per-version
+  manifest file lists — O(files committed in the window), never O(table).
+* **Reads are executor-side and Arrow-vectorized**: each input partition is
+  ONE data file; the executor reads it with pyarrow and yields
+  ``pyarrow.RecordBatch``es (the Python Data Source vectorized path — no
+  per-row Python anywhere).
+* **Exactly-once**: the offset is the committed version number; Spark's
+  checkpoint replays a half-processed window deterministically because
+  data files are immutable and the version diff is a pure function.
+
+Semantics (file-level CDF — same contract as ``changes_since``)
+---------------------------------------------------------------
+Rows emitted for version ``v`` are the storage rows in files ADDED by
+commit ``v``: for MOR commits that is exactly the batch's LWW winner rows
+(including tombstones → ``op = 'D'``); for COW commits it is the rewritten
+buckets (unchanged neighbor rows surface as upserts — honest file-level
+contract; run CDC consumers against MOR tables). Rollbacks remove files
+without adding any, so they emit nothing here — use
+``SnapshotTable.changelog`` for row-level I/U/D between arbitrary versions.
+
+Output schema: payload columns (at the CURRENT snapshot's schema when the
+stream starts; older files null-fill evolved columns) + ``op`` ('U'
+upsert / 'D' delete) + ``_commit_version`` + ``_lsn``. A schema evolution
+committed mid-stream applies after a stream restart, like Delta.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OP_COL = "op"
+VERSION_COL = "_commit_version"
+LSN_OUT_COL = "_lsn"
+_LSN = "__lsn"
+_DELETED = "__deleted"
+
+
+# -- metadata access (pure python — safe on the driver without a session) ----
+
+
+def _read_pointer(root: str) -> int:
+    with open(os.path.join(root, "metadata", "_current")) as fh:
+        return int(fh.read().strip())
+
+
+def _snapshot_dict(root: str, version: int) -> dict:
+    with open(os.path.join(root, "metadata", f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _snapshot_files(root: str, version: int) -> set[str]:
+    """All data files of a snapshot, resolved through its manifests (or the
+    inline lists of pre-manifest roots)."""
+    d = _snapshot_dict(root, version)
+    files: set[str] = set()
+    manifests = d.get("manifests") or {}
+    if manifests:
+        for path in manifests.values():
+            with open(path) as fh:
+                m = json.load(fh)
+            files.update(m.get("base", []))
+            files.update(m.get("deltas", []))
+    else:
+        for lst in (d.get("buckets") or {}).values():
+            files.update(lst)
+        for lst in (d.get("deltas") or {}).values():
+            files.update(lst)
+    return files
+
+
+def _payload_schema(root: str, version: int) -> StructType:
+    d = _snapshot_dict(root, version)
+    return StructType.fromJson(d["schema"])
+
+
+# -- arrow bridge ------------------------------------------------------------
+
+
+def _arrow_type(dt: DataType):
+    import pyarrow as pa
+
+    if isinstance(dt, StringType):
+        return pa.string()
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, IntegerType):
+        return pa.int32()
+    if isinstance(dt, ShortType):
+        return pa.int16()
+    if isinstance(dt, DoubleType):
+        return pa.float64()
+    if isinstance(dt, FloatType):
+        return pa.float32()
+    if isinstance(dt, BooleanType):
+        return pa.bool_()
+    if isinstance(dt, TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, DateType):
+        return pa.date32()
+    if isinstance(dt, BinaryType):
+        return pa.binary()
+    if isinstance(dt, ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    raise TypeError(f"lake_cdf: unsupported column type {dt}")
+
+
+def _output_schema(payload: StructType) -> StructType:
+    return StructType(
+        list(payload.fields)
+        + [
+            StructField(OP_COL, StringType(), False),
+            StructField(VERSION_COL, LongType(), False),
+            StructField(LSN_OUT_COL, LongType(), False),
+        ]
+    )
+
+
+@dataclass
+class CdfFilePartition(InputPartition):
+    """One immutable data file + the commit version that added it. Carries
+    the declared payload schema as JSON so the executor-side read needs no
+    driver state."""
+
+    path: str
+    commit_version: int
+    payload_schema_json: str
+
+
+def _read_partition_batches(part: CdfFilePartition):
+    """Executor-side: one parquet file -> arrow RecordBatches shaped to the
+    declared output schema. Vectorized end to end (pyarrow compute only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    payload = StructType.fromJson(json.loads(part.payload_schema_json))
+    table = pq.read_table(part.path)
+    n = table.num_rows
+    if n == 0:
+        return
+    cols = []
+    names = []
+    for f in payload.fields:
+        target = _arrow_type(f.dataType)
+        if f.name in table.column_names:
+            col = table.column(f.name)
+            if col.type != target:
+                # evolved/widened types and timestamp units normalize here;
+                # tz-aware parquet timestamps drop to naive us (Spark stores
+                # session-tz-normalized instants)
+                col = col.cast(target)
+        else:
+            # pre-evolution file: null-fill the evolved column
+            col = pa.nulls(n, type=target)
+        cols.append(col)
+        names.append(f.name)
+    deleted = table.column(_DELETED)
+    op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
+    cols.append(op)
+    names.append(OP_COL)
+    cols.append(pa.array([part.commit_version] * n, type=pa.int64()))
+    names.append(VERSION_COL)
+    cols.append(table.column(_LSN).cast(pa.int64()))
+    names.append(LSN_OUT_COL)
+    out = pa.table(cols, names=names)
+    yield from out.to_batches()
+
+
+def _plan_partitions(
+    root: str, start_version: int, end_version: int, payload_schema_json: str
+) -> list[CdfFilePartition]:
+    """Files added per version in (start, end], tagged with their commit
+    version. One manifest diff per version — O(files in window) metadata."""
+    parts: list[CdfFilePartition] = []
+    prev = _snapshot_files(root, start_version)
+    for v in range(start_version + 1, end_version + 1):
+        cur = _snapshot_files(root, v)
+        for path in sorted(cur - prev):
+            parts.append(CdfFilePartition(path, v, payload_schema_json))
+        prev = cur
+    return parts
+
+
+# -- the data source ---------------------------------------------------------
+
+
+class LakeCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, starting_version: int, payload_json: str):
+        self.root = root
+        self.starting_version = starting_version
+        self.payload_json = payload_json
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _read_pointer(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = _plan_partitions(
+            self.root, start["version"], end["version"], self.payload_json
+        )
+        # Spark requires >=1 partition per microbatch even when empty
+        return parts or [CdfFilePartition("", end["version"], self.payload_json)]
+
+    def read(self, partition: CdfFilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_partition_batches(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; data files are immutable
+
+
+class LakeCdfBatchReader(DataSourceReader):
+    """Batch incremental read through the same planner:
+    ``spark.read.format("lake_cdf").option("fromVersion", v)`` — the
+    DataFrame-API twin of ``SnapshotTable.changes_since``."""
+
+    def __init__(self, root: str, from_v: int, to_v: int, payload_json: str):
+        self.root = root
+        self.from_v = from_v
+        self.to_v = to_v
+        self.payload_json = payload_json
+
+    def partitions(self):
+        parts = _plan_partitions(self.root, self.from_v, self.to_v, self.payload_json)
+        return parts or [CdfFilePartition("", self.to_v, self.payload_json)]
+
+    def read(self, partition: CdfFilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_partition_batches(partition)
+
+
+class LakeCdfDataSource(DataSource):
+    """Register once per session, then read the table's change feed:
+
+        spark.dataSource.register(LakeCdfDataSource)
+        (spark.readStream.format("lake_cdf")
+              .option("path", table_root)
+              .option("startingVersion", 0)   # default: 0 = full history
+              .load())
+
+    Batch mode: ``spark.read.format("lake_cdf").option("path", root)
+    .option("fromVersion", v)[.option("toVersion", w)].load()``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_cdf"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_cdf requires .option('path', <table root>)")
+        return root
+
+    def schema(self) -> StructType:
+        root = self._root()
+        return _output_schema(_payload_schema(root, _read_pointer(root)))
+
+    def streamReader(self, schema: StructType) -> LakeCdfStreamReader:
+        root = self._root()
+        payload = _payload_schema(root, _read_pointer(root))
+        return LakeCdfStreamReader(
+            root,
+            int(self.options.get("startingVersion", 0)),
+            payload.json(),
+        )
+
+    def reader(self, schema: StructType) -> LakeCdfBatchReader:
+        root = self._root()
+        cur = _read_pointer(root)
+        payload = _payload_schema(root, cur)
+        to_v = int(self.options.get("toVersion", cur))
+        return LakeCdfBatchReader(
+            root,
+            int(self.options.get("fromVersion", 0)),
+            to_v,
+            payload.json(),
+        )
