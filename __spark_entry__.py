@@ -195,6 +195,45 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the table's change feed through the `lake_cdf` Python Data
+    Source (spark.read.format, same planner as the readStream tail) and
+    LWW-reduce the full history back to final state — proving the
+    subscription path against the same independent oracle as the direct
+    read (CDC_REPLAY_SQL). MOR batches applied out of lsn order, no
+    compaction, so the tail carries exactly the per-batch winner rows."""
+    from pyspark.sql import functions as F
+
+    from orientdb_neo4j_importer_plugin_spark.streaming.cdf_source import (
+        LakeCdfDataSource,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_cdf_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="t1", mode="mor")
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="t2", mode="mor")
+    spark.dataSource.register(LakeCdfDataSource)
+    hist = (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("fromVersion", 0)
+        .load()
+    )
+    payload = ["role", "text", "tool", "ts"]
+    w = F.max(F.struct(F.col("_lsn"), F.col("op"), *[F.col(c) for c in payload]))
+    return (
+        hist.groupBy("conv_id", "turn_idx")
+        .agg(w.alias("w"))
+        .filter("w.op <> 'D'")
+        .select("conv_id", "turn_idx", *[F.col(f"w.{c}").alias(c) for c in payload])
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_replay_state(spark, "/root/testdata/sf0.001")
@@ -211,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
+        "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
@@ -396,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": CDC_REPLAY_SQL,
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
+        "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),
