@@ -15,6 +15,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,6 +29,7 @@ from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
 from orientdb_neo4j_importer_plugin_spark.operators import dedup as D
 from orientdb_neo4j_importer_plugin_spark.operators import sampling as SM
 from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
+from orientdb_neo4j_importer_plugin_spark.operators import sketches as SK
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import pipeline as PL
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
@@ -257,6 +259,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "events")
         ),
         "events_rolling_stats": lambda s, d: S.rolling_stats(_read(s, d, "events")),
+        "events_kmv_users_by_type": lambda s, d: SK.kmv_distinct_by(
+            _read(s, d, "events"),
+            "event_type",
+            F.col("user_id").cast("string"),
+        ),
+        "events_kmv_user_overlap": lambda s, d: SK.kmv_overlap(
+            _read(s, d, "events"),
+            "event_type",
+            F.col("user_id").cast("string"),
+            "click",
+            "view",
+        ),
         # relational plans
         "tpch_q1": lambda s, d: Q.q1_pricing_summary(_read(s, d, "lineitem")),
         "tpch_q3": lambda s, d: Q.q3_shipping_priority(
@@ -441,6 +455,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),
         "events_rolling_stats": S.rolling_stats_sql(),
+        "events_kmv_users_by_type": SK.kmv_distinct_by_sql(
+            "events", "event_type", "CAST(user_id AS VARCHAR)"
+        ),
+        "events_kmv_user_overlap": SK.kmv_overlap_sql(
+            "events", "event_type", "CAST(user_id AS VARCHAR)", "click", "view"
+        ),
         "tpch_q1": Q.Q1_SQL,
         "tpch_q3": Q.Q3_SQL,
         "tpch_q4": Q.Q4_SQL,

@@ -1,0 +1,230 @@
+"""KMV (k-minimum-values) cardinality sketches — approximate distinct
+counts and set-overlap estimates that are DETERMINISTIC and bit-identical
+across engines.
+
+Why not HyperLogLog? Spark's `approx_count_distinct` (HLL) is cheaper on
+the wire (a fixed sketch per group) but its estimate is engine-internal —
+no independent oracle can reproduce it. KMV built on the portable `h64`
+hash (functions/hashes.py) gives the same mergeable-sketch architecture
+with a value-for-value DuckDB twin: both engines keep the k smallest
+distinct 60-bit hashes and evaluate the same floor'd estimator, so the
+driver's hash-compare gate applies to an *approximate* operator. The
+reference's deep-equality oracle discipline (``OFunctionsHandler.java:
+65-109``) extended to sketches.
+
+Estimator: with hashes uniform on [0, 2^60) and h_k the k-th smallest
+distinct hash, est = floor((k-1) * 2^60 / (h_k + 1)); exact count when a
+group has fewer than k distinct values (the sketch IS the set). The
+division is one IEEE-754 double op — exactly specified, so both engines
+produce the same integer.
+
+Scale shape: `distinct()` on (group, hash) partial-aggregates map-side, so
+the shuffle carries per-partition-distinct 8-byte hashes, not rows; the
+per-group rank then keeps k per group. The per-group sort over distinct
+hashes is the honest cost vs HLL (which shuffles a fixed sketch) — at
+100 TB use `approx_count_distinct` when cross-engine reproducibility
+doesn't matter, KMV when it must be auditable.
+
+Set overlap (theta-sketch style): the k smallest of the UNION of two
+sketches is itself the union's KMV sketch; the fraction of its members
+present in both sides estimates the Jaccard similarity, and
+intersection ≈ jaccard * union. All counting is exact integer arithmetic;
+ratios are emitted in basis points (floor) for bit-stable comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h64, h64_sql
+
+DEFAULT_K = 16
+_H_SPACE = float(2**60)  # hash domain size as an exact double
+
+
+def _est_expr(n_col: Column, hk_col: Column, k: int) -> Column:
+    """floor((k-1)*2^60 / (h_k+1)) when the sketch saturated, exact n below."""
+    numer = float(k - 1) * _H_SPACE  # exact double, mirrored verbatim in SQL
+    return F.when(n_col < k, n_col).otherwise(
+        F.floor(F.lit(numer) / (hk_col.cast("double") + F.lit(1.0))).cast("long")
+    )
+
+
+def _est_sql(n_expr: str, hk_expr: str, k: int) -> str:
+    numer = repr(float(k - 1) * _H_SPACE)
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN {n_expr} "
+        f"ELSE CAST(floor({numer} / (CAST({hk_expr} AS DOUBLE) + 1.0)) AS BIGINT) END"
+    )
+
+
+def _sketch(df: DataFrame, group_col: str, value: Column, k: int) -> DataFrame:
+    """Per-group KMV sketch rows: (group, h, rn) with rn <= k over distinct
+    hashes ascending. The downstream aggregate only needs count + max."""
+    hashes = df.select(F.col(group_col), h64(value).alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, value: Column, k: int = DEFAULT_K
+) -> DataFrame:
+    """Approximate distinct-count of `value` per group.
+
+    Returns (group_col, n_kept, kth_hash, distinct_est) — n_kept/kth_hash
+    expose the sketch so estimates are auditable.
+    """
+    sk = _sketch(df, group_col, value, k)
+    agg = sk.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        group_col,
+        "n_kept",
+        "kth_hash",
+        _est_expr(F.col("n_kept"), F.col("kth_hash"), k).alias("distinct_est"),
+    ).orderBy(group_col)
+
+
+def kmv_distinct_by_sql(
+    table: str, group_col: str, value_expr: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB twin of ``kmv_distinct_by`` (same hash, same estimator)."""
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col}, {h64_sql(value_expr)} AS h FROM {table}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM hashes
+),
+sk AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+  FROM ranked WHERE rn <= {k} GROUP BY {group_col}
+)
+SELECT {group_col}, n_kept, kth_hash,
+       {_est_sql("n_kept", "kth_hash", k)} AS distinct_est
+FROM sk ORDER BY {group_col}
+"""
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    group_a: str,
+    group_b: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Theta-style overlap estimate between the `value` sets of two groups.
+
+    One row: (a_est, b_est, union_est, inter_est, jaccard_bp). The union
+    sketch is the k smallest distinct hashes of A ∪ B; members present on
+    both sides estimate the Jaccard numerator. jaccard_bp is basis points
+    (floor), inter_est = floor(union_est * inter_members / union_members).
+    """
+    filtered = df.filter(F.col(group_col).isin(group_a, group_b))
+    sk = _sketch(filtered, group_col, value, k)
+    # side membership per hash (each side's sketch is distinct already)
+    sides = sk.groupBy("h").agg(
+        F.max(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")  # union of two k-sketches: <= 2k rows, tiny
+    union_sk = sides.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    per_group = (
+        sk.groupBy(group_col)
+        .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+        .select(
+            group_col, _est_expr(F.col("n"), F.col("hk"), k).alias("est")
+        )
+    )
+    a_est = per_group.filter(F.col(group_col) == group_a).select(
+        F.col("est").alias("a_est")
+    )
+    b_est = per_group.filter(F.col(group_col) == group_b).select(
+        F.col("est").alias("b_est")
+    )
+    u = union_sk.agg(
+        F.count("*").alias("u_n"),
+        F.max("h").alias("u_hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_members"),
+    ).select(
+        _est_expr(F.col("u_n"), F.col("u_hk"), k).alias("union_est"),
+        "u_n",
+        "inter_members",
+    )
+    return (
+        a_est.crossJoin(b_est)  # three 1-row locals — trivial by construction
+        .crossJoin(u)
+        .select(
+            "a_est",
+            "b_est",
+            "union_est",
+            F.floor(
+                F.col("union_est").cast("double")
+                * F.col("inter_members")
+                / F.col("u_n")
+            )
+            .cast("long")
+            .alias("inter_est"),
+            F.floor(
+                F.lit(10000.0) * F.col("inter_members") / F.col("u_n")
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+def kmv_overlap_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    group_a: str,
+    group_b: str,
+    k: int = DEFAULT_K,
+) -> str:
+    """DuckDB twin of ``kmv_overlap``."""
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col}, {h64_sql(value_expr)} AS h FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM hashes
+),
+sk AS (SELECT * FROM ranked WHERE rn <= {k}),
+sides AS (
+  SELECT h,
+         max(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END) AS in_b
+  FROM sk GROUP BY h
+),
+union_sk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY h) AS rn FROM sides
+  ) WHERE rn <= {k}
+),
+per_group AS (
+  SELECT {group_col},
+         {_est_sql("CAST(count(*) AS BIGINT)", "max(h)", k)} AS est
+  FROM sk GROUP BY {group_col}
+),
+u AS (
+  SELECT {_est_sql("CAST(count(*) AS BIGINT)", "max(h)", k)} AS union_est,
+         CAST(count(*) AS BIGINT) AS u_n,
+         CAST(sum(in_a * in_b) AS BIGINT) AS inter_members
+  FROM union_sk
+)
+SELECT a.est AS a_est, b.est AS b_est, u.union_est,
+       CAST(floor(CAST(u.union_est AS DOUBLE) * u.inter_members / u.u_n) AS BIGINT)
+         AS inter_est,
+       CAST(floor(10000.0 * u.inter_members / u.u_n) AS BIGINT) AS jaccard_bp
+FROM (SELECT est FROM per_group WHERE {group_col} = '{group_a}') a,
+     (SELECT est FROM per_group WHERE {group_col} = '{group_b}') b, u
+"""

@@ -1,0 +1,85 @@
+"""KMV sketch operators: estimator accuracy, exact-branch, overlap.
+
+Cross-engine bit-parity is covered by the contract rows
+(events_kmv_users_by_type / events_kmv_user_overlap) in the oracle sweep;
+here we check the estimates are actually *good* against ground truth.
+"""
+
+from pyspark.sql import functions as F
+
+from orientdb_neo4j_importer_plugin_spark.operators import sketches
+
+
+def _ids(spark, group_rows):
+    """group_rows: dict group -> iterable of int ids (with duplicates)."""
+    data = [(g, i) for g, ids in group_rows.items() for i in ids]
+    return spark.createDataFrame(data, "g string, v long")
+
+
+def test_exact_below_k(spark):
+    df = _ids(spark, {"a": list(range(10)) * 3})
+    out = sketches.kmv_distinct_by(
+        df, "g", F.col("v").cast("string"), k=64
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["distinct_est"] == 10  # sketch unsaturated -> exact
+    assert out[0]["n_kept"] == 10
+
+
+def test_estimator_accuracy(spark):
+    true_n = 5000
+    df = _ids(spark, {"a": list(range(true_n)), "b": list(range(200))})
+    out = {
+        r["g"]: r["distinct_est"]
+        for r in sketches.kmv_distinct_by(
+            df, "g", F.col("v").cast("string"), k=256
+        ).collect()
+    }
+    # k=256 -> relative std ~1/sqrt(254) ~ 6.3%; assert within 4 sigma
+    assert abs(out["a"] - true_n) / true_n < 0.25
+    assert out["b"] == 200  # below k -> exact
+
+
+def test_overlap_estimates(spark):
+    # |A|=2000, |B|=2000, |A∩B|=1000 -> union 3000, jaccard 1/3
+    a = list(range(0, 2000))
+    b = list(range(1000, 3000))
+    df = _ids(spark, {"a": a, "b": b})
+    row = sketches.kmv_overlap(
+        df, "g", F.col("v").cast("string"), "a", "b", k=256
+    ).collect()[0]
+    assert abs(row["union_est"] - 3000) / 3000 < 0.25
+    assert abs(row["jaccard_bp"] - 3333) < 1200
+    assert abs(row["inter_est"] - 1000) / 1000 < 0.45
+    # disjoint sets -> zero intersection, exactly
+    df2 = _ids(spark, {"a": list(range(100)), "b": list(range(1000, 1100))})
+    row2 = sketches.kmv_overlap(
+        df2, "g", F.col("v").cast("string"), "a", "b", k=64
+    ).collect()[0]
+    assert row2["inter_est"] == 0
+    assert row2["jaccard_bp"] == 0
+
+
+def test_sketch_is_merge_invariant(spark):
+    """The sketch of a union equals the sketch computed over pre-unioned
+    data — KMV is mergeable, so partial sketches compose (the property that
+    makes it a partial-aggregate shape at scale)."""
+    df1 = _ids(spark, {"a": list(range(0, 800))})
+    df2 = _ids(spark, {"a": list(range(400, 1200))})
+    both = df1.unionByName(df2)
+    direct = sketches.kmv_distinct_by(
+        both, "g", F.col("v").cast("string"), k=64
+    ).collect()[0]
+    # merge = k smallest of the two sketches' union
+    s1 = sketches._sketch(df1, "g", F.col("v").cast("string"), 64)
+    s2 = sketches._sketch(df2, "g", F.col("v").cast("string"), 64)
+    merged = (
+        s1.select("g", "h")
+        .unionByName(s2.select("g", "h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+    )
+    agg = merged.agg(F.count("*").alias("n"), F.max("h").alias("hk")).collect()[0]
+    assert agg["n"] == direct["n_kept"]
+    assert agg["hk"] == direct["kth_hash"]
