@@ -123,6 +123,12 @@ def kmv_overlap(
     sketch is the k smallest distinct hashes of A ∪ B; members present on
     both sides estimate the Jaccard numerator. jaccard_bp is basis points
     (floor), inter_est = floor(union_est * inter_members / union_members).
+
+    Plan shape: everything folds into ONE aggregation over the <=2k-row
+    hash-membership frame — side sketches are recovered from the in_a/in_b
+    flags (sum(in_a) = |SA|, max(h where in_a) = SA's theta), so there are
+    no joins at all (the contract-wide plan gate forbids cartesian/BNLJ
+    even for 1-row combines).
     """
     filtered = df.filter(F.col(group_col).isin(group_a, group_b))
     sk = _sketch(filtered, group_col, value, k)
@@ -132,51 +138,33 @@ def kmv_overlap(
         F.max(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("in_b"),
     )
     w = Window.orderBy("h")  # union of two k-sketches: <= 2k rows, tiny
-    union_sk = sides.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    ranked = sides.withColumn("rn", F.row_number().over(w))
+    in_union = F.col("rn") <= k
+    agg = ranked.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.max(F.when(F.col("in_a") == 1, F.col("h"))).alias("hk_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.max(F.when(F.col("in_b") == 1, F.col("h"))).alias("hk_b"),
+        F.sum(F.when(in_union, 1).otherwise(0)).cast("long").alias("u_n"),
+        F.max(F.when(in_union, F.col("h"))).alias("u_hk"),
+        F.sum(F.when(in_union, F.col("in_a") * F.col("in_b")).otherwise(0))
+        .cast("long")
+        .alias("inter_members"),
     )
-    per_group = (
-        sk.groupBy(group_col)
-        .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
-        .select(
-            group_col, _est_expr(F.col("n"), F.col("hk"), k).alias("est")
-        )
-    )
-    a_est = per_group.filter(F.col(group_col) == group_a).select(
-        F.col("est").alias("a_est")
-    )
-    b_est = per_group.filter(F.col(group_col) == group_b).select(
-        F.col("est").alias("b_est")
-    )
-    u = union_sk.agg(
-        F.count("*").alias("u_n"),
-        F.max("h").alias("u_hk"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_members"),
-    ).select(
+    return agg.select(
+        _est_expr(F.col("n_a"), F.col("hk_a"), k).alias("a_est"),
+        _est_expr(F.col("n_b"), F.col("hk_b"), k).alias("b_est"),
         _est_expr(F.col("u_n"), F.col("u_hk"), k).alias("union_est"),
-        "u_n",
-        "inter_members",
-    )
-    return (
-        a_est.crossJoin(b_est)  # three 1-row locals — trivial by construction
-        .crossJoin(u)
-        .select(
-            "a_est",
-            "b_est",
-            "union_est",
-            F.floor(
-                F.col("union_est").cast("double")
-                * F.col("inter_members")
-                / F.col("u_n")
-            )
-            .cast("long")
-            .alias("inter_est"),
-            F.floor(
-                F.lit(10000.0) * F.col("inter_members") / F.col("u_n")
-            )
-            .cast("long")
-            .alias("jaccard_bp"),
+        F.floor(
+            _est_expr(F.col("u_n"), F.col("u_hk"), k).cast("double")
+            * F.col("inter_members")
+            / F.col("u_n")
         )
+        .cast("long")
+        .alias("inter_est"),
+        F.floor(F.lit(10000.0) * F.col("inter_members") / F.col("u_n"))
+        .cast("long")
+        .alias("jaccard_bp"),
     )
 
 
@@ -205,26 +193,25 @@ sides AS (
          max(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END) AS in_b
   FROM sk GROUP BY h
 ),
-union_sk AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (ORDER BY h) AS rn FROM sides
-  ) WHERE rn <= {k}
+ranked_u AS (
+  SELECT *, row_number() OVER (ORDER BY h) AS rn FROM sides
 ),
-per_group AS (
-  SELECT {group_col},
-         {_est_sql("CAST(count(*) AS BIGINT)", "max(h)", k)} AS est
-  FROM sk GROUP BY {group_col}
-),
-u AS (
-  SELECT {_est_sql("CAST(count(*) AS BIGINT)", "max(h)", k)} AS union_est,
-         CAST(count(*) AS BIGINT) AS u_n,
-         CAST(sum(in_a * in_b) AS BIGINT) AS inter_members
-  FROM union_sk
+agg AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         max(CASE WHEN in_a = 1 THEN h END) AS hk_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         max(CASE WHEN in_b = 1 THEN h END) AS hk_b,
+         CAST(sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS u_n,
+         max(CASE WHEN rn <= {k} THEN h END) AS u_hk,
+         CAST(sum(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END) AS BIGINT)
+           AS inter_members
+  FROM ranked_u
 )
-SELECT a.est AS a_est, b.est AS b_est, u.union_est,
-       CAST(floor(CAST(u.union_est AS DOUBLE) * u.inter_members / u.u_n) AS BIGINT)
-         AS inter_est,
-       CAST(floor(10000.0 * u.inter_members / u.u_n) AS BIGINT) AS jaccard_bp
-FROM (SELECT est FROM per_group WHERE {group_col} = '{group_a}') a,
-     (SELECT est FROM per_group WHERE {group_col} = '{group_b}') b, u
+SELECT {_est_sql("n_a", "hk_a", k)} AS a_est,
+       {_est_sql("n_b", "hk_b", k)} AS b_est,
+       {_est_sql("u_n", "u_hk", k)} AS union_est,
+       CAST(floor(CAST({_est_sql("u_n", "u_hk", k)} AS DOUBLE)
+                  * inter_members / u_n) AS BIGINT) AS inter_est,
+       CAST(floor(10000.0 * inter_members / u_n) AS BIGINT) AS jaccard_bp
+FROM agg
 """
