@@ -77,7 +77,28 @@ def bench_cdc_apply(
             collect_stats=(mode == "cow"),
         )
     dt = time.perf_counter() - t0
-    return dt, n_events
+    return dt, n_events, table
+
+
+def bench_cdf_scan(spark, table) -> float:
+    """Change-feed subscription throughput: full-history read of the MOR
+    table's deltas through the lake_cdf Python Data Source (metadata-only
+    planning + executor-side Arrow file reads)."""
+    from orientdb_neo4j_importer_plugin_spark.streaming.cdf_source import (
+        LakeCdfDataSource,
+    )
+
+    spark.dataSource.register(LakeCdfDataSource)
+    df = (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("fromVersion", 0)
+        .load()
+    )
+    _run(df)  # warmup (python datasource plan + arrow path)
+    t0 = time.perf_counter()
+    _run(df)
+    return time.perf_counter() - t0
 
 
 def bench_cdc_stream(spark, sf_dir: str, n_chunks: int = 8) -> tuple[float, int]:
@@ -227,14 +248,15 @@ def main() -> None:
         _run(df)
         times[name] = round(time.perf_counter() - t0, 3)
 
-    cow_sec, n_events = bench_cdc_apply(spark, SF_DIR, "cow")
-    mor_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor")
-    skew_sec, _ = bench_cdc_apply(spark, SF_DIR, "mor", hot_key_share=0.3)
+    cow_sec, n_events, _ = bench_cdc_apply(spark, SF_DIR, "cow")
+    mor_sec, _, mor_table = bench_cdc_apply(spark, SF_DIR, "mor")
+    skew_sec, _, _ = bench_cdc_apply(spark, SF_DIR, "mor", hot_key_share=0.3)
     stream_sec, _ = bench_cdc_stream(spark, SF_DIR)
     times["cdc_stream_mor"] = round(stream_sec, 3)
     times["cdc_apply_cow"] = round(cow_sec, 3)
     times["cdc_apply_mor"] = round(mor_sec, 3)
     times["cdc_apply_mor_hotkey"] = round(skew_sec, 3)
+    times["cdc_cdf_scan"] = round(bench_cdf_scan(spark, mor_table), 3)
     events_per_sec = round(n_events / mor_sec, 1)  # sustained-ingest config
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
