@@ -33,6 +33,7 @@ from orientdb_neo4j_importer_plugin_spark.operators import sketches as SK
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import pipeline as PL
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
+from orientdb_neo4j_importer_plugin_spark.operators import transcripts as TR
 from orientdb_neo4j_importer_plugin_spark.operators import textstats as T
 from orientdb_neo4j_importer_plugin_spark.plans import relational as R
 from orientdb_neo4j_importer_plugin_spark.plans import tpch as Q
@@ -236,6 +237,35 @@ def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LWW-replayed live state straight from the feed (no table build — the
+# table-backed path is cdc_replay_state; equivalence is tested there), the
+# input to the conversation-level analytics operators.
+def _replayed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orientdb_neo4j_importer_plugin_spark.cdc.lww import lww_resolve
+
+    # pre-partition by conv_id: HashPartitioning(conv_id) satisfies the
+    # clustered distribution of BOTH the (conv_id, turn_idx) LWW aggregate
+    # and the downstream conversation-level window/agg, so the entire
+    # replay->analytics pipeline runs in ONE data shuffle (verified: the
+    # executed plan shows a single hash exchange + the output sort).
+    feed = feed_from_tpch(spark, sf_dir).repartition("conv_id")
+    return lww_resolve(feed, keys=["conv_id", "turn_idx"]).filter("op <> 'D'")
+
+
+# the same state as a DuckDB CTE named `state`
+_STATE_CTE = f"""{_FEED_SQL},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+  ) AS rn
+  FROM feed
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_replay_state(spark, "/root/testdata/sf0.001")
@@ -253,6 +283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
         "cdc_cdf_tail": cdc_cdf_tail,
+        "transcripts_integrity": lambda s, d: TR.conversation_integrity(
+            _replayed_state(s, d)
+        ),
+        "transcripts_render": lambda s, d: TR.render_conversations(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
@@ -451,6 +487,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_cdf_tail": CDC_REPLAY_SQL,
+        "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
+        "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),

@@ -1,0 +1,78 @@
+"""Conversation-level analytics: integrity counters + chat render.
+
+Hand-built states with known defects; cross-engine parity runs in the
+oracle sweep (transcripts_integrity / transcripts_render rows).
+"""
+
+import datetime
+
+from orientdb_neo4j_importer_plugin_spark.operators import transcripts as TR
+
+TS = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, t, r, x, tool, TS + datetime.timedelta(minutes=m))
+            for (c, t, r, x, tool, m) in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_integrity_clean_conversation(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 0, "user", "hi", None, 0),
+            ("c1", 1, "assistant", "hello", None, 1),
+            ("c1", 2, "user", "do it", None, 2),
+            ("c1", 3, "tool", "result", "tool_3", 3),
+        ],
+    )
+    row = TR.conversation_integrity(df).collect()[0]
+    assert row["n_turns"] == 4
+    assert row["n_missing"] == 0
+    assert row["n_role_repeats"] == 0
+    assert row["n_ts_inversions"] == 0
+    assert row["n_tool_turns"] == 1
+    assert row["ok"] is True
+
+
+def test_integrity_detects_defects(spark):
+    df = _state(
+        spark,
+        [
+            # c2: turn 1 missing (deleted), turns 0->2 same role, ts goes back
+            ("c2", 0, "user", "a", None, 5),
+            ("c2", 2, "user", "b", None, 3),
+            ("c2", 3, "assistant", "c", None, 4),
+        ],
+    )
+    row = TR.conversation_integrity(df).collect()[0]
+    assert row["n_turns"] == 3
+    assert row["max_turn_idx"] == 3
+    assert row["n_missing"] == 1
+    assert row["n_role_repeats"] == 1
+    assert row["n_ts_inversions"] == 1
+    assert row["ok"] is False
+
+
+def test_render_orders_and_counts(spark):
+    df = _state(
+        spark,
+        [
+            # rows deliberately out of turn order
+            ("c3", 1, "assistant", "three four", None, 1),
+            ("c3", 0, "user", "one two", None, 0),
+            ("c3", 2, "user", None, None, 2),  # null text renders empty
+        ],
+    )
+    row = TR.render_conversations(df).collect()[0]
+    assert row["conv_text"] == "user: one two\nassistant: three four\nuser: "
+    assert row["n_turns"] == 3
+    assert row["n_tokens"] == 7  # user: one two assistant: three four user:
+    # stable under repartition (order comes from the sort, not the plan)
+    row2 = TR.render_conversations(df.repartition(7)).collect()[0]
+    assert row2["conv_text"] == row["conv_text"]
