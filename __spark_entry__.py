@@ -291,6 +291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
+        "events_session_window": lambda s, d: S.session_window_agg(
+            _read(s, d, "events")
+        ),
+        "events_pivot_type_by_hour": lambda s, d: S.pivot_type_by_hour(
+            _read(s, d, "events")
+        ),
         "events_tumbling_counts": lambda s, d: S.tumbling_counts(
             _read(s, d, "events")
         ),
@@ -491,6 +497,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
+        "events_session_window": S.session_window_agg_sql(),
+        "events_pivot_type_by_hour": S.pivot_type_by_hour_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),
         "events_rolling_stats": S.rolling_stats_sql(),
         "events_kmv_users_by_type": SK.kmv_distinct_by_sql(

@@ -113,6 +113,102 @@ ORDER BY user_id, session_id
 """
 
 
+def session_window_agg(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap sessionization through Spark's NATIVE session_window operator
+    (dynamic-gap merging inside the aggregation, the streaming-capable
+    form) — same semantics as `sessionize` but the window merge happens in
+    the aggregate instead of a lag/cumsum window pair, so it needs no
+    total per-user sort and works under `groupBy` partial aggregation.
+
+    Spark's rule: an event extends the session while ts < prev_end
+    (prev_ts + gap); session_end = last ts + gap. Columns: user_id,
+    session_start, session_end, n_events.
+    """
+    sw = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", sw.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def session_window_agg_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    """DuckDB twin: lag-gap-cumsum with the >= boundary Spark uses (a gap
+    of exactly `gap` starts a NEW session), micros-exact arithmetic;
+    session_end = max(ts) + gap."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) >= {gap_us}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_type_by_hour(events: DataFrame) -> DataFrame:
+    """Hour x event-type count matrix via the PIVOT operator.
+
+    The pivot values are DECLARED (EVENT_TYPES) rather than discovered, so
+    Spark skips the extra distinct-scan job and the output schema is
+    stable — both required at 100 TB (a discovery pass over the fact table
+    costs a full scan; an inferred schema breaks downstream contracts).
+    One shuffle on the hour key.
+    """
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    out = (
+        events.select(hour, "event_type")
+        .groupBy("hour")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, EVENT_TYPES).select(
+        "hour", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("hour")
+
+
+def pivot_type_by_hour_sql() -> str:
+    conds = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT date_trunc('hour', ts) AS hour,
+       {conds}
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+
 def props_parse(events: DataFrame) -> DataFrame:
     """Parse the JSON `props` column and aggregate — the property-map
     explode analogue (reference P2, `Migrator:243-248`: iterate property
