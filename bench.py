@@ -239,6 +239,10 @@ def main() -> None:
         "docs_training_pipeline",
         "events_rolling_stats",
         "cdc_changelog",
+        "transcripts_render",
+        "transcripts_integrity",
+        "events_kmv_users_by_type",
+        "events_session_window",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
