@@ -632,6 +632,44 @@ class SnapshotTable:
             return merged
         return merged.filter(~F.col(DELETED_COL)).drop(*META_COLS)
 
+    def lookup(
+        self, key_values: dict[str, Any], snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Point lookup by (a prefix of) the primary key — the reference's
+        index point-read (``OGraphCommands.java:109-119``) as a user API.
+
+        Must include the partition key; routes to its ONE hash bucket and
+        reads only that bucket's base+delta files (O(bucket), never
+        O(table)), then filters to the requested key values. LWW-merged,
+        tombstones hidden — exactly what `read()` would return for these
+        keys, at a fraction of the IO.
+        """
+        snap = snapshot or self.current()
+        if snap.partition_key not in key_values:
+            raise ValueError(
+                f"lookup requires the partition key {snap.partition_key!r}; "
+                f"got {sorted(key_values)}"
+            )
+        unknown = [k for k in key_values if k not in snap.keys]
+        if unknown:
+            raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(key_values[snap.partition_key])),
+                    F.lit(snap.num_buckets),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        df = self.read_buckets([bucket], snapshot=snap)
+        for k, v in key_values.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        return df
+
     def file_stats(self, snapshot: Snapshot | None = None) -> dict[str, dict]:
         """Per-data-file stats of a snapshot (rows, __lsn min/max, tombstone
         presence), read from manifests — pure metadata, no data IO. Files
@@ -1093,7 +1131,14 @@ class SnapshotTable:
             merged = self.read_buckets(ids, snapshot=snap, raw=True).withColumn(
                 BUCKET_COL, bucket_expr_for(snap)
             )
-            merged = merged.repartition(max(len(ids), 1), F.col(BUCKET_COL))
+            # cluster rewritten base files by primary key: a per-partition
+            # sort (no extra shuffle) that gives parquet row groups tight
+            # key min/max ranges — point lookups and key-range scans skip
+            # row groups, and runs of one conversation compress better.
+            # Iceberg sort-order-on-rewrite analogue.
+            merged = merged.repartition(
+                max(len(ids), 1), F.col(BUCKET_COL)
+            ).sortWithinPartitions(BUCKET_COL, *snap.keys)
             try:
                 return self.commit_bucket_rewrite(
                     merged,

@@ -1,0 +1,90 @@
+"""Point lookup (bucket-pruned key read) + compaction sort clustering."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+
+def _table(spark, tmp_path, mode="mor"):
+    feed = gen_feed(
+        spark, n_convs=16, turns_per_conv=6, updates_per_key=2, delete_every=5
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(feed, table, batch_id="b0", mode=mode)
+    return table
+
+
+def test_lookup_matches_full_read(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    full = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in table.read().collect()
+    }
+    # a live key: exact row back
+    (conv, turn), text = next(iter(sorted(full.items())))
+    got = table.lookup({"conv_id": conv, "turn_idx": turn}).collect()
+    assert len(got) == 1
+    assert got[0]["text"] == text
+    # partition-key-only lookup: the whole conversation
+    conv_rows = table.lookup({"conv_id": conv}).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in conv_rows} == {
+        k for k in full if k[0] == conv
+    }
+    # a deleted key: no row (tombstones hidden)
+    deleted = table.read(raw=True).filter("__deleted").first()
+    if deleted is not None:
+        assert (
+            table.lookup(
+                {"conv_id": deleted["conv_id"], "turn_idx": deleted["turn_idx"]}
+            ).count()
+            == 0
+        )
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    conv = table.read().first()["conv_id"]
+    pruned = set(table.lookup({"conv_id": conv}).inputFiles())
+    all_files = set(table.read().inputFiles())
+    assert pruned
+    assert len(pruned) < len(all_files)
+    # the pruned set is exactly one bucket's file lists
+    snap = table.current()
+    per_bucket = {
+        b: set(snap.base_files([int(b)]) + snap.delta_files([int(b)]))
+        for b in snap.buckets.keys() | snap.deltas.keys()
+    }
+    # inputFiles returns file:// URIs; compare by suffix
+    def norm(fs):
+        return {f.split("file:")[-1].lstrip("/") for f in fs}
+
+    assert any(norm(pruned) == norm(fs) for fs in per_bucket.values())
+
+
+def test_lookup_requires_partition_key(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition key"):
+        table.lookup({"turn_idx": 1})
+    with pytest.raises(ValueError, match="not key columns"):
+        table.lookup({"conv_id": "conv_000001", "text": "x"})
+
+
+def test_compact_clusters_by_key(spark, tmp_path):
+    table = _table(spark, tmp_path, mode="mor")
+    assert table.current().deltas
+    table.compact()
+    snap = table.current()
+    assert not snap.deltas
+    checked = 0
+    for f in snap.base_files():
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"])
+        rows = list(zip(t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist()))
+        assert rows == sorted(rows), f"{f} not key-clustered"
+        checked += 1
+    assert checked > 0
