@@ -266,6 +266,66 @@ state AS (
 )"""
 
 
+def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: maintain per-conversation aggregates
+    from the source table's commit log in O(changed keys) per refresh
+    (lake/materialize.IncrementalView) — refreshed after EACH of two
+    out-of-order source batches, then compared against the oracle's
+    from-scratch aggregate over the final LWW state."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.lake.materialize import (
+        IncrementalView,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mv_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "src"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    view_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("n_turns", LongType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    target = SnapshotTable.create(
+        spark, os.path.join(root, "view"), view_schema, "conv_id",
+        num_buckets=8, key_columns=["conv_id"], overwrite=True,
+    )
+
+    def agg_fn(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("conv_id").agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+
+    view = IncrementalView(source, target, "conv_id", agg_fn)
+    apply_changes(feed.filter(_CHLOG_B1), source, batch_id="m1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter(_CHLOG_B2), source, batch_id="m2", mode="mor")
+    view.refresh()
+    return target.read().orderBy("conv_id")
+
+
+CDC_MV_SQL = f"""
+{_STATE_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM state
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_replay_state(spark, "/root/testdata/sf0.001")
@@ -283,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
         "cdc_cdf_tail": cdc_cdf_tail,
+        "cdc_incremental_view": cdc_incremental_view,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
         ),
@@ -493,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_cdf_tail": CDC_REPLAY_SQL,
+        "cdc_incremental_view": CDC_MV_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,

@@ -1,3 +1,12 @@
+# table first: materialize -> cdc.apply -> cdc.replay imports
+# lake.SnapshotTable back out of this (then partially initialized) package,
+# so the name must already be bound when materialize loads.
 from .table import CommitConflictError, ConcurrentCommitError, SnapshotTable
+from .materialize import IncrementalView
 
-__all__ = ["SnapshotTable", "ConcurrentCommitError", "CommitConflictError"]
+__all__ = [
+    "CommitConflictError",
+    "ConcurrentCommitError",
+    "IncrementalView",
+    "SnapshotTable",
+]

@@ -1,0 +1,120 @@
+"""Incremental view maintenance: target == full recompute at every step,
+refreshes touch only affected keys, replay is a ledger no-op."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.lake.materialize import IncrementalView
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+VIEW_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("n_turns", LongType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def agg_fn(rows):
+    return rows.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+def _setup(spark, tmp_path):
+    source = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    target = SnapshotTable.create(
+        spark,
+        str(tmp_path / "view"),
+        VIEW_SCHEMA,
+        "conv_id",
+        num_buckets=4,
+        key_columns=["conv_id"],
+    )
+    view = IncrementalView(source, target, "conv_id", agg_fn)
+    feed = gen_feed(
+        spark, n_convs=12, turns_per_conv=6, updates_per_key=2, delete_every=5
+    )
+    return source, target, view, feed
+
+
+def _expect(source):
+    return {
+        (r["conv_id"], r["n_turns"], r["n_chars"])
+        for r in agg_fn(source.read()).collect()
+    }
+
+
+def _got(target):
+    return {
+        (r["conv_id"], r["n_turns"], r["n_chars"])
+        for r in target.read().collect()
+    }
+
+
+def test_view_tracks_source(spark, tmp_path):
+    source, target, view, feed = _setup(spark, tmp_path)
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+
+    apply_changes(feed.filter(feed.lsn < hi // 2), source, batch_id="s1", mode="mor")
+    r1 = view.refresh()
+    assert not r1["skipped"] and r1["affected_keys"] > 0
+    assert _got(target) == _expect(source)
+
+    # second batch: updates + deletes land; only touched convs refresh
+    apply_changes(feed.filter(feed.lsn >= hi // 2), source, batch_id="s2", mode="mor")
+    changed_convs = (
+        feed.filter(feed.lsn >= hi // 2).select("conv_id").distinct().count()
+    )
+    r2 = view.refresh()
+    assert _got(target) == _expect(source)
+    assert r2["affected_keys"] <= changed_convs
+    assert view.last_refreshed_version() == source.current().version
+
+
+def test_whole_conversation_delete_retracts(spark, tmp_path):
+    source, target, view, feed = _setup(spark, tmp_path)
+    apply_changes(feed, source, batch_id="s1", mode="mor")
+    view.refresh()
+    victim = source.read().first()["conv_id"]
+    # delete every turn of one conversation
+    turns = source.read().filter(F.col("conv_id") == victim).select("turn_idx")
+    hi_lsn = feed.agg(F.max("lsn")).first()[0]
+    deletes = turns.select(
+        (F.lit(hi_lsn + 1) + F.col("turn_idx")).alias("lsn"),
+        F.lit("D").alias("op"),
+        F.lit(victim).alias("conv_id"),
+        "turn_idx",
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("p0").alias("source_part"),
+    )
+    apply_changes(deletes, source, batch_id="kill", mode="mor")
+    r = view.refresh()
+    assert r["affected_keys"] >= 1
+    assert _got(target) == _expect(source)
+    assert target.read().filter(F.col("conv_id") == victim).count() == 0
+
+
+def test_refresh_is_idempotent_per_version(spark, tmp_path):
+    source, target, view, feed = _setup(spark, tmp_path)
+    apply_changes(feed, source, batch_id="s1", mode="mor")
+    view.refresh()
+    v = target.current().version
+    again = view.refresh()
+    assert again["skipped"] is True or again["affected_keys"] == 0
+    assert target.current().version == v
+    assert _got(target) == _expect(source)
