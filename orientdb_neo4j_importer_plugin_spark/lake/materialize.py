@@ -134,3 +134,37 @@ class IncrementalView:
             "affected_keys": res.keys_changed,
             "skipped": res.skipped_replay,
         }
+
+    def stream(self, checkpoint_dir: str, mode: str = "cow", available_now: bool = True):
+        """Continuous maintenance: subscribe to the source's commit log via
+        the `lake_cdf` data source and refresh on every micro-batch of new
+        versions. Returns the StreamingQuery.
+
+        The cdf stream is used as the *wake-up signal* (its offsets are
+        source versions, checkpointed by Spark); each trigger calls
+        `refresh()`, which re-reads its own high-watermark from target
+        lineage — so duplicate triggers and checkpoint replays are
+        harmless (per-version ledger no-ops), and a missed trigger is
+        caught up by the next one. Exactly-once composes from both ends.
+        """
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.target.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        stream = (
+            spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.last_refreshed_version())
+            .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

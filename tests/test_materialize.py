@@ -109,6 +109,26 @@ def test_whole_conversation_delete_retracts(spark, tmp_path):
     assert target.read().filter(F.col("conv_id") == victim).count() == 0
 
 
+def test_streaming_maintenance_via_cdf(spark, tmp_path):
+    """The lake_cdf subscription drives refresh(): the view converges after
+    each drained stream run, and a restart picks up new source commits."""
+    source, target, view, feed = _setup(spark, tmp_path)
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+    ckpt = str(tmp_path / "ckpt")
+
+    apply_changes(feed.filter(feed.lsn < hi // 2), source, batch_id="s1", mode="mor")
+    q = view.stream(ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert _got(target) == _expect(source)
+
+    apply_changes(feed.filter(feed.lsn >= hi // 2), source, batch_id="s2", mode="mor")
+    q2 = view.stream(ckpt)
+    q2.awaitTermination(120)
+    assert _got(target) == _expect(source)
+    assert view.last_refreshed_version() == source.current().version
+
+
 def test_refresh_is_idempotent_per_version(spark, tmp_path):
     source, target, view, feed = _setup(spark, tmp_path)
     apply_changes(feed, source, batch_id="s1", mode="mor")
