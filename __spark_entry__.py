@@ -266,6 +266,86 @@ state AS (
 )"""
 
 
+def cdc_cdf_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC subscription: apply two MOR batches, materialize the
+    per-version changelog files (Delta CDF change-file analogue), and read
+    the full I/U/D history through lake_cdf mode=rowlevel. The oracle
+    recomputes both versions' row-level diffs from scratch in SQL."""
+    from orientdb_neo4j_importer_plugin_spark.streaming.cdf_source import (
+        LakeCdfDataSource,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_rl_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="r1", mode="mor")
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="r2", mode="mor")
+    table.materialize_changelog()
+    spark.dataSource.register(LakeCdfDataSource)
+    return (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("mode", "rowlevel")
+        .option("fromVersion", 0)
+        .load()
+        .orderBy("_commit_version", "conv_id", "turn_idx")
+    )
+
+
+CDC_CDF_ROWLEVEL_SQL = f"""
+{_FEED_SQL},
+s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+    WHERE (op = 'I' AND turn_idx % 5 <> 0) OR (op <> 'I' AND turn_idx % 2 = 0)
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+v1 AS (
+  SELECT conv_id, turn_idx, 'I' AS op, role, text, tool, ts,
+         CAST(1 AS BIGINT) AS _commit_version
+  FROM s1 WHERE op <> 'D'
+),
+d2 AS (
+  SELECT coalesce(s2.conv_id, s1.conv_id) AS conv_id,
+         coalesce(s2.turn_idx, s1.turn_idx) AS turn_idx,
+         CASE WHEN (s1.lsn IS NULL OR s1.op = 'D') AND s2.op <> 'D' THEN 'I'
+              WHEN s1.op <> 'D' AND (s2.lsn IS NULL OR s2.op = 'D') THEN 'D'
+              WHEN s1.op <> 'D' AND s2.op <> 'D' AND s1.lsn <> s2.lsn THEN 'U'
+         END AS chg,
+         s2.role AS role, s2.text AS text, s2.tool AS tool, s2.ts AS ts
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+),
+v2 AS (
+  SELECT conv_id, turn_idx, chg AS op,
+         CASE WHEN chg <> 'D' THEN role END AS role,
+         CASE WHEN chg <> 'D' THEN text END AS text,
+         CASE WHEN chg <> 'D' THEN tool END AS tool,
+         CASE WHEN chg <> 'D' THEN ts END AS ts,
+         CAST(2 AS BIGINT) AS _commit_version
+  FROM d2 WHERE chg IS NOT NULL
+)
+SELECT * FROM v1
+UNION ALL
+SELECT * FROM v2
+ORDER BY _commit_version, conv_id, turn_idx
+"""
+
+
 def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view: maintain per-conversation aggregates
     from the source table's commit log in O(changed keys) per refresh
@@ -343,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
         "cdc_cdf_tail": cdc_cdf_tail,
+        "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
@@ -554,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_cdf_tail": CDC_REPLAY_SQL,
+        "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),

@@ -111,6 +111,33 @@ def _payload_schema(root: str, version: int) -> StructType:
     return StructType.fromJson(d["schema"])
 
 
+def _rowlevel_payload_schema(root: str, version: int) -> StructType:
+    """Declared columns of a materialized changelog file: keys, op, then
+    the non-key payload (matching SnapshotTable.changelog's output)."""
+    d = _snapshot_dict(root, version)
+    table_schema = StructType.fromJson(d["schema"])
+    keys = d.get("key_columns")
+    if not keys:  # pre-v2 metadata: the transcripts default
+        from ..schema import KEY_COLUMNS
+
+        keys = list(KEY_COLUMNS)
+    by_name = {f.name: f for f in table_schema.fields}
+    fields = [StructField(k, by_name[k].dataType, False) for k in keys]
+    fields.append(StructField(OP_COL, StringType(), False))
+    fields += [f for f in table_schema.fields if f.name not in keys]
+    return StructType(fields)
+
+
+def _changelog_files(root: str, version: int) -> list[str] | None:
+    """Mirror of SnapshotTable.changelog_files without needing a session."""
+    d = os.path.join(root, "_changelog", f"v{version:08d}")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        return None
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
 # -- arrow bridge ------------------------------------------------------------
 
 
@@ -157,11 +184,13 @@ def _output_schema(payload: StructType) -> StructType:
 class CdfFilePartition(InputPartition):
     """One immutable data file + the commit version that added it. Carries
     the declared payload schema as JSON so the executor-side read needs no
-    driver state."""
+    driver state. rowlevel=True marks a materialized-changelog file (op is
+    a stored column; no __lsn/__deleted metadata)."""
 
     path: str
     commit_version: int
     payload_schema_json: str
+    rowlevel: bool = False
 
 
 def _read_partition_batches(part: CdfFilePartition):
@@ -192,14 +221,16 @@ def _read_partition_batches(part: CdfFilePartition):
             col = pa.nulls(n, type=target)
         cols.append(col)
         names.append(f.name)
-    deleted = table.column(_DELETED)
-    op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
-    cols.append(op)
-    names.append(OP_COL)
+    if not part.rowlevel:
+        deleted = table.column(_DELETED)
+        op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
+        cols.append(op)
+        names.append(OP_COL)
     cols.append(pa.array([part.commit_version] * n, type=pa.int64()))
     names.append(VERSION_COL)
-    cols.append(table.column(_LSN).cast(pa.int64()))
-    names.append(LSN_OUT_COL)
+    if not part.rowlevel:
+        cols.append(table.column(_LSN).cast(pa.int64()))
+        names.append(LSN_OUT_COL)
     out = pa.table(cols, names=names)
     yield from out.to_batches()
 
@@ -219,14 +250,44 @@ def _plan_partitions(
     return parts
 
 
+def _plan_rowlevel_partitions(
+    root: str, start_version: int, end_version: int, payload_schema_json: str
+) -> list[CdfFilePartition]:
+    """Materialized-changelog files per version in (start, end]. Pure
+    directory metadata; fails loudly for a version that was committed but
+    never materialized (the consumer contract requires running
+    SnapshotTable.materialize_changelog up to its read horizon first)."""
+    parts: list[CdfFilePartition] = []
+    for v in range(start_version + 1, end_version + 1):
+        files = _changelog_files(root, v)
+        if files is None:
+            raise RuntimeError(
+                f"lake_cdf mode=rowlevel: changelog for version {v} is not "
+                "materialized — run SnapshotTable.materialize_changelog() "
+                "up to the read horizon first"
+            )
+        for path in files:
+            parts.append(
+                CdfFilePartition(path, v, payload_schema_json, rowlevel=True)
+            )
+    return parts
+
+
 # -- the data source ---------------------------------------------------------
 
 
 class LakeCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int, payload_json: str):
+    def __init__(
+        self,
+        root: str,
+        starting_version: int,
+        payload_json: str,
+        rowlevel: bool = False,
+    ):
         self.root = root
         self.starting_version = starting_version
         self.payload_json = payload_json
+        self.rowlevel = rowlevel
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -235,7 +296,8 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         return {"version": _read_pointer(self.root)}
 
     def partitions(self, start: dict, end: dict):
-        parts = _plan_partitions(
+        plan = _plan_rowlevel_partitions if self.rowlevel else _plan_partitions
+        parts = plan(
             self.root, start["version"], end["version"], self.payload_json
         )
         # Spark requires >=1 partition per microbatch even when empty
@@ -255,14 +317,23 @@ class LakeCdfBatchReader(DataSourceReader):
     ``spark.read.format("lake_cdf").option("fromVersion", v)`` — the
     DataFrame-API twin of ``SnapshotTable.changes_since``."""
 
-    def __init__(self, root: str, from_v: int, to_v: int, payload_json: str):
+    def __init__(
+        self,
+        root: str,
+        from_v: int,
+        to_v: int,
+        payload_json: str,
+        rowlevel: bool = False,
+    ):
         self.root = root
         self.from_v = from_v
         self.to_v = to_v
         self.payload_json = payload_json
+        self.rowlevel = rowlevel
 
     def partitions(self):
-        parts = _plan_partitions(self.root, self.from_v, self.to_v, self.payload_json)
+        plan = _plan_rowlevel_partitions if self.rowlevel else _plan_partitions
+        parts = plan(self.root, self.from_v, self.to_v, self.payload_json)
         return parts or [CdfFilePartition("", self.to_v, self.payload_json)]
 
     def read(self, partition: CdfFilePartition):
@@ -294,27 +365,46 @@ class LakeCdfDataSource(DataSource):
             raise ValueError("lake_cdf requires .option('path', <table root>)")
         return root
 
+    def _rowlevel(self) -> bool:
+        mode = str(self.options.get("mode", "filelevel")).lower()
+        if mode not in ("filelevel", "rowlevel"):
+            raise ValueError(f"lake_cdf: unknown mode {mode!r}")
+        return mode == "rowlevel"
+
+    def _payload(self, root: str) -> StructType:
+        cur = _read_pointer(root)
+        if self._rowlevel():
+            return _rowlevel_payload_schema(root, cur)
+        return _payload_schema(root, cur)
+
     def schema(self) -> StructType:
         root = self._root()
-        return _output_schema(_payload_schema(root, _read_pointer(root)))
+        payload = self._payload(root)
+        if self._rowlevel():
+            # op is already a payload column; no row lsn in changelog files
+            return StructType(
+                list(payload.fields)
+                + [StructField(VERSION_COL, LongType(), False)]
+            )
+        return _output_schema(payload)
 
     def streamReader(self, schema: StructType) -> LakeCdfStreamReader:
         root = self._root()
-        payload = _payload_schema(root, _read_pointer(root))
         return LakeCdfStreamReader(
             root,
             int(self.options.get("startingVersion", 0)),
-            payload.json(),
+            self._payload(root).json(),
+            rowlevel=self._rowlevel(),
         )
 
     def reader(self, schema: StructType) -> LakeCdfBatchReader:
         root = self._root()
         cur = _read_pointer(root)
-        payload = _payload_schema(root, cur)
         to_v = int(self.options.get("toVersion", cur))
         return LakeCdfBatchReader(
             root,
             int(self.options.get("fromVersion", 0)),
             to_v,
-            payload.json(),
+            self._payload(root).json(),
+            rowlevel=self._rowlevel(),
         )

@@ -176,6 +176,87 @@ def test_cow_history_replay_reconstructs_state(spark, tmp_path):
     assert cdf.count() >= want.count()
 
 
+def test_rowlevel_matches_iter_changelogs(spark, tmp_path):
+    """mode=rowlevel serves the PRE-MATERIALIZED per-version changelog —
+    byte-identical to SnapshotTable.iter_changelogs at every version."""
+    table = _mor_table(spark, tmp_path)
+    assert table.materialize_changelog() == 3
+    assert table.materialize_changelog() == 0  # idempotent
+    _register(spark)
+    got = (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("mode", "rowlevel")
+        .option("fromVersion", 0)
+        .load()
+    )
+    assert "op" in got.columns and "_lsn" not in got.columns
+    total = 0
+    for v, df in table.iter_changelogs(0):
+        sub = got.filter(F.col("_commit_version") == v).select(*df.columns)
+        assert sub.exceptAll(df).count() == 0, f"v{v}: extra rows"
+        assert df.exceptAll(sub).count() == 0, f"v{v}: missing rows"
+        total += df.count()
+    assert got.count() == total
+
+
+def test_rowlevel_requires_materialization(spark, tmp_path):
+    table = _mor_table(spark, tmp_path, n_batches=1)
+    _register(spark)
+    df = (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("mode", "rowlevel")
+        .option("fromVersion", 0)
+        .load()
+    )
+    try:
+        df.count()
+        raise AssertionError("expected planning to fail")
+    except Exception as e:  # Spark wraps the planner error
+        assert "not materialized" in str(e)
+
+
+def test_rowlevel_stream_tail(spark, tmp_path):
+    table = _mor_table(spark, tmp_path, n_batches=2)
+    table.materialize_changelog()
+    _register(spark)
+    ckpt = str(tmp_path / "rl_ckpt")
+    out = str(tmp_path / "rl_sink")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", table.root)
+            .option("mode", "rowlevel")
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == sum(df.count() for _, df in table.iter_changelogs(0))
+
+    # new commit: materialize, resume, only the new version arrives
+    feed2 = gen_feed(
+        spark, n_convs=3, turns_per_conv=4, updates_per_key=1, delete_every=0
+    )
+    apply_changes(feed2, table, batch_id="late", mode="mor")
+    v = table.current().version
+    table.materialize_changelog()
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.count() == first + table.changelog(v - 1, v).count()
+    assert after.filter(F.col("_commit_version") == v).count() > 0
+
+
 def test_stream_sees_evolved_schema_on_restart(spark, tmp_path):
     table = _mor_table(spark, tmp_path, n_batches=1)
     _register(spark)
