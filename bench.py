@@ -261,6 +261,18 @@ def main() -> None:
     times["cdc_apply_mor"] = round(mor_sec, 3)
     times["cdc_apply_mor_hotkey"] = round(skew_sec, 3)
     times["cdc_cdf_scan"] = round(bench_cdf_scan(spark, mor_table), 3)
+    t0 = time.perf_counter()
+    mor_table.materialize_changelog()  # row-level change files, all versions
+    times["cdc_cdf_materialize"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _run(
+        spark.read.format("lake_cdf")
+        .option("path", mor_table.root)
+        .option("mode", "rowlevel")
+        .option("fromVersion", 0)
+        .load()
+    )
+    times["cdc_cdf_rowlevel_scan"] = round(time.perf_counter() - t0, 3)
     events_per_sec = round(n_events / mor_sec, 1)  # sustained-ingest config
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
