@@ -205,8 +205,6 @@ def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     subscription path against the same independent oracle as the direct
     read (CDC_REPLAY_SQL). MOR batches applied out of lsn order, no
     compaction, so the tail carries exactly the per-batch winner rows."""
-    from pyspark.sql import functions as F
-
     from orientdb_neo4j_importer_plugin_spark.streaming.cdf_source import (
         LakeCdfDataSource,
     )

@@ -58,6 +58,17 @@ class IncrementalView:
                 f"target must be partitioned by {key_col!r} "
                 f"(got {target.current().partition_key!r})"
             )
+        src_pk = source.current().partition_key
+        if src_pk != key_col:
+            # refresh prunes source buckets by hashing key_col with the
+            # SOURCE's bucket expression, which is defined on its partition
+            # key — a mismatch would fail deep inside the first refresh
+            # with an unresolved-column error, so reject it here instead
+            raise ValueError(
+                f"view key {key_col!r} must equal the source's partition "
+                f"key (got {src_pk!r}) — per-key aggregates over a "
+                "non-partition key cannot be bucket-pruned"
+            )
         self.source = source
         self.target = target
         self.key_col = key_col
@@ -83,9 +94,12 @@ class IncrementalView:
             return {"source_version": from_v, "affected_keys": 0, "skipped": True}
 
         # 1. affected keys: rows written since from_v (file-level diff;
-        #    includes tombstones — a delete must retract from the view)
+        #    includes tombstones — a delete must retract from the view).
+        #    Persisted: reused by the bucket collect, the left_semi prune,
+        #    and the events join — without the cache each action would
+        #    re-scan and re-distinct the whole changed-file set.
         changed = self.source.changes_since(from_v, raw=True)
-        affected = changed.select(self.key_col).distinct()
+        affected = changed.select(self.key_col).distinct().persist()
 
         # 2. bucket-pruned recompute of exactly those keys' live state
         buckets = [
@@ -122,13 +136,17 @@ class IncrementalView:
         # package loads first
         from ..cdc.apply import apply_changes
 
-        res = apply_changes(
-            events,
-            self.target,
-            batch_id=f"mv-refresh-{cur_v}",
-            mode=mode,
-            lineage_extra={"mv_source_version": cur_v},
-        )
+        try:
+            res = apply_changes(
+                events,
+                self.target,
+                batch_id=f"mv-refresh-{cur_v}",
+                mode=mode,
+                lineage_extra={"mv_source_version": cur_v},
+            )
+        finally:
+            # apply_changes ran every job that reads `affected`
+            affected.unpersist(blocking=False)
         return {
             "source_version": cur_v,
             "affected_keys": res.keys_changed,

@@ -189,6 +189,70 @@ class Snapshot:
         )
 
 
+# -- pure-python metadata readers (no SparkSession) ---------------------------
+# Single source of truth for the on-disk layout, shared by SnapshotTable and
+# session-free consumers (the lake_cdf data source plans from these on the
+# driver): metadata/_current pointer, v{N:08d}.json roots, manifest JSONs,
+# _changelog/v{N:08d}/_DONE markers.
+
+
+def read_table_pointer(root: str) -> int:
+    with open(os.path.join(root, "metadata", "_current")) as fh:
+        return int(fh.read().strip())
+
+
+def read_snapshot_dict(root: str, version: int) -> dict:
+    with open(os.path.join(root, "metadata", f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def snapshot_manifest_paths(root: str, version: int) -> dict[str, str] | None:
+    """bucket id -> manifest path, or None for pre-manifest roots (whose
+    file lists are inlined in the snapshot JSON)."""
+    d = read_snapshot_dict(root, version)
+    m = d.get("manifests")
+    return dict(m) if m else None
+
+
+def manifest_file_set(path: str) -> set[str]:
+    """All data files (base + deltas) named by one manifest."""
+    with open(path) as fh:
+        d = json.load(fh)
+    return set(d.get("base", [])) | set(d.get("deltas", []))
+
+
+def snapshot_file_set(root: str, version: int) -> set[str]:
+    """Every data file of a snapshot, resolved through its manifests."""
+    d = read_snapshot_dict(root, version)
+    manifests = d.get("manifests") or {}
+    if manifests:
+        files: set[str] = set()
+        for path in manifests.values():
+            files |= manifest_file_set(path)
+        return files
+    files = set()
+    for lst in (d.get("buckets") or {}).values():
+        files.update(lst)
+    for lst in (d.get("deltas") or {}).values():
+        files.update(lst)
+    return files
+
+
+def changelog_data_dir(root: str, version: int) -> str:
+    return os.path.join(root, "_changelog", f"v{version:08d}")
+
+
+def changelog_data_files(root: str, version: int) -> list[str] | None:
+    """Files of a materialized per-version changelog; None if that version
+    was never materialized (distinct from [], a real empty changelog)."""
+    d = changelog_data_dir(root, version)
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        return None
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table between our read and our commit."""
 
@@ -305,9 +369,7 @@ class SnapshotTable:
         return os.path.join(self.meta_dir, "_current")
 
     def current(self) -> Snapshot:
-        with open(self._pointer_path()) as fh:
-            version = int(fh.read().strip())
-        return self.snapshot_at(version)
+        return self.snapshot_at(read_table_pointer(self.root))
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Time travel: read any retained snapshot (Iceberg `VERSION AS OF`)."""
@@ -653,13 +715,19 @@ class SnapshotTable:
         unknown = [k for k in key_values if k not in snap.keys]
         if unknown:
             raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
+        # the literal MUST be cast to the column's declared type before
+        # hashing: xxhash64 is width-sensitive (hash of int 42 != hash of
+        # long 42), and bucket_expr hashes the column at its table type —
+        # an uncast python literal would route non-string keys to the
+        # wrong bucket and silently return empty
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        pk_lit = F.lit(key_values[snap.partition_key]).cast(
+            types[snap.partition_key]
+        )
         bucket = (
             self.spark.range(1)
             .select(
-                F.pmod(
-                    F.xxhash64(F.lit(key_values[snap.partition_key])),
-                    F.lit(snap.num_buckets),
-                )
+                F.pmod(F.xxhash64(pk_lit), F.lit(snap.num_buckets))
                 .cast("int")
                 .alias("b")
             )
@@ -667,7 +735,7 @@ class SnapshotTable:
         )
         df = self.read_buckets([bucket], snapshot=snap)
         for k, v in key_values.items():
-            df = df.filter(F.col(k) == F.lit(v))
+            df = df.filter(F.col(k) == F.lit(v).cast(types[k]))
         return df
 
     def file_stats(self, snapshot: Snapshot | None = None) -> dict[str, dict]:
@@ -738,9 +806,13 @@ class SnapshotTable:
             .select(*keys)
             .unionByName(self._read_files(removed, old_snap.schema).select(*keys))
             .distinct()
-            # read once, reused by two bucket-collects + two semi-joins
+            # read once, reused by two bucket-collects + two semi-joins;
+            # recorded so callers that fully consume the result (e.g.
+            # materialize_changelog's per-version loop) can release the
+            # cache promptly instead of waiting for the ContextCleaner
             .persist()
         )
+        self._last_changelog_cand = cand
         # touched buckets under EACH snapshot's own layout (a rebucket
         # between the two versions changes the key->bucket mapping)
         def pruned_state(snap: Snapshot) -> DataFrame:
@@ -819,18 +891,13 @@ class SnapshotTable:
     # -- materialized row-level changelog (Delta CDF change-file analogue) --
 
     def changelog_dir(self, version: int) -> str:
-        return os.path.join(self.root, "_changelog", f"v{version:08d}")
+        return changelog_data_dir(self.root, version)
 
     def changelog_files(self, version: int) -> list[str] | None:
         """Data files of a materialized per-version changelog, or None if
         that version was never materialized. `None` vs `[]` matters: an
         empty list is a real (no-op commit) changelog."""
-        d = self.changelog_dir(version)
-        if not os.path.exists(os.path.join(d, "_DONE")):
-            return None
-        return sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
+        return changelog_data_files(self.root, version)
 
     def materialize_changelog(self, to_version: int | None = None) -> int:
         """Persist the row-level changelog of every not-yet-materialized
@@ -854,7 +921,14 @@ class SnapshotTable:
             out = self.changelog_dir(v)
             shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
             self.changelog(v - 1, v).write.mode("overwrite").parquet(out)
-            # drop Spark's bookkeeping; keep data + our atomicity marker
+            # the write fully consumed this version's diff — release its
+            # candidate-keys cache now, not at ContextCleaner GC time (a
+            # long maintenance loop would otherwise pin one cached frame
+            # per version for the session's lifetime)
+            cand = getattr(self, "_last_changelog_cand", None)
+            if cand is not None:
+                cand.unpersist(blocking=False)
+                self._last_changelog_cand = None
             with open(os.path.join(out, "_DONE"), "w") as fh:
                 fh.write(str(v))
             done += 1

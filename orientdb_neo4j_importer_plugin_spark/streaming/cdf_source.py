@@ -40,7 +40,6 @@ committed mid-stream applies after a stream restart, like Delta.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -73,37 +72,17 @@ _LSN = "__lsn"
 _DELETED = "__deleted"
 
 
-# -- metadata access (pure python — safe on the driver without a session) ----
+# -- metadata access: the storage-format readers live in lake.table (one
+# source of truth, pure python, no SparkSession) -----------------------------
 
-
-def _read_pointer(root: str) -> int:
-    with open(os.path.join(root, "metadata", "_current")) as fh:
-        return int(fh.read().strip())
-
-
-def _snapshot_dict(root: str, version: int) -> dict:
-    with open(os.path.join(root, "metadata", f"v{version:08d}.json")) as fh:
-        return json.load(fh)
-
-
-def _snapshot_files(root: str, version: int) -> set[str]:
-    """All data files of a snapshot, resolved through its manifests (or the
-    inline lists of pre-manifest roots)."""
-    d = _snapshot_dict(root, version)
-    files: set[str] = set()
-    manifests = d.get("manifests") or {}
-    if manifests:
-        for path in manifests.values():
-            with open(path) as fh:
-                m = json.load(fh)
-            files.update(m.get("base", []))
-            files.update(m.get("deltas", []))
-    else:
-        for lst in (d.get("buckets") or {}).values():
-            files.update(lst)
-        for lst in (d.get("deltas") or {}).values():
-            files.update(lst)
-    return files
+from ..lake.table import (
+    changelog_data_files as _changelog_files,
+    manifest_file_set as _manifest_file_set,
+    read_snapshot_dict as _snapshot_dict,
+    read_table_pointer as _read_pointer,
+    snapshot_file_set as _snapshot_files,
+    snapshot_manifest_paths as _manifest_paths,
+)
 
 
 def _payload_schema(root: str, version: int) -> StructType:
@@ -126,16 +105,6 @@ def _rowlevel_payload_schema(root: str, version: int) -> StructType:
     fields.append(StructField(OP_COL, StringType(), False))
     fields += [f for f in table_schema.fields if f.name not in keys]
     return StructType(fields)
-
-
-def _changelog_files(root: str, version: int) -> list[str] | None:
-    """Mirror of SnapshotTable.changelog_files without needing a session."""
-    d = os.path.join(root, "_changelog", f"v{version:08d}")
-    if not os.path.exists(os.path.join(d, "_DONE")):
-        return None
-    return sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
 
 
 # -- arrow bridge ------------------------------------------------------------
@@ -226,7 +195,12 @@ def _read_partition_batches(part: CdfFilePartition):
         op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
         cols.append(op)
         names.append(OP_COL)
-    cols.append(pa.array([part.commit_version] * n, type=pa.int64()))
+    # constant column without an n-element python list (stays vectorized)
+    cols.append(
+        pa.chunked_array(
+            [pa.repeat(pa.scalar(part.commit_version, pa.int64()), n)]
+        )
+    )
     names.append(VERSION_COL)
     if not part.rowlevel:
         cols.append(table.column(_LSN).cast(pa.int64()))
@@ -239,14 +213,48 @@ def _plan_partitions(
     root: str, start_version: int, end_version: int, payload_schema_json: str
 ) -> list[CdfFilePartition]:
     """Files added per version in (start, end], tagged with their commit
-    version. One manifest diff per version — O(files in window) metadata."""
+    version.
+
+    Planning cost is O(changed buckets in the window), independent of
+    table size: unchanged buckets carry their manifest forward BY PATH
+    across commits, so diffing the bucket->manifest-path maps of two
+    consecutive versions names exactly the buckets a commit touched, and
+    only those few manifests are opened (memoized — manifests are
+    immutable). Falls back to a full file-set diff for pre-manifest roots.
+    """
     parts: list[CdfFilePartition] = []
-    prev = _snapshot_files(root, start_version)
+    manifest_cache: dict[str, set[str]] = {}
+
+    def files_of(path: str) -> set[str]:
+        got = manifest_cache.get(path)
+        if got is None:
+            got = manifest_cache[path] = _manifest_file_set(path)
+        return got
+
+    prev_m = _manifest_paths(root, start_version)
+    prev_full: set[str] | None = (
+        _snapshot_files(root, start_version) if prev_m is None else None
+    )
     for v in range(start_version + 1, end_version + 1):
-        cur = _snapshot_files(root, v)
-        for path in sorted(cur - prev):
+        cur_m = _manifest_paths(root, v)
+        if cur_m is None or prev_m is None:
+            # pre-manifest root on either side: full-set diff for this step
+            cur_full = _snapshot_files(root, v)
+            if prev_full is None:
+                prev_full = _snapshot_files(root, v - 1)
+            added = cur_full - prev_full
+            prev_full = cur_full
+        else:
+            added = set()
+            for b, path in cur_m.items():
+                if prev_m.get(b) == path:
+                    continue  # bucket untouched by this commit
+                old = files_of(prev_m[b]) if b in prev_m else set()
+                added |= files_of(path) - old
+            prev_full = None
+        for path in sorted(added):
             parts.append(CdfFilePartition(path, v, payload_schema_json))
-        prev = cur
+        prev_m = cur_m
     return parts
 
 

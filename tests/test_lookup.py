@@ -67,6 +67,42 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert any(norm(pruned) == norm(fs) for fs in per_bucket.values())
 
 
+def test_lookup_non_string_partition_key(spark, tmp_path):
+    """Regression: the lookup literal must be hashed at the COLUMN's type.
+    xxhash64 is width-sensitive (int 42 and long 42 hash differently), so
+    an uncast python int against a LongType key would route to the wrong
+    bucket and silently return empty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "by_long"), schema, "user_id",
+        num_buckets=16, key_columns=["user_id"],
+    )
+    events = spark.range(200).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    apply_changes(events, table, batch_id="b0", mode="mor")
+    for probe in (0, 42, 137):
+        got = table.lookup({"user_id": probe}).collect()
+        assert len(got) == 1, f"user_id={probe} not found"
+        assert got[0]["name"] == f"u{probe}"
+
+
 def test_lookup_requires_partition_key(spark, tmp_path):
     table = _table(spark, tmp_path)
     with pytest.raises(ValueError, match="partition key"):
