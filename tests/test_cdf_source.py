@@ -176,6 +176,34 @@ def test_cow_history_replay_reconstructs_state(spark, tmp_path):
     assert cdf.count() >= want.count()
 
 
+def test_replay_survives_rebucket(spark, tmp_path):
+    """A rebucket rewrites EVERY bucket (all manifest paths change), the
+    planner's worst case: the full relayout surfaces as that version's
+    file set, and LWW replay over the whole history must still
+    reconstruct the exact table state."""
+    table = _mor_table(spark, tmp_path, n_batches=2)
+    table.rebucket(16)
+    _register(spark)
+    cdf = (
+        spark.read.format("lake_cdf")
+        .option("path", table.root)
+        .option("fromVersion", 0)
+        .load()
+    )
+    payload = ["role", "text", "ts"]
+    w = F.max(F.struct("_commit_version", "_lsn", "op", *payload)).alias("w")
+    state = (
+        cdf.groupBy("conv_id", "turn_idx")
+        .agg(w)
+        .select("conv_id", "turn_idx", "w.op", *[f"w.{c}" for c in payload])
+        .filter("op <> 'D'")
+        .drop("op")
+    )
+    want = table.read().select("conv_id", "turn_idx", *payload)
+    assert state.exceptAll(want).count() == 0
+    assert want.exceptAll(state).count() == 0
+
+
 def test_rowlevel_matches_iter_changelogs(spark, tmp_path):
     """mode=rowlevel serves the PRE-MATERIALIZED per-version changelog —
     byte-identical to SnapshotTable.iter_changelogs at every version."""
