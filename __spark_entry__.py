@@ -453,6 +453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click",
             "view",
         ),
+        "events_cms_user_counts": lambda s, d: SK.cms_estimate(
+            _read(s, d, "events"),
+            F.col("user_id").cast("string"),
+            s.range(10).select(F.col("id").alias("user_id")),
+            F.col("user_id").cast("string"),
+        ),
         # relational plans
         "tpch_q1": lambda s, d: Q.q1_pricing_summary(_read(s, d, "lineitem")),
         "tpch_q3": lambda s, d: Q.q3_shipping_priority(
@@ -648,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_kmv_user_overlap": SK.kmv_overlap_sql(
             "events", "event_type", "CAST(user_id AS VARCHAR)", "click", "view"
+        ),
+        "events_cms_user_counts": SK.cms_estimate_sql(
+            "events",
+            "CAST(user_id AS VARCHAR)",
+            "SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 10)",
+            ["user_id"],
+            "CAST(user_id AS VARCHAR)",
         ),
         "tpch_q1": Q.Q1_SQL,
         "tpch_q3": Q.Q3_SQL,

@@ -37,9 +37,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashes import h64, h64_sql
+from ..functions.hashes import (
+    h64,
+    h64_sql,
+    minhash_apply,
+    minhash_apply_sql,
+    minhash_params,
+)
 
 DEFAULT_K = 16
+CMS_DEPTH = 4
+CMS_WIDTH = 64
 _H_SPACE = float(2**60)  # hash domain size as an exact double
 
 
@@ -214,4 +222,137 @@ SELECT {_est_sql("n_a", "hk_a", k)} AS a_est,
                   * inter_members / u_n) AS BIGINT) AS inter_est,
        CAST(floor(10000.0 * inter_members / u_n) AS BIGINT) AS jaccard_bp
 FROM agg
+"""
+
+
+# -- count-min sketch (frequency estimation) ---------------------------------
+# Same discipline as KMV: the hash family is the shared Carter-Wegman one
+# (functions/hashes.minhash_params), so the sketch cells AND the estimates
+# are bit-identical in DuckDB. Overestimates only (classic CMS guarantee);
+# with depth=4, width=64 the expected overcount is ~2n/width per row,
+# min'd over 4 independent rows.
+#
+# Scale shape: building the sketch is ONE map-side-combinable shuffle over
+# (row, cell) pairs — the sketch is depth*width cells total regardless of
+# input size, and cells are mergeable across partitions/feeds by addition
+# (partial aggregation IS the merge). Estimation joins the tiny cell table
+# (broadcast) against the probe set.
+
+
+def _cms_cell(h: Column, a: int, b: int, width: int) -> Column:
+    return minhash_apply(h, a, b) % width
+
+
+def _cms_cell_sql(h_expr: str, a: int, b: int, width: int) -> str:
+    return f"({minhash_apply_sql(h_expr, a, b)}) % {width}"
+
+
+def cms_build(
+    df: DataFrame,
+    value: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch cells of `value`'s frequency distribution:
+    (r, c, cnt) with depth*width rows. One explode + one grouped sum."""
+    params = minhash_params(depth)
+    h = h64(value)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cms_cell(h, a, b, width).alias("c")
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    value: Column,
+    probes: DataFrame,
+    probe_value: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimated frequency of each probe row's value: min over the sketch
+    rows of the addressed cell. Returns probes' columns + cms_est (0 for a
+    value hashing to never-written cells). The sketch side is tiny and
+    broadcast; probes can be arbitrarily large."""
+    sketch = cms_build(df, value, depth, width)
+    params = minhash_params(depth)
+    h = h64(probe_value)
+    addressed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_cell(h, a, b, width).alias("c"),
+                    )
+                    for i, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    probe_cols = [c for c in probes.columns]
+    joined = addressed.join(F.broadcast(sketch), on=["r", "c"], how="left")
+    return (
+        joined.groupBy(*probe_cols)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+        )
+        .orderBy(*probe_cols)
+    )
+
+
+def cms_estimate_sql(
+    table: str,
+    value_expr: str,
+    probes_sql: str,
+    probe_cols: list[str],
+    probe_value_expr: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of ``cms_estimate``. `probes_sql` selects the probe rows
+    (columns = `probe_cols`); `probe_value_expr` hashes a probe row's value
+    exactly as the Spark side does."""
+    params = minhash_params(depth)
+    cols = ", ".join(probe_cols)
+    build_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, {_cms_cell_sql('h', a, b, width)} AS c FROM hashed"
+        for i, (a, b) in enumerate(params)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT {cols}, {i} AS r, {_cms_cell_sql('ph', a, b, width)} AS c "
+        f"FROM probes_h"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {h64_sql(value_expr)} AS h FROM {table}
+),
+cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM ({build_rows}) GROUP BY r, c
+),
+probes AS ({probes_sql}),
+probes_h AS (
+  SELECT *, {h64_sql(probe_value_expr)} AS ph FROM probes
+),
+addressed AS ({probe_rows}),
+est AS (
+  SELECT {cols}, coalesce(cells.cnt, 0) AS cell_cnt
+  FROM addressed LEFT JOIN cells USING (r, c)
+)
+SELECT {cols}, CAST(min(cell_cnt) AS BIGINT) AS cms_est
+FROM est
+GROUP BY {cols}
+ORDER BY {cols}
 """

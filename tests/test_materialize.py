@@ -129,6 +129,58 @@ def test_streaming_maintenance_via_cdf(spark, tmp_path):
     assert view.last_refreshed_version() == source.current().version
 
 
+def test_view_with_broadcast_dimension_join(spark, tmp_path):
+    """agg_fn may enrich the pruned source rows with STATIC broadcast
+    dimensions before aggregating — the simple-but-common 'join view'
+    (fact x small dim) works today because the dim doesn't change the
+    affected-key set. (Dim-table CHANGES are round-3 work.)"""
+    source, target0, view0, feed = _setup(spark, tmp_path)
+    role_dim = spark.createDataFrame(
+        [("user", 1), ("assistant", 3), ("system", 0), ("tool", 2)],
+        "role string, weight int",
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("n_turns", LongType(), True),
+            StructField("weighted", LongType(), True),
+        ]
+    )
+    target = SnapshotTable.create(
+        spark, str(tmp_path / "dimview"), schema, "conv_id",
+        num_buckets=4, key_columns=["conv_id"],
+    )
+
+    def agg_with_dim(rows):
+        joined = rows.join(F.broadcast(role_dim), on="role", how="left")
+        return joined.groupBy("conv_id").agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+            .cast("long")
+            .alias("weighted"),
+        )
+
+    view = IncrementalView(source, target, "conv_id", agg_with_dim)
+    apply_changes(feed, source, batch_id="s1", mode="mor")
+    view.refresh()
+    got = {
+        (r["conv_id"], r["n_turns"], r["weighted"])
+        for r in target.read().collect()
+    }
+    want = {
+        (r["conv_id"], r["n_turns"], r["weighted"])
+        for r in agg_with_dim(source.read()).collect()
+    }
+    assert got == want
+
+
 def test_refresh_is_idempotent_per_version(spark, tmp_path):
     source, target, view, feed = _setup(spark, tmp_path)
     apply_changes(feed, source, batch_id="s1", mode="mor")

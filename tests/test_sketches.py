@@ -60,6 +60,45 @@ def test_overlap_estimates(spark):
     assert row2["jaccard_bp"] == 0
 
 
+def test_cms_overestimates_within_bound(spark):
+    # heavy key 'hot' x1000, 200 light keys x10 -> N=3000
+    df = _ids(spark, {"g": [0] * 1000 + list(range(1, 201)) * 10})
+    probes = spark.createDataFrame([(0,), (1,), (9999,)], "v long")
+    out = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            df,
+            F.col("v").cast("string"),
+            probes,
+            F.col("v").cast("string"),
+        ).collect()
+    }
+    n_total = 3000
+    assert out[0] >= 1000  # CMS never undercounts
+    assert out[0] - 1000 <= n_total // 8  # min over 4 rows stays tight
+    assert out[1] >= 10 and out[1] - 10 <= n_total // 8
+    assert out[9999] <= n_total // 8  # absent key: collision noise only
+
+
+def test_cms_cells_are_mergeable(spark):
+    """Partial sketches add cellwise — the property that makes the build a
+    partial aggregate and lets independent feeds merge their sketches."""
+    d1 = _ids(spark, {"g": list(range(100)) * 3})
+    d2 = _ids(spark, {"g": list(range(50, 150)) * 2})
+    both = d1.unionByName(d2)
+    v = F.col("v").cast("string")
+
+    def cells(df):
+        return {
+            (r["r"], r["c"]): r["cnt"]
+            for r in sketches.cms_build(df, v).collect()
+        }
+
+    c1, c2, cb = cells(d1), cells(d2), cells(both)
+    merged = {k: c1.get(k, 0) + c2.get(k, 0) for k in set(c1) | set(c2)}
+    assert merged == cb
+
+
 def test_sketch_is_merge_invariant(spark):
     """The sketch of a union equals the sketch computed over pre-unioned
     data — KMV is mergeable, so partial sketches compose (the property that
