@@ -247,6 +247,25 @@ def _cms_cell_sql(h_expr: str, a: int, b: int, width: int) -> str:
     return f"({minhash_apply_sql(h_expr, a, b)}) % {width}"
 
 
+# internal column names prefixed so arbitrary probe schemas can't collide
+_CMS_R, _CMS_C, _CMS_CNT, _CMS_CELL = "__cms_r", "__cms_c", "__cms_cnt", "__cms_cell"
+
+
+def _cms_addresses(value: Column, depth: int, width: int) -> Column:
+    """The depth (row, cell) addresses of one value — the ONE definition
+    shared by build and probe sides (diverging addressing would zero every
+    estimate)."""
+    h = h64(value)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias(_CMS_R), _cms_cell(h, a, b, width).alias(_CMS_C)
+            )
+            for i, (a, b) in enumerate(minhash_params(depth))
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     value: Column,
@@ -255,19 +274,13 @@ def cms_build(
 ) -> DataFrame:
     """Count-min sketch cells of `value`'s frequency distribution:
     (r, c, cnt) with depth*width rows. One explode + one grouped sum."""
-    params = minhash_params(depth)
-    h = h64(value)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"), _cms_cell(h, a, b, width).alias("c")
-            )
-            for i, (a, b) in enumerate(params)
-        ]
-    )
+    cells = _cms_addresses(value, depth, width)
     return (
-        df.select(F.explode(cells).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        df.select(F.explode(cells).alias(_CMS_CELL))
+        .groupBy(
+            F.col(f"{_CMS_CELL}.{_CMS_R}").alias("r"),
+            F.col(f"{_CMS_CELL}.{_CMS_C}").alias("c"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -284,29 +297,25 @@ def cms_estimate(
     rows of the addressed cell. Returns probes' columns + cms_est (0 for a
     value hashing to never-written cells). The sketch side is tiny and
     broadcast; probes can be arbitrarily large."""
-    sketch = cms_build(df, value, depth, width)
-    params = minhash_params(depth)
-    h = h64(probe_value)
+    sketch = cms_build(df, value, depth, width).select(
+        F.col("r").alias(_CMS_R),
+        F.col("c").alias(_CMS_C),
+        F.col("cnt").alias(_CMS_CNT),
+    )
     addressed = probes.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        _cms_cell(h, a, b, width).alias("c"),
-                    )
-                    for i, (a, b) in enumerate(params)
-                ]
-            )
-        ).alias("cell"),
-    ).select("*", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-    probe_cols = [c for c in probes.columns]
-    joined = addressed.join(F.broadcast(sketch), on=["r", "c"], how="left")
+        F.explode(_cms_addresses(probe_value, depth, width)).alias(_CMS_CELL),
+    ).select("*", f"{_CMS_CELL}.{_CMS_R}", f"{_CMS_CELL}.{_CMS_C}")
+    probe_cols = list(probes.columns)
+    joined = addressed.join(
+        F.broadcast(sketch), on=[_CMS_R, _CMS_C], how="left"
+    )
     return (
         joined.groupBy(*probe_cols)
         .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+            F.min(F.coalesce(F.col(_CMS_CNT), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
         )
         .orderBy(*probe_cols)
     )
@@ -326,13 +335,17 @@ def cms_estimate_sql(
     exactly as the Spark side does."""
     params = minhash_params(depth)
     cols = ", ".join(probe_cols)
+    # internal names prefixed like the Spark side: a probe column named
+    # r/c/cnt must not collide with the sketch plumbing (an unprefixed
+    # duplicate silently joined on the wrong cell index — caught live)
     build_rows = "\nUNION ALL\n".join(
-        f"SELECT {i} AS r, {_cms_cell_sql('h', a, b, width)} AS c FROM hashed"
+        f"SELECT {i} AS __cms_r, {_cms_cell_sql('h', a, b, width)} AS __cms_c "
+        f"FROM hashed"
         for i, (a, b) in enumerate(params)
     )
     probe_rows = "\nUNION ALL\n".join(
-        f"SELECT {cols}, {i} AS r, {_cms_cell_sql('ph', a, b, width)} AS c "
-        f"FROM probes_h"
+        f"SELECT {cols}, {i} AS __cms_r, "
+        f"{_cms_cell_sql('__cms_ph', a, b, width)} AS __cms_c FROM probes_h"
         for i, (a, b) in enumerate(params)
     )
     return f"""
@@ -340,18 +353,19 @@ WITH hashed AS (
   SELECT {h64_sql(value_expr)} AS h FROM {table}
 ),
 cells AS (
-  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM ({build_rows}) GROUP BY r, c
+  SELECT __cms_r, __cms_c, CAST(count(*) AS BIGINT) AS __cms_cnt
+  FROM ({build_rows}) GROUP BY __cms_r, __cms_c
 ),
 probes AS ({probes_sql}),
 probes_h AS (
-  SELECT *, {h64_sql(probe_value_expr)} AS ph FROM probes
+  SELECT *, {h64_sql(probe_value_expr)} AS __cms_ph FROM probes
 ),
 addressed AS ({probe_rows}),
 est AS (
-  SELECT {cols}, coalesce(cells.cnt, 0) AS cell_cnt
-  FROM addressed LEFT JOIN cells USING (r, c)
+  SELECT {cols}, coalesce(cells.__cms_cnt, 0) AS __cms_cell_cnt
+  FROM addressed LEFT JOIN cells USING (__cms_r, __cms_c)
 )
-SELECT {cols}, CAST(min(cell_cnt) AS BIGINT) AS cms_est
+SELECT {cols}, CAST(min(__cms_cell_cnt) AS BIGINT) AS cms_est
 FROM est
 GROUP BY {cols}
 ORDER BY {cols}

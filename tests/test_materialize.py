@@ -134,18 +134,11 @@ def test_view_with_broadcast_dimension_join(spark, tmp_path):
     dimensions before aggregating — the simple-but-common 'join view'
     (fact x small dim) works today because the dim doesn't change the
     affected-key set. (Dim-table CHANGES are round-3 work.)"""
-    source, target0, view0, feed = _setup(spark, tmp_path)
+    source, _unused_target, _unused_view, feed = _setup(spark, tmp_path)
     role_dim = spark.createDataFrame(
         [("user", 1), ("assistant", 3), ("system", 0), ("tool", 2)],
         "role string, weight int",
     )
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     schema = StructType(
         [
             StructField("conv_id", StringType(), False),
