@@ -1,10 +1,15 @@
-"""KMV sketch operators: estimator accuracy, exact-branch, overlap.
+"""KMV / count-min sketch operators: estimator accuracy, exact-branch,
+overlap, and property-based invariants over random multisets.
 
 Cross-engine bit-parity is covered by the contract rows
-(events_kmv_users_by_type / events_kmv_user_overlap) in the oracle sweep;
-here we check the estimates are actually *good* against ground truth.
+(events_kmv_* / events_cms_user_counts) in the oracle sweep; here we
+check the estimates are actually *good* against ground truth.
 """
 
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from orientdb_neo4j_importer_plugin_spark.operators import sketches
@@ -97,6 +102,59 @@ def test_cms_cells_are_mergeable(spark):
     c1, c2, cb = cells(d1), cells(d2), cells(both)
     merged = {k: c1.get(k, 0) + c2.get(k, 0) for k in set(c1) | set(c2)}
     assert merged == cb
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=120
+    )
+)
+def test_cms_never_undercounts_property(spark, values):
+    """For EVERY value in a random multiset, the CMS estimate is >= its
+    true frequency (the structural guarantee), and the estimate of any
+    single value never exceeds the multiset size."""
+    truth = Counter(values)
+    df = _ids(spark, {"g": values})
+    probes = spark.createDataFrame([(v,) for v in sorted(truth)], "v long")
+    out = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            df,
+            F.col("v").cast("string"),
+            probes,
+            F.col("v").cast("string"),
+            depth=4,
+            width=16,
+        ).collect()
+    }
+    for v, n in truth.items():
+        assert out[v] >= n, f"undercounted {v}: {out[v]} < {n}"
+        assert out[v] <= len(values)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=100
+    )
+)
+def test_kmv_exact_below_k_property(spark, values):
+    """Whenever the true distinct count is below k, KMV is EXACT — the
+    sketch is the whole set, no estimation involved."""
+    df = _ids(spark, {"g": values})
+    row = sketches.kmv_distinct_by(
+        df, "g", F.col("v").cast("string"), k=256
+    ).collect()[0]
+    assert row["distinct_est"] == len(set(values))
 
 
 def test_sketch_is_merge_invariant(spark):
