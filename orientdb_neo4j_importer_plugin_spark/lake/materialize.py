@@ -3,8 +3,10 @@ aggregate table in sync with a source `SnapshotTable` at O(changed keys)
 per refresh — never O(source).
 
 The pattern is delta-driven recompute: a refresh diffs the source's
-immutable file set since the last processed version (pure metadata +
-new-file scan), reduces it to the set of AFFECTED keys, recomputes the
+immutable file set since the last processed version (pure metadata + a
+key-column scan of the files added AND removed in the window — removal-only
+commits like rollbacks and tombstone vacuums change state too), reduces it
+to the set of AFFECTED keys, recomputes the
 aggregate for exactly those keys from a bucket-pruned read of the source,
 and MERGEs the results into the target (keys whose live rows vanished
 become deletes). Recomputing affected keys — rather than algebraically
@@ -93,13 +95,23 @@ class IncrementalView:
         if cur_v <= from_v:
             return {"source_version": from_v, "affected_keys": 0, "skipped": True}
 
-        # 1. affected keys: rows written since from_v (file-level diff;
-        #    includes tombstones — a delete must retract from the view).
+        # 1. affected keys: keys of files ADDED since from_v (writes, COW
+        #    rewrites — tombstones included: a delete must retract from the
+        #    view) UNIONED with keys of files REMOVED (rollbacks, tombstone
+        #    vacuums): a removal-only commit adds no files, so an
+        #    added-files-only diff (changes_since) would silently keep the
+        #    vanished keys' stale aggregates while the watermark advances
+        #    past the commit — permanently. changed_keys_since sees both
+        #    sides, exactly like SnapshotTable.changelog's candidate set.
         #    Persisted: reused by the bucket collect, the left_semi prune,
         #    and the events join — without the cache each action would
         #    re-scan and re-distinct the whole changed-file set.
-        changed = self.source.changes_since(from_v, raw=True)
-        affected = changed.select(self.key_col).distinct().persist()
+        affected = (
+            self.source.changed_keys_since(from_v)
+            .select(self.key_col)
+            .distinct()
+            .persist()
+        )
 
         # 2. bucket-pruned recompute of exactly those keys' live state
         buckets = [

@@ -772,6 +772,44 @@ class SnapshotTable:
             return rows
         return rows.filter(~F.col(DELETED_COL)).drop(*META_COLS)
 
+    def _changed_key_candidates(
+        self, old_snap: Snapshot, new_snap: Snapshot
+    ) -> DataFrame:
+        """Distinct key tuples whose LWW state MAY differ between the two
+        snapshots: keys in files ADDED in the window (writes, COW rewrites)
+        unioned with keys in files REMOVED (rollbacks, tombstone vacuums,
+        compaction rewrites). The removed side matters: a removal-only
+        commit — rollback, or a vacuum whose tombstones were the only trace
+        of a key — adds no files, so an added-files-only diff (changes_since)
+        is blind to it and a consumer would silently keep stale state.
+        (Removed files are still on disk: old_snap must be readable for the
+        diff at all.) Unpersisted — callers that run several actions over
+        the result should persist/unpersist it themselves."""
+        keys = list(new_snap.keys)
+        old_files = set(old_snap.all_files())
+        new_files = set(new_snap.all_files())
+        added = sorted(new_files - old_files)
+        removed = sorted(old_files - new_files)
+        return (
+            self._read_files(added, new_snap.schema)
+            .select(*keys)
+            .unionByName(self._read_files(removed, old_snap.schema).select(*keys))
+            .distinct()
+        )
+
+    def changed_keys_since(
+        self, version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Public candidate-key feed for incremental-view maintenance:
+        every key tuple whose state may have changed in (version, to] —
+        including keys touched only by removal-only commits, which
+        `changes_since` (an added-files scan) cannot see."""
+        old_snap = self.snapshot_at(version)
+        new_snap = (
+            self.current() if to_version is None else self.snapshot_at(to_version)
+        )
+        return self._changed_key_candidates(old_snap, new_snap)
+
     def changelog(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -786,33 +824,31 @@ class SnapshotTable:
         buckets), never O(table). COW rewrites surface whole buckets as
         candidates (honest file-level contract, same as changes_since); the
         state diff still filters them to true changes.
+
+        The candidate set stays persisted for the DataFrame's lifetime
+        (it feeds two bucket-collects and two semi-joins); loop-style
+        consumers that fully drain each result should use
+        `_changelog_with_cache` and unpersist explicitly.
+        """
+        df, _cand = self._changelog_with_cache(from_version, to_version)
+        return df
+
+    def _changelog_with_cache(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """changelog() plus an explicit handle to its persisted
+        candidate-keys frame, so a caller that fully consumes the result
+        can release the cache promptly instead of waiting for eviction.
+        Returning the handle (rather than stashing it on self) keeps
+        interleaved changelog calls from unpersisting each other's frames.
         """
         old_snap = self.snapshot_at(from_version)
         new_snap = (
             self.current() if to_version is None else self.snapshot_at(to_version)
         )
         keys = list(new_snap.keys)
-        old_files = set(old_snap.all_files())
-        new_files = set(new_snap.all_files())
-        added = sorted(new_files - old_files)
-        # removal-only changes matter too: a rollback in the window removes
-        # files without adding any, and a tombstone vacuum drops a key from
-        # the rewritten bucket — keys of REMOVED files must be candidates
-        # or those D/I transitions are silently missed. (Removed files are
-        # still on disk: old_snap must be readable for the diff at all.)
-        removed = sorted(old_files - new_files)
-        cand = (
-            self._read_files(added, new_snap.schema)
-            .select(*keys)
-            .unionByName(self._read_files(removed, old_snap.schema).select(*keys))
-            .distinct()
-            # read once, reused by two bucket-collects + two semi-joins;
-            # recorded so callers that fully consume the result (e.g.
-            # materialize_changelog's per-version loop) can release the
-            # cache promptly instead of waiting for the ContextCleaner
-            .persist()
-        )
-        self._last_changelog_cand = cand
+        # read once, reused by two bucket-collects + two semi-joins
+        cand = self._changed_key_candidates(old_snap, new_snap).persist()
         # touched buckets under EACH snapshot's own layout (a rebucket
         # between the two versions changes the key->bucket mapping)
         def pruned_state(snap: Snapshot) -> DataFrame:
@@ -858,7 +894,7 @@ class SnapshotTable:
                 F.lit("U"),
             )
         )
-        return (
+        df = (
             j.withColumn("op", op)
             .filter(F.col("op").isNotNull())
             .select(
@@ -872,6 +908,7 @@ class SnapshotTable:
                 ],
             )
         )
+        return df, cand
 
     def iter_changelogs(self, from_version: int, to_version: int | None = None):
         """Yield ``(version, changelog DataFrame)`` for every committed
@@ -899,7 +936,9 @@ class SnapshotTable:
         empty list is a real (no-op commit) changelog."""
         return changelog_data_files(self.root, version)
 
-    def materialize_changelog(self, to_version: int | None = None) -> int:
+    def materialize_changelog(
+        self, to_version: int | None = None, max_workers: int = 8
+    ) -> int:
         """Persist the row-level changelog of every not-yet-materialized
         version up to `to_version` (default: current) as parquet under
         `_changelog/v{N}/` — precomputed change files a row-level CDC
@@ -912,27 +951,49 @@ class SnapshotTable:
         restartable: a version directory becomes visible only with its
         `_DONE` marker; partially written dirs are overwritten. Returns
         the number of versions materialized.
+
+        Versions are mutually independent (each diff reads only immutable
+        files of v-1 and v), so pending versions run CONCURRENTLY on up to
+        `max_workers` driver threads — Spark schedules their jobs in
+        parallel across executor slots instead of leaving the cluster idle
+        between one version's small jobs. Failure of one version leaves the
+        others' `_DONE` markers intact; a retry re-materializes only the
+        failed ones.
         """
         end = self.current().version if to_version is None else to_version
-        done = 0
-        for v in range(1, end + 1):
-            if self.changelog_files(v) is not None:
-                continue
+        pending = [
+            v for v in range(1, end + 1) if self.changelog_files(v) is None
+        ]
+        if not pending:
+            return 0
+
+        def _one(v: int) -> None:
             out = self.changelog_dir(v)
             shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
-            self.changelog(v - 1, v).write.mode("overwrite").parquet(out)
-            # the write fully consumed this version's diff — release its
-            # candidate-keys cache now, not at ContextCleaner GC time (a
-            # long maintenance loop would otherwise pin one cached frame
-            # per version for the session's lifetime)
-            cand = getattr(self, "_last_changelog_cand", None)
-            if cand is not None:
+            df, cand = self._changelog_with_cache(v - 1, v)
+            try:
+                df.write.mode("overwrite").parquet(out)
+            finally:
+                # the write fully consumed this version's diff — release
+                # its candidate cache now, not at eviction time (a long
+                # maintenance loop would otherwise pin one cached frame
+                # per version)
                 cand.unpersist(blocking=False)
-                self._last_changelog_cand = None
             with open(os.path.join(out, "_DONE"), "w") as fh:
                 fh.write(str(v))
-            done += 1
-        return done
+
+        if len(pending) == 1 or max_workers <= 1:
+            for v in pending:
+                _one(v)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(pending))
+            ) as ex:
+                # list() drains the iterator so the first failure raises
+                list(ex.map(_one, pending))
+        return len(pending)
 
     def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
         """One storage row per primary key: max __lsn wins (algebraic agg).

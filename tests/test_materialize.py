@@ -183,3 +183,60 @@ def test_refresh_is_idempotent_per_version(spark, tmp_path):
     assert again["skipped"] is True or again["affected_keys"] == 0
     assert target.current().version == v
     assert _got(target) == _expect(source)
+
+
+def test_removal_only_vacuum_retracts_from_view(spark, tmp_path):
+    """ADVICE r2 (high) repro: delete every turn of one conv, vacuum its
+    tombstones, THEN refresh. The vacuum is a removal-only rewrite from the
+    refresh window's perspective (the tombstone file added by the delete is
+    gone again by refresh time), so an added-files-only candidate scan sees
+    nothing and keeps the dead conv's aggregate forever. changed_keys_since
+    must surface the conv from the REMOVED files."""
+    source, target, view, feed = _setup(spark, tmp_path)
+    apply_changes(feed, source, batch_id="s1", mode="mor")
+    view.refresh()
+    victim = source.read().first()["conv_id"]
+    assert target.read().filter(F.col("conv_id") == victim).count() == 1
+
+    turns = source.read().filter(F.col("conv_id") == victim).select("turn_idx")
+    hi_lsn = feed.agg(F.max("lsn")).first()[0]
+    deletes = turns.select(
+        (F.lit(hi_lsn + 1) + F.col("turn_idx")).alias("lsn"),
+        F.lit("D").alias("op"),
+        F.lit(victim).alias("conv_id"),
+        "turn_idx",
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("p0").alias("source_part"),
+    )
+    apply_changes(deletes, source, batch_id="kill", mode="mor")
+    # vacuum BEFORE the refresh: the delete's tombstone file is removed
+    # again, leaving a pure base rewrite that no longer mentions victim
+    source.vacuum_tombstones(below_lsn=hi_lsn + 1_000_000)
+
+    r = view.refresh()
+    assert r["affected_keys"] >= 1
+    assert target.read().filter(F.col("conv_id") == victim).count() == 0
+    assert _got(target) == _expect(source)
+    assert view.last_refreshed_version() == source.current().version
+
+
+def test_rollback_between_refreshes_reverts_view(spark, tmp_path):
+    """A rollback is a removal-only commit (files of the undone versions
+    vanish, nothing is added); the next refresh must recompute the keys the
+    undone commits had touched instead of skipping with affected_keys=0."""
+    source, target, view, feed = _setup(spark, tmp_path)
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+    apply_changes(feed.filter(feed.lsn < hi // 2), source, batch_id="s1", mode="mor")
+    v1 = source.current().version
+    view.refresh()
+    apply_changes(feed.filter(feed.lsn >= hi // 2), source, batch_id="s2", mode="mor")
+    view.refresh()
+    assert _got(target) == _expect(source)
+
+    source.rollback(v1)  # removal-only: current file set == v1's
+    r = view.refresh()
+    assert r["affected_keys"] >= 1
+    assert _got(target) == _expect(source)
+    assert view.last_refreshed_version() == source.current().version
