@@ -296,12 +296,32 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.payload_json = payload_json
         self.rowlevel = rowlevel
+        # rowlevel read horizon: highest version known contiguous-materialized
+        # (monotone; re-checks start here, not at starting_version, so the
+        # _DONE probe stays O(new versions) per trigger)
+        self._rowlevel_watermark = starting_version
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _read_pointer(self.root)}
+        cur = _read_pointer(self.root)
+        if not self.rowlevel:
+            return {"version": cur}
+        # rowlevel mode reads materialized changelog files, which a writer
+        # produces AFTER the commit itself (materialize_changelog). Offering
+        # the raw table pointer would make the next microbatch's
+        # partitions() throw for a committed-but-unmaterialized version and
+        # kill the stream — a crash race against every writer. Cap the
+        # offset at the highest CONTIGUOUS materialized version instead:
+        # the stream simply waits for the maintenance job to catch up.
+        # Contiguity matters — if v5 is materialized but v4 is not, the
+        # horizon stays at 3 (offsets ranges must be gap-free).
+        v = self._rowlevel_watermark
+        while v < cur and _changelog_files(self.root, v + 1) is not None:
+            v += 1
+        self._rowlevel_watermark = v
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         plan = _plan_rowlevel_partitions if self.rowlevel else _plan_partitions

@@ -310,3 +310,56 @@ def test_stream_sees_evolved_schema_on_restart(spark, tmp_path):
     assert v1.filter(F.col("tool").isNotNull()).count() == 0
     v2 = got.filter(F.col("_commit_version") == latest)
     assert v2.filter(F.col("tool").isNotNull()).count() > 0
+
+
+def test_rowlevel_stream_waits_for_materialization(spark, tmp_path):
+    """ADVICE r2 repro: a writer commits a version BEFORE running
+    materialize_changelog. The rowlevel stream must cap its offer at the
+    highest contiguous materialized version (processing what exists, no
+    crash), then pick up the straggler on a later run once materialized."""
+    table = _mor_table(spark, tmp_path, n_batches=2)
+    table.materialize_changelog()
+    # a third commit, deliberately NOT materialized
+    feed2 = gen_feed(
+        spark, n_convs=3, turns_per_conv=4, updates_per_key=1, delete_every=0
+    )
+    apply_changes(feed2, table, batch_id="late", mode="mor")
+    v_late = table.current().version
+    assert table.changelog_files(v_late) is None
+
+    _register(spark)
+    ckpt = str(tmp_path / "wait_ckpt")
+    out = str(tmp_path / "wait_sink")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", table.root)
+            .option("mode", "rowlevel")
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        assert q.exception() is None  # the old behavior died here
+
+    run_once()
+    got = spark.read.parquet(out)
+    # only the materialized prefix arrived; the unmaterialized tail waits
+    assert got.filter(F.col("_commit_version") == v_late).count() == 0
+    assert got.count() == sum(
+        df.count() for _, df in table.iter_changelogs(0, v_late - 1)
+    )
+
+    table.materialize_changelog()
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("_commit_version") == v_late).count() > 0
+    assert after.count() == sum(
+        df.count() for _, df in table.iter_changelogs(0)
+    )
