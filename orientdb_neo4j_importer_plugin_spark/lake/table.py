@@ -715,24 +715,33 @@ class SnapshotTable:
         unknown = [k for k in key_values if k not in snap.keys]
         if unknown:
             raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
-        # the literal MUST be cast to the column's declared type before
-        # hashing: xxhash64 is width-sensitive (hash of int 42 != hash of
-        # long 42), and bucket_expr hashes the column at its table type —
-        # an uncast python literal would route non-string keys to the
-        # wrong bucket and silently return empty
+        # the literal MUST be hashed at the column's declared type:
+        # xxhash64 is width-sensitive (hash of int 42 != hash of long 42),
+        # and bucket_expr hashes the column at its table type — an uncast
+        # python literal would route non-string keys to the wrong bucket
+        # and silently return empty. The hash runs DRIVER-SIDE (a pure
+        # python XXH64, property-tested bit-exact against F.xxhash64 in
+        # tests/test_xxhash.py) so a point lookup never pays a scheduler
+        # round-trip just to route; unsupported literal types fall back to
+        # a one-row Spark job with the identical expression.
+        from ..functions.xxhash import spark_xxhash64
+
         types = {f.name: f.dataType for f in snap.schema.fields}
-        pk_lit = F.lit(key_values[snap.partition_key]).cast(
-            types[snap.partition_key]
-        )
-        bucket = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(pk_lit), F.lit(snap.num_buckets))
-                .cast("int")
-                .alias("b")
+        pk_type = types[snap.partition_key]
+        h = spark_xxhash64(key_values[snap.partition_key], pk_type)
+        if h is not None:
+            bucket = h % snap.num_buckets  # python % == pmod for int>0 mod
+        else:
+            pk_lit = F.lit(key_values[snap.partition_key]).cast(pk_type)
+            bucket = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(F.xxhash64(pk_lit), F.lit(snap.num_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .first()["b"]
             )
-            .first()["b"]
-        )
         df = self.read_buckets([bucket], snapshot=snap)
         for k, v in key_values.items():
             df = df.filter(F.col(k) == F.lit(v).cast(types[k]))
