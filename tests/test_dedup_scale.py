@@ -62,8 +62,31 @@ def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(emb, dim=64).collect()}
     exact = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(emb).collect()}
     assert lsh <= exact  # no false positives: exact cosine re-checked
-    # The fixture has NO true near-duplicates (all pairs sit at cosine
-    # 0.45-0.6, where hyperplane-LSH pruning is information-theoretically
-    # weak) — so the floor here is loose; bench.py reports measured recall.
+    # the fixture's pairs all sit at cosine 0.45-0.6 — the HARD regime for
+    # hyperplane LSH. The tuned defaults (t12/p3) must hold the recall
+    # floor here, not just on easy high-cosine duplicates.
     if exact:
-        assert len(lsh & exact) / len(exact) >= 0.2
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_near_dup_recall_floor(spark):
+    """Recall-floor gate for the tuned near_dup_pairs defaults on the exact
+    bench regime (sf0.1, first 1000 vectors, pairs at cosine 0.45-0.6):
+    >= 0.9 recall vs the exact all-pairs ground truth, zero false
+    positives. Guards the defaults against silent de-tuning (VERDICT r2
+    item 1: the old t4/p4 defaults scored 0.487 here)."""
+    import os
+
+    import pytest
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 fixtures not present")
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(path).filter(F.col("vec_id") < 1000)
+    exact = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(emb).collect()}
+    assert len(exact) >= 20  # the regime is non-trivial
+    lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(emb, dim=64).collect()}
+    assert lsh <= exact  # zero false positives
+    assert len(lsh & exact) / len(exact) >= 0.9
