@@ -404,6 +404,118 @@ ORDER BY conv_id
 """
 
 
+def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source incremental JOIN view (lake/materialize.
+    IncrementalJoinView): transcripts (fact, from lineitem) equi-joined to
+    per-conversation metadata (changing dimension, from orders) on
+    conv_id, maintained in O(changed join keys) per refresh off BOTH
+    commit logs. Batches land interleaved across the two sources with a
+    refresh after each wave; the oracle recomputes the joined aggregate
+    from scratch over both final LWW states."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.feedgen import meta_feed_from_tpch
+    from orientdb_neo4j_importer_plugin_spark.lake.materialize import (
+        IncrementalJoinView,
+    )
+    from orientdb_neo4j_importer_plugin_spark.schema import CONV_META
+
+    feed = feed_from_tpch(spark, sf_dir)
+    meta = meta_feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mvj_")
+    src_a = SnapshotTable.create(
+        spark, os.path.join(root, "turns"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    src_b = SnapshotTable.create(
+        spark, os.path.join(root, "meta"), CONV_META, "conv_id",
+        num_buckets=8, key_columns=["conv_id"], overwrite=True,
+    )
+    view_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("channel", StringType(), True),
+            StructField("priority", StringType(), True),
+            StructField("n_turns", LongType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    target = SnapshotTable.create(
+        spark, os.path.join(root, "view"), view_schema, "conv_id",
+        num_buckets=8, key_columns=["conv_id"], overwrite=True,
+    )
+
+    def view_fn(turns: DataFrame, m: DataFrame) -> DataFrame:
+        agg = turns.groupBy("conv_id").agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        return agg.join(
+            m.select("conv_id", "channel", "priority"), on="conv_id", how="inner"
+        )
+
+    view = IncrementalJoinView(src_a, src_b, target, "conv_id", view_fn)
+    # interleaved waves: fact-only, dim-only, then both at once
+    apply_changes(feed.filter(_CHLOG_B1), src_a, batch_id="ja1", mode="mor")
+    view.refresh()
+    apply_changes(meta.filter("pmod(lsn, 2) = 0"), src_b, batch_id="jb1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter(_CHLOG_B2), src_a, batch_id="ja2", mode="mor")
+    apply_changes(meta.filter("pmod(lsn, 2) = 1"), src_b, batch_id="jb2", mode="mor")
+    view.refresh()
+    return target.read().orderBy("conv_id")
+
+
+# the dimension feed recomputed verbatim in SQL, LWW-reduced, joined to the
+# transcripts state from scratch — an independent end-state oracle for the
+# incrementally-maintained join view
+CDC_MVJ_SQL = f"""
+{_STATE_CTE},
+meta_base AS (
+  SELECT 'conv_' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS conv_id,
+         o_custkey, o_orderpriority
+  FROM orders
+),
+meta_hashed AS (
+  SELECT *, {h64_sql("conv_id || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority")} AS h
+  FROM meta_base
+),
+meta_feed AS (
+  SELECT h AS lsn, 'I' AS op, conv_id,
+         'ch_' || CAST(o_custkey % 7 AS VARCHAR) AS channel,
+         o_orderpriority AS priority
+  FROM meta_hashed
+  UNION ALL
+  SELECT h + 2305843009213693952, 'U', conv_id,
+         'ch_' || CAST((o_custkey + 1) % 7 AS VARCHAR), o_orderpriority
+  FROM meta_hashed WHERE o_custkey % 5 = 0
+  UNION ALL
+  SELECT h + 4611686018427387904, 'D', conv_id, NULL, NULL
+  FROM meta_hashed WHERE o_custkey % 13 = 0
+),
+meta_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY lsn DESC) AS rn
+  FROM meta_feed
+),
+meta_state AS (
+  SELECT conv_id, channel, priority FROM meta_ranked WHERE rn = 1 AND op <> 'D'
+),
+conv_agg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM state GROUP BY conv_id
+)
+SELECT a.conv_id, m.channel, m.priority, a.n_turns, a.n_chars
+FROM conv_agg a JOIN meta_state m ON a.conv_id = m.conv_id
+ORDER BY a.conv_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_replay_state(spark, "/root/testdata/sf0.001")
@@ -423,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
+        "cdc_incremental_view_join": cdc_incremental_view_join,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
         ),
@@ -641,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,
+        "cdc_incremental_view_join": CDC_MVJ_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,

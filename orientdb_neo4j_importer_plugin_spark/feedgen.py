@@ -314,3 +314,70 @@ def feed_from_tpch(
     return out.select(
         "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source_part"
     )
+
+
+def meta_feed_from_tpch(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
+    """Second deterministic CDC source: per-conversation METADATA derived
+    from the orders table (conversation = order, one row per conv_id),
+    joinable to the transcripts feed on conv_id. Inserts for every order;
+    a channel-reassignment update for o_custkey % 5 == 0; deletes
+    (conversation unregistered) for o_custkey % 13 == 0.
+
+    Same lsn scheme as ``feed_from_tpch``: content-hash ordinal (h64,
+    60 bits) banded by op, so the DuckDB oracle recomputes the identical
+    feed and any arrival order LWW-reduces to the same state. This is the
+    dimension side of the two-source incremental join view
+    (``lake.materialize.IncrementalJoinView``)."""
+    from .functions.hashes import h64
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if parallelism:
+        orders = orders.repartition(parallelism)
+    conv = F.concat(
+        F.lit("conv_"), F.lpad(F.col("o_orderkey").cast("string"), 9, "0")
+    )
+    base = orders.select(
+        conv.alias("conv_id"),
+        F.col("o_custkey"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate"),
+    )
+    content = F.concat_ws(
+        "|",
+        F.col("conv_id"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    ordinal = h64(content)
+    n_span = F.lit(1 << 60).cast("long") * 2  # op band offset
+
+    def payload(df: DataFrame, rev: int) -> DataFrame:
+        channel = F.concat(
+            F.lit("ch_"),
+            F.pmod(F.col("o_custkey") + F.lit(rev), F.lit(7)).cast("string"),
+        )
+        return (
+            df.withColumn("channel", channel)
+            .withColumn("priority", F.col("o_orderpriority"))
+            .withColumn("ts", F.col("o_orderdate").cast("timestamp"))
+        )
+
+    inserts = payload(base.withColumn("lsn", ordinal).withColumn("op", F.lit("I")), 0)
+    upd = payload(
+        base.filter(F.col("o_custkey") % 5 == 0)
+        .withColumn("lsn", ordinal + n_span)
+        .withColumn("op", F.lit("U")),
+        1,
+    )
+    del_ = (
+        base.filter(F.col("o_custkey") % 13 == 0)
+        .withColumn("lsn", ordinal + n_span + n_span)
+        .withColumn("op", F.lit("D"))
+        .withColumn("channel", F.lit(None).cast("string"))
+        .withColumn("priority", F.lit(None).cast("string"))
+        .withColumn("ts", F.col("o_orderdate").cast("timestamp"))
+    )
+    out = inserts.unionByName(upd).unionByName(del_)
+    return out.select("lsn", "op", "conv_id", "channel", "priority", "ts")

@@ -34,7 +34,64 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .table import SnapshotTable, bucket_expr_for
+from .table import Snapshot, SnapshotTable, bucket_expr_for
+
+
+def _pruned_live(
+    source: SnapshotTable, snap: Snapshot, affected: DataFrame, key_col: str
+) -> DataFrame:
+    """Live rows of `source` (at `snap`) restricted to the affected keys:
+    a bucket-pruned read (only buckets the affected keys hash into) then a
+    broadcast left-semi down to exactly those keys. Cost is O(touched
+    buckets) I/O regardless of table size."""
+    buckets = [
+        r.b
+        for r in affected.select(bucket_expr_for(snap).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    live = source.read_buckets(buckets, snapshot=snap)
+    return live.join(F.broadcast(affected), on=key_col, how="left_semi")
+
+
+def _merge_affected(
+    target: SnapshotTable,
+    affected: DataFrame,
+    out_rows: DataFrame,
+    key_col: str,
+    lsn: int,
+    batch_id: str,
+    lineage_extra: dict[str, Any],
+    mode: str,
+):
+    """MERGE a refresh's recomputed per-key rows into the view target:
+    affected keys present in `out_rows` upsert, affected keys absent become
+    deletes (their live contribution vanished). `lsn` must be monotone
+    across refreshes so target LWW orders them correctly."""
+    payload = [c for c in target.current().schema.names if c != key_col]
+    missing = [c for c in payload if c not in out_rows.columns]
+    if missing:
+        raise ValueError(f"view output lacks target columns {missing}")
+    present = out_rows.withColumn("__present", F.lit(True))
+    events = affected.join(present, on=key_col, how="left").select(
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.when(F.col("__present").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col(key_col),
+        *[F.col(c) for c in payload],
+    )
+    # imported here, not at module top: cdc.apply itself imports the lake
+    # package, so a module-level import would cycle whichever loads first
+    from ..cdc.apply import apply_changes
+
+    return apply_changes(
+        events,
+        target,
+        batch_id=batch_id,
+        mode=mode,
+        lineage_extra=lineage_extra,
+    )
 
 
 class IncrementalView:
@@ -114,47 +171,22 @@ class IncrementalView:
         )
 
         # 2. bucket-pruned recompute of exactly those keys' live state
-        buckets = [
-            r.b
-            for r in affected.select(
-                bucket_expr_for(src_snap).alias("b")
-            ).distinct().collect()
-        ]
-        live = self.source.read_buckets(buckets, snapshot=src_snap)
-        pruned = live.join(F.broadcast(affected), on=self.key_col, how="left_semi")
+        pruned = _pruned_live(self.source, src_snap, affected, self.key_col)
         aggs = self.agg_fn(pruned)
 
         # 3. MERGE: recomputed rows upsert; affected keys with no live rows
         #    any more are deletes. lsn = source version: monotone across
         #    refreshes, so target LWW orders refreshes correctly.
-        payload = [c for c in self.target.current().schema.names if c != self.key_col]
-        missing = [c for c in payload if c not in aggs.columns]
-        if missing:
-            raise ValueError(f"agg_fn output lacks target columns {missing}")
-        present = aggs.withColumn("__present", F.lit(True))
-        events = (
-            affected.join(present, on=self.key_col, how="left")
-            .select(
-                F.lit(cur_v).cast("long").alias("lsn"),
-                F.when(F.col("__present").isNull(), F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                F.col(self.key_col),
-                *[F.col(c) for c in payload],
-            )
-        )
-        # imported here, not at module top: cdc.apply itself imports the
-        # lake package, so a module-level import would cycle whichever
-        # package loads first
-        from ..cdc.apply import apply_changes
-
         try:
-            res = apply_changes(
-                events,
+            res = _merge_affected(
                 self.target,
+                affected,
+                aggs,
+                self.key_col,
+                lsn=cur_v,
                 batch_id=f"mv-refresh-{cur_v}",
-                mode=mode,
                 lineage_extra={"mv_source_version": cur_v},
+                mode=mode,
             )
         finally:
             # apply_changes ran every job that reads `affected`
@@ -186,6 +218,184 @@ class IncrementalView:
             .option("path", self.source.root)
             .option("startingVersion", self.last_refreshed_version())
             .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+class IncrementalJoinView:
+    """Maintains `target` = view_fn(live rows of `source_a`, live rows of
+    `source_b`), keyed by the equi-join key `key_col`, refreshed
+    incrementally from BOTH sources' commit logs — the two-source join
+    view (fact x changing dimension, or fact x fact).
+
+    view_fn: (a_rows, b_rows) -> DataFrame with AT MOST one row per
+    `key_col` value, whose columns cover the target schema's payload. It
+    must be per-key: the two sources' rows for one key fully determine
+    that key's output (true for any equi-join on `key_col` followed by a
+    groupBy(key_col) aggregate, whatever the join type). A key in the
+    affected set that view_fn emits no row for is DELETED from the view —
+    which is how inner-join semantics retract keys that lost their match.
+
+    Affected-key propagation: a commit to either source changes the view
+    only at the join keys its changed files touch, so
+    affected = changed_keys(a since watermark_a) ∪ changed_keys(b since
+    watermark_b). Both sources must be partitioned by `key_col`: the
+    recompute then reads only the affected keys' buckets on EACH side and
+    the join itself co-locates per bucket — refresh cost is O(changed
+    keys' data), never O(either table). (A join key that is not both
+    sources' partition key would force a full-table scan per refresh to
+    find matching rows — rejected up front.)
+
+    Each source carries its own high-watermark in target lineage
+    (`mv_src_a_version` / `mv_src_b_version`), committed atomically with
+    the refreshed data, so refresh resumes per-source after restarts and
+    replays are ledger no-ops.
+
+    Reference analogue: the plugin's only join is the per-edge endpoint
+    index lookup joining the relationship feed to imported vertices
+    (``OGraphCommands.java:109-119``, getVertexFromKey); here the joined
+    derivation is a continuously-maintained table rather than a per-record
+    probe loop.
+    """
+
+    def __init__(
+        self,
+        source_a: SnapshotTable,
+        source_b: SnapshotTable,
+        target: SnapshotTable,
+        key_col: str,
+        view_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    ):
+        if target.current().partition_key != key_col:
+            raise ValueError(
+                f"target must be partitioned by {key_col!r} "
+                f"(got {target.current().partition_key!r})"
+            )
+        for name, src in (("source_a", source_a), ("source_b", source_b)):
+            pk = src.current().partition_key
+            if pk != key_col:
+                raise ValueError(
+                    f"join key {key_col!r} must equal {name}'s partition "
+                    f"key (got {pk!r}) — a non-co-partitioned join side "
+                    "cannot be bucket-pruned to the affected keys"
+                )
+        self.source_a = source_a
+        self.source_b = source_b
+        self.target = target
+        self.key_col = key_col
+        self.view_fn = view_fn
+
+    def last_refreshed_versions(self) -> tuple[int, int]:
+        """(source_a version, source_b version) covered by the newest
+        refresh commit; (0, 0) = never refreshed."""
+        for entry in reversed(self.target.current().lineage):
+            va = entry.get("mv_src_a_version")
+            vb = entry.get("mv_src_b_version")
+            if va is not None and vb is not None:
+                return int(va), int(vb)
+        return 0, 0
+
+    def refresh(self, mode: str = "cow") -> dict[str, Any]:
+        """Advance the view to both sources' current versions. Returns a
+        summary dict (src_a_version, src_b_version, affected_keys,
+        skipped)."""
+        from_a, from_b = self.last_refreshed_versions()
+        snap_a = self.source_a.current()
+        snap_b = self.source_b.current()
+        cur_a, cur_b = snap_a.version, snap_b.version
+        if cur_a <= from_a and cur_b <= from_b:
+            return {
+                "src_a_version": from_a,
+                "src_b_version": from_b,
+                "affected_keys": 0,
+                "skipped": True,
+            }
+
+        # 1. affected join keys = keys of files added OR removed in either
+        #    source's window (changed_keys_since sees both sides; see
+        #    IncrementalView.refresh step 1 for why removed files matter).
+        parts = []
+        if cur_a > from_a:
+            parts.append(
+                self.source_a.changed_keys_since(from_a, cur_a).select(self.key_col)
+            )
+        if cur_b > from_b:
+            parts.append(
+                self.source_b.changed_keys_since(from_b, cur_b).select(self.key_col)
+            )
+        affected = parts[0]
+        for p in parts[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.distinct().persist()
+
+        # 2. bucket-pruned recompute of those keys' joined live state: each
+        #    side reads only the buckets the affected keys hash into
+        a_rows = _pruned_live(self.source_a, snap_a, affected, self.key_col)
+        b_rows = _pruned_live(self.source_b, snap_b, affected, self.key_col)
+        out = self.view_fn(a_rows, b_rows)
+
+        # 3. MERGE. lsn = cur_a + cur_b: strictly increasing across
+        #    refreshes (each refresh advances at least one source), so
+        #    target LWW orders them correctly.
+        try:
+            res = _merge_affected(
+                self.target,
+                affected,
+                out,
+                self.key_col,
+                lsn=cur_a + cur_b,
+                batch_id=f"mvj-refresh-{cur_a}-{cur_b}",
+                lineage_extra={
+                    "mv_src_a_version": cur_a,
+                    "mv_src_b_version": cur_b,
+                },
+                mode=mode,
+            )
+        finally:
+            affected.unpersist(blocking=False)
+        return {
+            "src_a_version": cur_a,
+            "src_b_version": cur_b,
+            "affected_keys": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def stream(self, checkpoint_dir: str, mode: str = "cow", available_now: bool = True):
+        """Continuous maintenance off BOTH commit logs: one streaming query
+        over the union of the two sources' `lake_cdf` feeds (Spark
+        checkpoints each source's offset independently), each micro-batch
+        triggering a refresh. The batch data itself is never acted on —
+        the stream is purely the wake-up signal — so no file contents are
+        read by the trigger path; refresh() re-reads its own per-source
+        watermarks from target lineage, making duplicate triggers and
+        checkpoint replays harmless ledger no-ops."""
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.target.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        from_a, from_b = self.last_refreshed_versions()
+
+        def wake(src: SnapshotTable, from_v: int) -> DataFrame:
+            return (
+                spark.readStream.format("lake_cdf")
+                .option("path", src.root)
+                .option("startingVersion", from_v)
+                .load()
+                .select("_commit_version")
+            )
+
+        stream = wake(self.source_a, from_a).unionByName(
+            wake(self.source_b, from_b)
         )
 
         def on_batch(batch: DataFrame, batch_id: int) -> None:

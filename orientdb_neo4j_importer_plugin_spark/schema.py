@@ -55,6 +55,17 @@ TRANSCRIPTS = StructType(
 # v1 payload: transcripts before the `tool` column existed.
 TRANSCRIPTS_V1 = StructType([f for f in TRANSCRIPTS.fields if f.name != "tool"])
 
+# Per-conversation metadata (second CDC source, one row per conv_id):
+# the dimension side of the two-source incremental join view.
+CONV_META = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("channel", StringType(), True),
+        StructField("priority", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
 # CDC envelope columns prepended to the payload.
 CDC_META_FIELDS = [
     StructField("lsn", LongType(), False),

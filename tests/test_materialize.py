@@ -12,7 +12,10 @@ from pyspark.sql.types import (
 from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
 from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
 from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
-from orientdb_neo4j_importer_plugin_spark.lake.materialize import IncrementalView
+from orientdb_neo4j_importer_plugin_spark.lake.materialize import (
+    IncrementalJoinView,
+    IncrementalView,
+)
 from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
 
 VIEW_SCHEMA = StructType(
@@ -220,6 +223,253 @@ def test_removal_only_vacuum_retracts_from_view(spark, tmp_path):
     assert target.read().filter(F.col("conv_id") == victim).count() == 0
     assert _got(target) == _expect(source)
     assert view.last_refreshed_version() == source.current().version
+
+
+# ---------------------------------------------------------------------------
+# Two-source join views (IncrementalJoinView)
+# ---------------------------------------------------------------------------
+
+META_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("channel", StringType(), True),
+    ]
+)
+
+JOIN_VIEW_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("channel", StringType(), True),
+        StructField("n_turns", LongType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def join_fn(turns, meta):
+    agg = turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return agg.join(meta.select("conv_id", "channel"), on="conv_id", how="inner")
+
+
+def _meta_events(spark, rows, lsn0):
+    """rows: list of (conv_id, channel | None for delete)."""
+    data = [
+        (
+            lsn0 + i,
+            "D" if ch is None else ("I" if lsn0 == 0 else "U"),
+            cid,
+            ch,
+        )
+        for i, (cid, ch) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "lsn long, op string, conv_id string, channel string"
+    )
+
+
+def _setup_join(spark, tmp_path):
+    src_a = SnapshotTable.create(
+        spark, str(tmp_path / "ja_src"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    src_b = SnapshotTable.create(
+        spark,
+        str(tmp_path / "jb_src"),
+        META_SCHEMA,
+        "conv_id",
+        num_buckets=4,
+        key_columns=["conv_id"],
+    )
+    target = SnapshotTable.create(
+        spark,
+        str(tmp_path / "jview"),
+        JOIN_VIEW_SCHEMA,
+        "conv_id",
+        num_buckets=4,
+        key_columns=["conv_id"],
+    )
+    view = IncrementalJoinView(src_a, src_b, target, "conv_id", join_fn)
+    feed = gen_feed(
+        spark, n_convs=12, turns_per_conv=6, updates_per_key=2, delete_every=5
+    )
+    return src_a, src_b, target, view, feed
+
+
+def _expect_join(src_a, src_b):
+    return {
+        (r["conv_id"], r["channel"], r["n_turns"], r["n_chars"])
+        for r in join_fn(src_a.read(), src_b.read()).collect()
+    }
+
+
+def _got_join(target):
+    return {
+        (r["conv_id"], r["channel"], r["n_turns"], r["n_chars"])
+        for r in target.read().collect()
+    }
+
+
+def test_join_view_tracks_both_sources(spark, tmp_path):
+    src_a, src_b, target, view, feed = _setup_join(spark, tmp_path)
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+    convs = [f"conv_{i:06d}" for i in range(12)]
+
+    # fact side first: inner join against an empty dimension -> empty view
+    apply_changes(feed.filter(feed.lsn < hi // 2), src_a, batch_id="a1", mode="mor")
+    r1 = view.refresh()
+    assert not r1["skipped"]
+    assert target.read().count() == 0
+    assert _got_join(target) == _expect_join(src_a, src_b)
+
+    # dimension rows land for half the convs -> those convs appear
+    apply_changes(
+        _meta_events(spark, [(c, f"ch_{i % 3}") for i, c in enumerate(convs[:6])], 0),
+        src_b,
+        batch_id="b1",
+        mode="mor",
+    )
+    view.refresh()
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    assert target.read().count() > 0
+
+    # more facts: only the touched convs refresh
+    apply_changes(feed.filter(feed.lsn >= hi // 2), src_a, batch_id="a2", mode="mor")
+    changed = (
+        feed.filter(feed.lsn >= hi // 2).select("conv_id").distinct().count()
+    )
+    r3 = view.refresh()
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    assert r3["affected_keys"] <= changed
+
+    # dimension churn: channel reassignment + rest of the convs registered
+    apply_changes(
+        _meta_events(
+            spark,
+            [(convs[0], "ch_9")] + [(c, "ch_new") for c in convs[6:]],
+            1_000_000,
+        ),
+        src_b,
+        batch_id="b2",
+        mode="mor",
+    )
+    r4 = view.refresh()
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    assert r4["affected_keys"] <= 7
+    assert view.last_refreshed_versions() == (
+        src_a.current().version,
+        src_b.current().version,
+    )
+
+
+def test_join_view_dimension_delete_retracts(spark, tmp_path):
+    src_a, src_b, target, view, feed = _setup_join(spark, tmp_path)
+    convs = [f"conv_{i:06d}" for i in range(12)]
+    apply_changes(feed, src_a, batch_id="a1", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(c, "ch_0") for c in convs], 0),
+        src_b,
+        batch_id="b1",
+        mode="mor",
+    )
+    view.refresh()
+    victim = convs[3]
+    assert target.read().filter(F.col("conv_id") == victim).count() == 1
+
+    apply_changes(
+        _meta_events(spark, [(victim, None)], 5_000_000),
+        src_b,
+        batch_id="b2",
+        mode="mor",
+    )
+    r = view.refresh()
+    assert r["affected_keys"] >= 1
+    # turns still exist, but the inner join lost its dimension match
+    assert src_a.read().filter(F.col("conv_id") == victim).count() > 0
+    assert target.read().filter(F.col("conv_id") == victim).count() == 0
+    assert _got_join(target) == _expect_join(src_a, src_b)
+
+
+def test_join_view_single_refresh_covers_both_commits(spark, tmp_path):
+    src_a, src_b, target, view, feed = _setup_join(spark, tmp_path)
+    convs = [f"conv_{i:06d}" for i in range(12)]
+    apply_changes(feed, src_a, batch_id="a1", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(c, "ch_1") for c in convs[:8]], 0),
+        src_b,
+        batch_id="b1",
+        mode="mor",
+    )
+    r = view.refresh()
+    assert not r["skipped"]
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    again = view.refresh()
+    assert again["skipped"] is True or again["affected_keys"] == 0
+
+
+def test_join_view_requires_co_partitioned_sources(spark, tmp_path):
+    src_a = SnapshotTable.create(
+        spark, str(tmp_path / "ok_src"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    bad_schema = StructType(
+        [
+            StructField("other_key", StringType(), False),
+            StructField("channel", StringType(), True),
+        ]
+    )
+    src_bad = SnapshotTable.create(
+        spark, str(tmp_path / "bad_src"), bad_schema, "other_key", num_buckets=4
+    )
+    target = SnapshotTable.create(
+        spark,
+        str(tmp_path / "jv2"),
+        JOIN_VIEW_SCHEMA,
+        "conv_id",
+        num_buckets=4,
+        key_columns=["conv_id"],
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="co-partitioned|partition key"):
+        IncrementalJoinView(src_a, src_bad, target, "conv_id", join_fn)
+
+
+def test_join_view_streamed_maintenance(spark, tmp_path):
+    """Union-of-cdf wake-up stream: one query subscribed to BOTH commit
+    logs converges the view; a restart picks up commits to either source."""
+    src_a, src_b, target, view, feed = _setup_join(spark, tmp_path)
+    convs = [f"conv_{i:06d}" for i in range(12)]
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+    ckpt = str(tmp_path / "jckpt")
+
+    apply_changes(feed.filter(feed.lsn < hi // 2), src_a, batch_id="a1", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(c, "ch_2") for c in convs], 0),
+        src_b,
+        batch_id="b1",
+        mode="mor",
+    )
+    q = view.stream(ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert _got_join(target) == _expect_join(src_a, src_b)
+
+    # commits on both sides while the stream is down
+    apply_changes(feed.filter(feed.lsn >= hi // 2), src_a, batch_id="a2", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(convs[1], None)], 9_000_000),
+        src_b,
+        batch_id="b2",
+        mode="mor",
+    )
+    q2 = view.stream(ckpt)
+    q2.awaitTermination(120)
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    assert view.last_refreshed_versions() == (
+        src_a.current().version,
+        src_b.current().version,
+    )
 
 
 def test_rollback_between_refreshes_reverts_view(spark, tmp_path):
