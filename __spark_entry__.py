@@ -717,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": lambda s, d: TP.value_quantiles(
             _read(s, d, "events")
         ),
+        "events_value_quantiles_hist": lambda s, d: TP.value_quantiles_hist(
+            _read(s, d, "events")
+        ),
         "docs_contains_probe": lambda s, d: T.contains_probe(
             _read(s, d, "documents")
         ),
@@ -838,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "events_span_summary": S.SPAN_SUMMARY_SQL,
         "events_asof_join": TP.PURCHASE_ASOF_CLICK_SQL,
         "events_value_quantiles": TP.VALUE_QUANTILES_SQL,
+        "events_value_quantiles_hist": TP.VALUE_QUANTILES_HIST_SQL,
         "docs_contains_probe": T.contains_probe_sql(),
         "docs_normalize": (
             "SELECT doc_id, "

@@ -403,13 +403,20 @@ class SnapshotTable:
         return got
 
     @staticmethod
-    def _footer_stats(paths: list[str]) -> dict[str, dict]:
+    def _footer_stats(paths: list[str], key_col: str | None = None) -> dict[str, dict]:
         """Per-file stats from parquet footers: row count, __lsn min/max,
-        tombstone presence. Driver-side footer reads, O(files per commit) —
-        on a real cluster these come back from the write tasks instead; the
-        footer read is the single-node stand-in (same information)."""
+        tombstone presence, and (when `key_col` is given) the partition
+        key's min/max — the in-bucket file-skipping index for point
+        lookups. Driver-side footer reads, O(files per commit) — on a real
+        cluster these come back from the write tasks instead; the footer
+        read is the single-node stand-in (same information)."""
         import pyarrow.parquet as pq
 
+        # manifest stats are JSON; only record key bounds whose python type
+        # round-trips exactly (str/int/float). Parquet string stats may be
+        # TRUNCATED, but truncation only ever widens the range (min rounded
+        # down, max rounded up), so stored bounds stay valid bounds.
+        _json_safe = (str, int, float)
         out: dict[str, dict] = {}
         for p in paths:
             try:
@@ -417,6 +424,8 @@ class SnapshotTable:
             except Exception:
                 continue  # stats are an optimization, never a correctness gate
             lsn_min = lsn_max = None
+            key_min = key_max = None
+            key_rgs = 0
             tomb = False
             del_rgs = 0
             for rg in range(md.num_row_groups):
@@ -432,6 +441,20 @@ class SnapshotTable:
                     elif col.path_in_schema == DELETED_COL:
                         del_rgs += 1
                         tomb = tomb or bool(st.max)
+                    elif key_col is not None and col.path_in_schema == key_col:
+                        if (
+                            isinstance(st.min, _json_safe)
+                            and isinstance(st.max, _json_safe)
+                            and not isinstance(st.min, bool)
+                            and not isinstance(st.max, bool)
+                        ):
+                            key_rgs += 1
+                            key_min = (
+                                st.min if key_min is None else min(key_min, st.min)
+                            )
+                            key_max = (
+                                st.max if key_max is None else max(key_max, st.max)
+                            )
             # tombstones: True / False (every row group had stats) / None
             # (UNKNOWN — some row group lacked __deleted stats; consumers
             # must treat unknown conservatively, never as "no tombstones")
@@ -443,6 +466,11 @@ class SnapshotTable:
                 if tomb
                 else (False if del_rgs == md.num_row_groups else None),
             }
+            # key bounds are only trustworthy if EVERY row group had them —
+            # a partial range would wrongly exclude files on lookup
+            if key_col is not None and key_rgs == md.num_row_groups:
+                out[p]["key_min"] = key_min
+                out[p]["key_max"] = key_max
         return out
 
     def _resolve_manifests(self, snap: Snapshot) -> None:
@@ -681,8 +709,18 @@ class SnapshotTable:
     def _read_merged(
         self, bucket_ids: list[int] | None, snap: Snapshot, raw: bool
     ) -> DataFrame:
-        base = self._read_files(snap.base_files(bucket_ids), snap.schema)
-        delta_files = snap.delta_files(bucket_ids)
+        return self._merged_from_files(
+            snap.base_files(bucket_ids), snap.delta_files(bucket_ids), snap, raw
+        )
+
+    def _merged_from_files(
+        self,
+        base_files: list[str],
+        delta_files: list[str],
+        snap: Snapshot,
+        raw: bool,
+    ) -> DataFrame:
+        base = self._read_files(base_files, snap.schema)
         if delta_files:
             # merge-on-read: one argmax-by-__lsn shuffle over base ∪ deltas.
             # Key invariant: base has ≤1 row/key; deltas may carry several.
@@ -742,10 +780,50 @@ class SnapshotTable:
                 )
                 .first()["b"]
             )
-        df = self.read_buckets([bucket], snapshot=snap)
+        base_files, delta_files, _skipped = self._lookup_files(
+            bucket, key_values[snap.partition_key], snap
+        )
+        df = self._merged_from_files(base_files, delta_files, snap, raw=False)
         for k, v in key_values.items():
             df = df.filter(F.col(k) == F.lit(v).cast(types[k]))
         return df
+
+    def _lookup_files(
+        self, bucket: int, key_value: Any, snap: Snapshot
+    ) -> tuple[list[str], list[str], int]:
+        """In-bucket file skipping for point lookups: drop the bucket's
+        files whose manifest key min/max range excludes `key_value` — pure
+        metadata, no data IO. Files without recorded key bounds (pre-stats
+        manifests, non-JSON-safe key types) are kept conservatively.
+
+        Sound for the LWW merge: every storage row for a key lives in files
+        whose key range covers it, so skipping non-covering files cannot
+        change that key's winner. Skipping is what makes MOR point reads
+        O(files containing the key) instead of O(delta files in the
+        bucket) — and compaction's sort-clustering (optionally split by
+        max_file_rows) keeps base-file ranges tight. Returns (base files
+        kept, delta files kept, files skipped)."""
+        base_files = snap.base_files([bucket])
+        delta_files = snap.delta_files([bucket])
+        self._resolve_manifests(snap)  # populates _stats_cache
+
+        def covers(f: str) -> bool:
+            s = self._stats_cache.get(f)
+            if not s:
+                return True
+            lo, hi = s.get("key_min"), s.get("key_max")
+            if lo is None or hi is None:
+                return True
+            try:
+                return lo <= key_value <= hi
+            except TypeError:
+                return True  # incomparable literal type: keep
+        kept_base = [f for f in base_files if covers(f)]
+        kept_deltas = [f for f in delta_files if covers(f)]
+        skipped = (len(base_files) - len(kept_base)) + (
+            len(delta_files) - len(kept_deltas)
+        )
+        return kept_base, kept_deltas, skipped
 
     def file_stats(self, snapshot: Snapshot | None = None) -> dict[str, dict]:
         """Per-data-file stats of a snapshot (rows, __lsn min/max, tombstone
@@ -1039,8 +1117,14 @@ class SnapshotTable:
         lineage_fn: Any = None,
         base_snapshot: Snapshot | None = None,
         new_num_buckets: int | None = None,
+        max_file_rows: int | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write rewrite of `touched_buckets`.
+
+        `max_file_rows` caps rows per written file (Spark's
+        maxRecordsPerFile): with sort-clustered input each bucket splits
+        into consecutive key-range files whose footer min/max are tight
+        and disjoint — the substrate for in-bucket file skipping.
 
         `new_num_buckets` turns the commit into a FULL-table relayout
         (rebucketing): the parent's bucket map is discarded entirely and
@@ -1070,11 +1154,10 @@ class SnapshotTable:
         )
         # partitionBy(BUCKET_COL) -> one directory per bucket; the bucket id is
         # re-derivable from the key, so it is not stored inside the files.
-        (
-            new_data.write.partitionBy(BUCKET_COL)
-            .mode("error")
-            .parquet(out_dir)
-        )
+        writer = new_data.write.partitionBy(BUCKET_COL).mode("error")
+        if max_file_rows is not None:
+            writer = writer.option("maxRecordsPerFile", max_file_rows)
+        writer.parquet(out_dir)
         bucket_files: dict[str, list[str]] = {str(b): [] for b in touched_buckets}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
@@ -1088,7 +1171,10 @@ class SnapshotTable:
                     if f.endswith(".parquet")
                 )
         self._stats_cache.update(
-            self._footer_stats([f for fs in bucket_files.values() for f in fs])
+            self._footer_stats(
+                [f for fs in bucket_files.values() for f in fs],
+                key_col=parent0.partition_key,
+            )
         )
         touched_set = set(touched_buckets)
 
@@ -1236,7 +1322,10 @@ class SnapshotTable:
                     if f.endswith(".parquet")
                 )
         self._stats_cache.update(
-            self._footer_stats([f for fs in added.values() for f in fs])
+            self._footer_stats(
+                [f for fs in added.values() for f in fs],
+                key_col=parent0.partition_key,
+            )
         )
 
         def build(parent: Snapshot) -> Snapshot:
@@ -1298,7 +1387,10 @@ class SnapshotTable:
             raise
 
     def compact(
-        self, bucket_ids: list[int] | None = None, max_recomputes: int = 2
+        self,
+        bucket_ids: list[int] | None = None,
+        max_recomputes: int = 2,
+        max_file_rows: int | None = None,
     ) -> Snapshot:
         """Fold delta files into base files (Iceberg rewrite_data_files /
         minor-compaction analogue). Defaults to every bucket with deltas.
@@ -1334,6 +1426,7 @@ class SnapshotTable:
                     batch_id=None,
                     lineage={"compaction": True, "buckets": len(ids)},
                     base_snapshot=snap,
+                    max_file_rows=max_file_rows,
                 )
             except CommitConflictError:
                 continue  # a writer touched a compacting bucket: recompute

@@ -133,3 +133,178 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+HIST_BINS = 512
+
+
+def value_quantiles_hist(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """DETERMINISTIC approximate quantiles — the oracle-checked 100 TB
+    swap-in for `value_quantiles`. A fixed-bin histogram-CDF sketch:
+
+      1. per-group min/max/count (algebraic, map-side combinable),
+      2. bin every value into `bins` equal-width cells — the histogram is
+         ONE combinable shuffle of at most `groups x bins` cells,
+         regardless of data size (vs the exact form shuffling every value
+         to one reducer per group),
+      3. read each quantile off the cumulative histogram with within-bin
+         linear interpolation.
+
+    No RNG, no order dependence: the sketch is a pure function of the
+    value multiset (counts are exact ints; min/max are exact doubles), so
+    the DuckDB twin reproduces it BIT-identically — unlike
+    `percentile_approx`, whose t-digest result depends on merge order.
+    Error is bounded by one bin width = (max-min)/bins per group
+    (tested); the cells are trivially mergeable across partitions/days.
+    Columns: event_type, n, p25, p50, p90.
+    """
+    from pyspark.sql.window import Window as W
+
+    stats = events.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("value").alias("n"),
+    )
+    binned = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * bins
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .groupBy("event_type", "lo", "hi", "n", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(wcum))
+
+    # Exact percentile interpolates between the values at integer ranks
+    # r0=floor(t), r1=ceil(t) of the continuous rank t = q*(n-1)+1. The
+    # sketch does the SAME rank interpolation, estimating each integer
+    # rank's value inside its own occupied bin (cum - cnt < r <= cum,
+    # within-bin uniform) — so each rank estimate errs by < 1 bin width
+    # and the convex combination keeps the provable <= width bound even
+    # across sparse regions where adjacent occupied bins are far apart
+    # (a one-bin estimate of t itself loses that bound exactly there).
+    # Every parenthesization is mirrored verbatim in the SQL twin for FP
+    # bit-parity.
+    def rank_val(r):
+        inside = (F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r)
+        val = F.col("lo") + ((F.col("hi") - F.col("lo")) / bins) * (
+            F.col("bin") + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        return F.max(F.when(inside, val))
+
+    def t_expr(q: float):
+        return F.lit(q) * (F.col("n") - 1) + 1
+
+    aggs = []
+    for q, nm in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+        t = t_expr(q)
+        aggs.append(rank_val(F.floor(t)).alias(f"__v0_{nm}"))
+        aggs.append(rank_val(F.ceil(t)).alias(f"__v1_{nm}"))
+
+    def combine(q: float, nm: str):
+        t = t_expr(q)
+        v0, v1 = F.col(f"__v0_{nm}"), F.col(f"__v1_{nm}")
+        return F.round(
+            F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+                v0 + (t - F.floor(t)) * (v1 - v0)
+            ),
+            4,
+        ).alias(nm)
+
+    return (
+        cum.groupBy("event_type", "n", "lo", "hi")
+        .agg(*aggs)
+        .select(
+            "event_type",
+            "n",
+            combine(0.25, "p25"),
+            combine(0.5, "p50"),
+            combine(0.9, "p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hist_rank_sql(r: str, name: str) -> str:
+    """Conditional aggregate estimating the value at integer rank `r`
+    (the rank's occupied bin, within-bin uniform). Parenthesization
+    mirrors the Spark `rank_val` expression verbatim."""
+    return f"""
+  max(CASE WHEN cum >= {r} AND (cum - cnt) < {r} THEN
+    lo + ((hi - lo) / {HIST_BINS}) * (bin + ({r} - (cum - cnt)) / cnt)
+  END) AS {name}"""
+
+
+def _hist_q_sql(q: float, name: str) -> tuple[str, str]:
+    """(rank-aggregate clauses, final combine clause) for one quantile.
+    The q literal is cast to DOUBLE — DuckDB would otherwise evaluate
+    0.25*(n-1) in exact DECIMAL arithmetic while Spark uses doubles, a
+    boundary-comparison hazard."""
+    t = f"(CAST({q} AS DOUBLE)*(n-1)+1)"
+    ranks = (
+        _hist_rank_sql(f"floor({t})", f"v0_{name}")
+        + ","
+        + _hist_rank_sql(f"ceil({t})", f"v1_{name}")
+    )
+    combine = f"""
+  round(CASE WHEN hi = lo THEN lo ELSE
+    v0_{name} + ({t} - floor({t})) * (v1_{name} - v0_{name})
+  END, 4) AS {name}"""
+    return ranks, combine
+
+
+_Q_PARTS = [_hist_q_sql(0.25, "p25"), _hist_q_sql(0.5, "p50"), _hist_q_sql(0.9, "p90")]
+
+VALUE_QUANTILES_HIST_SQL = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         count(value) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+counts AS (
+  SELECT e.event_type, s.lo, s.hi, s.n,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE CAST(least({HIST_BINS - 1},
+                   floor((e.value - s.lo) / (s.hi - s.lo) * {HIST_BINS}))
+                   AS INT)
+         END AS bin,
+         count(*) AS cnt
+  FROM events e JOIN stats s USING (event_type)
+  WHERE e.value IS NOT NULL
+  GROUP BY e.event_type, s.lo, s.hi, s.n, 5
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (
+    PARTITION BY event_type ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum
+  FROM counts
+),
+ranked AS (
+  SELECT event_type, n, lo, hi,{",".join(p[0] for p in _Q_PARTS)}
+  FROM cum
+  GROUP BY event_type, n, lo, hi
+)
+SELECT event_type, n,{",".join(p[1] for p in _Q_PARTS)}
+FROM ranked
+ORDER BY event_type
+"""

@@ -111,6 +111,101 @@ def test_lookup_requires_partition_key(spark, tmp_path):
         table.lookup({"conv_id": "conv_000001", "text": "x"})
 
 
+def _long_key_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "skip_t"), schema, "user_id",
+        num_buckets=16, key_columns=["user_id"],
+    )
+    events = spark.range(200).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    return table, events
+
+
+def test_lookup_skips_delta_files_within_bucket(spark, tmp_path):
+    """Two MOR batches with disjoint key ranges land two delta files per
+    bucket; a point lookup must read only the file whose footer key range
+    covers the probe, not every delta in the bucket."""
+    table, events = _long_key_table(spark, tmp_path)
+    apply_changes(events.filter("user_id < 100"), table, batch_id="lo", mode="mor")
+    apply_changes(events.filter("user_id >= 100"), table, batch_id="hi", mode="mor")
+    snap = table.current()
+
+    for probe in (5, 42, 150):
+        import orientdb_neo4j_importer_plugin_spark.functions.xxhash as xx
+
+        bucket = xx.spark_xxhash64(probe, snap.schema["user_id"].dataType) % 16
+        total = len(snap.base_files([bucket])) + len(snap.delta_files([bucket]))
+        kept_base, kept_deltas, skipped = table._lookup_files(bucket, probe, snap)
+        assert skipped >= 1, f"probe {probe}: nothing skipped of {total}"
+        assert len(kept_base) + len(kept_deltas) < total
+        got = table.lookup({"user_id": probe}).collect()
+        assert len(got) == 1 and got[0]["name"] == f"u{probe}"
+
+
+def test_post_compaction_lookup_reads_fewer_files_than_bucket(spark, tmp_path):
+    """VERDICT r2 item 5: compaction sort-clusters and (with max_file_rows)
+    splits each bucket into tight disjoint key-range files; a lookup then
+    reads fewer files than the bucket holds, with unchanged results."""
+    table, events = _long_key_table(spark, tmp_path)
+    apply_changes(events, table, batch_id="b0", mode="mor")
+    table.compact(max_file_rows=4)
+    snap = table.current()
+    assert not snap.deltas
+
+    skipped_any = False
+    for probe in (0, 42, 137, 199):
+        import orientdb_neo4j_importer_plugin_spark.functions.xxhash as xx
+
+        bucket = xx.spark_xxhash64(probe, snap.schema["user_id"].dataType) % 16
+        total = len(snap.base_files([bucket]))
+        df = table.lookup({"user_id": probe})
+        read = len(df.inputFiles())
+        got = df.collect()
+        assert len(got) == 1 and got[0]["name"] == f"u{probe}"
+        if total > 1:
+            assert read < total, f"probe {probe}: read {read}/{total} files"
+            skipped_any = True
+    assert skipped_any, "no bucket had >1 base file; fixture broken"
+
+
+def test_lookup_skip_keeps_files_without_key_stats(spark, tmp_path):
+    """Conservative fallback: a file with no recorded key bounds is always
+    read (pre-stats manifests must not lose rows)."""
+    table, events = _long_key_table(spark, tmp_path)
+    apply_changes(events, table, batch_id="b0", mode="mor")
+    snap = table.current()
+    # blow away the stats cache entries' key bounds
+    for f, s in table._stats_cache.items():
+        s.pop("key_min", None)
+        s.pop("key_max", None)
+    for probe in (7, 123):
+        import orientdb_neo4j_importer_plugin_spark.functions.xxhash as xx
+
+        bucket = xx.spark_xxhash64(probe, snap.schema["user_id"].dataType) % 16
+        kept_base, kept_deltas, skipped = table._lookup_files(bucket, probe, snap)
+        assert skipped == 0
+        got = table.lookup({"user_id": probe}).collect()
+        assert len(got) == 1 and got[0]["name"] == f"u{probe}"
+
+
 def test_compact_clusters_by_key(spark, tmp_path):
     table = _table(spark, tmp_path, mode="mor")
     assert table.current().deltas

@@ -56,3 +56,53 @@ def test_asof_join_is_single_shuffle(spark):
     # the union+window form must not degrade into any join operator
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hist_quantiles_error_bound(spark):
+    """The histogram-CDF sketch's error vs exact quantiles is bounded by
+    one bin width = (max-min)/bins per group (the sketch's contract)."""
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+        HIST_BINS,
+        value_quantiles,
+        value_quantiles_hist,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {r["event_type"]: r for r in value_quantiles(events).collect()}
+    sketch = {r["event_type"]: r for r in value_quantiles_hist(events).collect()}
+    spans = {
+        r["event_type"]: (r["hi"] - r["lo"])
+        for r in events.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(exact) == set(sketch) and exact
+    for et, e in exact.items():
+        s = sketch[et]
+        assert s["n"] == e["n"]
+        width = spans[et] / HIST_BINS
+        for p in ("p25", "p50", "p90"):
+            err = abs(s[p] - e[p])
+            assert err <= width + 1e-4, (et, p, err, width)
+
+
+def test_hist_quantiles_deterministic_under_repartition(spark):
+    """Sketch output is a pure function of the value multiset — identical
+    under arbitrary repartitioning (merge-order independence, unlike
+    percentile_approx's t-digest)."""
+    import os
+
+    from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+        value_quantiles_hist,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    a = sorted(map(tuple, value_quantiles_hist(events).collect()))
+    b = sorted(
+        map(tuple, value_quantiles_hist(events.repartition(17, "user_id")).collect())
+    )
+    assert a == b
