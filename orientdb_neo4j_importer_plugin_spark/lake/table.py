@@ -43,7 +43,6 @@ physical layer is whatever the cluster's FileSystem is; the driver-side
 
 from __future__ import annotations
 
-import contextlib
 import hashlib
 import json
 import os
@@ -278,9 +277,15 @@ class SnapshotTable:
     silently losing a snapshot.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, commit_store=None):
+        from .commitstore import LocalFSCommitStore
+
         self.spark = spark
         self.root = root
+        # serialization primitives for {version claim, pointer swap} —
+        # swap in ObjectStoreCommitStore for S3/GCS-class deployments
+        # (lake/commitstore.py); default is the flock/hard-link protocol
+        self.commit_store = commit_store or LocalFSCommitStore()
         self.meta_dir = os.path.join(root, "metadata")
         self.manifest_dir = os.path.join(root, "metadata", "manifests")
         self.data_dir = os.path.join(root, "data")
@@ -306,6 +311,7 @@ class SnapshotTable:
         num_buckets: int = DEFAULT_NUM_BUCKETS,
         overwrite: bool = False,
         key_columns: list[str] | None = None,
+        commit_store=None,
     ) -> "SnapshotTable":
         """Create an empty table. `overwrite=True` drops an existing one —
         the reference's `-o` flag (``ONeo4jImporter.java:105-124``).
@@ -328,7 +334,7 @@ class SnapshotTable:
             raise ValueError(
                 f"partition_key {partition_key!r} must be one of key_columns {key_columns}"
             )
-        t = cls(spark, root)
+        t = cls(spark, root, commit_store=commit_store)
         if os.path.exists(t.meta_dir):
             if not overwrite:
                 raise FileExistsError(
@@ -353,8 +359,10 @@ class SnapshotTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "SnapshotTable":
-        t = cls(spark, root)
+    def load(
+        cls, spark: SparkSession, root: str, commit_store=None
+    ) -> "SnapshotTable":
+        t = cls(spark, root, commit_store=commit_store)
         if not os.path.exists(t._pointer_path()):
             raise FileNotFoundError(f"no table at {root}")
         return t
@@ -530,117 +538,75 @@ class SnapshotTable:
         snap.manifest_paths = out
 
     def _write_snapshot(self, snap: Snapshot, expected_parent: int | None) -> None:
+        """Serialize the commit through the table's CommitStore
+        (lake/commitstore.py — local-FS flock/hard-link by default,
+        conditional-PUT object stores via ObjectStoreCommitStore):
+
+        1. cheap pre-check — pointer must still name the parent we read;
+        2. atomic CLAIM of the version number — put-if-absent of the
+           immutable snapshot object; a lost race can never overwrite or
+           delete the winner's snapshot. Claim, orphan reclaim (liveness:
+           a claimant that died between claim and swap must not block the
+           version number forever) and the pointer swap run under the
+           store's critical section, which FENCES a stalled claimant —
+           it cannot wake up and swap the pointer to a version object
+           that was reclaimed out from under it (TOCTOU);
+        3. fencing recheck (our claim is still OUR object) then the
+           pointer CAS parent -> version: the atomic swap IS the commit.
+        """
         self._write_manifests(snap)
+        store = self.commit_store
         path = os.path.join(self.meta_dir, f"v{snap.version:08d}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(snap.to_json())
-        # optimistic concurrency, two layers:
-        # 1. cheap pre-check — pointer must still name the parent we read
-        if expected_parent is not None and os.path.exists(self._pointer_path()):
-            with open(self._pointer_path()) as fh:
-                cur = int(fh.read().strip())
-            if cur != expected_parent:
-                os.remove(tmp)
+        ptr = self._pointer_path()
+        if expected_parent is not None:
+            cur = store.read_pointer(ptr)
+            if cur is not None and cur != expected_parent:
                 raise ConcurrentCommitError(
                     f"expected parent v{expected_parent}, pointer moved to v{cur}"
                 )
-        # 2. atomic claim of the version number — exclusive link fails if
-        #    another writer already committed this version (the put-if-absent
-        #    a real object store would provide), so a lost race can never
-        #    overwrite or delete the winner's snapshot file. Claim, orphan
-        #    reclaim (liveness: a claimant that died between link and swap
-        #    must not block the version number forever) and the pointer swap
-        #    all run under the pointer mutex, which FENCES a stalled
-        #    claimant: it cannot wake up and swap the pointer to a version
-        #    file that was reclaimed out from under it (TOCTOU).
-        with self._pointer_mutex():
-            try:
-                os.link(tmp, path)
-            except FileExistsError:
-                if self._reclaim_orphan_claim(snap.version, path):
-                    try:
-                        os.link(tmp, path)
-                    except FileExistsError:
-                        os.remove(tmp)
-                        raise ConcurrentCommitError(
-                            f"version v{snap.version} was re-claimed concurrently"
-                        ) from None
-                else:
-                    os.remove(tmp)
-                    raise ConcurrentCommitError(
-                        f"version v{snap.version} was claimed by a concurrent writer"
-                    ) from None
-            claimed_ino = os.stat(tmp).st_ino
-            os.remove(tmp)
-            # fencing recheck: our claim must still be OUR file (a mutex
-            # timeout + stale-lock break could otherwise let a reclaim slip
-            # between our link and this swap)
-            try:
-                still_ours = os.stat(path).st_ino == claimed_ino
-            except FileNotFoundError:
-                still_ours = False
-            if not still_ours:
-                raise ConcurrentCommitError(
-                    f"claim of v{snap.version} was reclaimed before the swap"
-                )
-            ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(ptmp, "w") as fh:
-                fh.write(str(snap.version))
-            os.replace(ptmp, self._pointer_path())  # atomic swap = the commit
-
-    @contextlib.contextmanager
-    def _pointer_mutex(self, timeout: float = 10.0):
-        """Microsecond-critical-section mutex around {version claim, pointer
-        swap, orphan reclaim} — the local-FS stand-in for an object store's
-        conditional operations. Held only across a handful of metadata file
-        ops (never data IO).
-
-        Kernel-mediated advisory lock (flock): released automatically when
-        the holder's fd closes — including a process crash — so there are
-        NO stale-lock heuristics, and a merely-stalled holder can never
-        have the lock broken out from under it mid-section (any
-        file-based break-after-timeout scheme reintroduces a TOCTOU
-        between the staleness check and the break). Waiters that exhaust
-        `timeout` fail their commit with ConcurrentCommitError: failing a
-        commit is safe, breaking mutual exclusion is not."""
-        import fcntl
-
-        lock = os.path.join(self.meta_dir, "_swap.lock")
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
-        t0 = time.time()
+        content = snap.to_json()
         try:
-            while True:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except (BlockingIOError, InterruptedError):
-                    if time.time() - t0 > timeout:
+            with store.mutex(self.meta_dir):
+                token = store.claim_version(path, content)
+                if token is None:
+                    if self._reclaim_orphan_claim(snap.version, path):
+                        token = store.claim_version(path, content)
+                        if token is None:
+                            raise ConcurrentCommitError(
+                                f"version v{snap.version} was re-claimed concurrently"
+                            )
+                    else:
                         raise ConcurrentCommitError(
-                            "pointer mutex timeout"
-                        ) from None
-                    time.sleep(0.005)
-            yield
-        finally:
-            os.close(fd)  # releases the flock
+                            f"version v{snap.version} was claimed by a concurrent writer"
+                        )
+                # fencing recheck: our claim must still be OUR object (a
+                # mutex timeout + lease break could otherwise let a reclaim
+                # slip between our claim and this swap)
+                if not store.claim_is_ours(path, token):
+                    raise ConcurrentCommitError(
+                        f"claim of v{snap.version} was reclaimed before the swap"
+                    )
+                if not store.swap_pointer(ptr, snap.version, expected_parent):
+                    raise ConcurrentCommitError(
+                        f"pointer moved before v{snap.version}'s swap"
+                    )
+        except TimeoutError as e:
+            raise ConcurrentCommitError(str(e)) from None
 
     def _reclaim_orphan_claim(self, version: int, path: str) -> bool:
         """True if `path` was a crashed writer's claim (version AHEAD of the
         pointer, older than the timeout) and was removed. Caller must hold
-        the pointer mutex: the pointer re-check and the remove must be
-        atomic w.r.t. a stalled claimant waking up to swap the pointer."""
-        try:
-            with open(self._pointer_path()) as fh:
-                pointed = int(fh.read().strip())
-            if version <= pointed:
-                return False  # a committed snapshot, never reclaim
-            age = time.time() - os.path.getmtime(path)
-            if age < ORPHAN_CLAIM_TIMEOUT_SEC:
-                return False  # may be a live writer between link and swap
-            os.remove(path)
-            return True
-        except (FileNotFoundError, ValueError):
-            return False
+        the store's commit mutex: the pointer re-check and the remove must
+        be atomic w.r.t. a stalled claimant waking up to swap the pointer."""
+        store = self.commit_store
+        pointed = store.read_pointer(self._pointer_path())
+        if pointed is None or version <= pointed:
+            return False  # a committed snapshot (or fresh table), never reclaim
+        age = store.claim_age(path)
+        if age is None or age < ORPHAN_CLAIM_TIMEOUT_SEC:
+            return False  # may be a live writer between claim and swap
+        store.delete_claim(path)
+        return True
 
     def _commit_retry(
         self,
