@@ -197,31 +197,124 @@ class IncrementalView:
             "skipped": res.skipped_replay,
         }
 
-    def stream(self, checkpoint_dir: str, mode: str = "cow", available_now: bool = True):
+    def refresh_from_changes(
+        self,
+        changes: DataFrame,
+        batch_tag: str,
+        mode: str = "cow",
+        processed_version: int | None = None,
+    ) -> dict[str, Any]:
+        """Refresh exactly the keys present in a row-level change batch
+        (lake_cdf mode=rowlevel): the batch's key column IS the affected
+        set — no file-diff planning, no candidate key-scan, no COW-rewrite
+        noise — so the consumer does ZERO join/diff work to learn what
+        changed. The recompute itself stays a pure function of current
+        source state (bucket-pruned to the batch's keys), which keeps it
+        correct under out-of-order delivery and concurrent source commits.
+
+        Idempotence rides the target ledger via `batch_tag` (callers
+        derive it from the batch's version range, which is deterministic
+        across checkpoint replays AND checkpoint resets).
+
+        lsn = the source version the recompute READ. Two batches may
+        observe the same version; the resulting LWW tie is harmless
+        because both then recomputed identical values from the identical
+        state. When the state advanced between batches, the lsn advanced
+        with it — monotone where it matters.
+
+        The lineage watermark (`mv_source_version`) advances only to
+        `processed_version` — the batch's own max version, NOT the
+        (possibly newer) snapshot the recompute read: the read state may
+        include versions whose changed keys are outside this batch, and a
+        later stream start from the watermark must still deliver them."""
+        affected = changes.select(self.key_col).distinct().persist()
+        src_snap = self.source.current()
+        watermark = (
+            src_snap.version
+            if processed_version is None
+            else min(int(processed_version), src_snap.version)
+        )
+        pruned = _pruned_live(self.source, src_snap, affected, self.key_col)
+        aggs = self.agg_fn(pruned)
+        try:
+            res = _merge_affected(
+                self.target,
+                affected,
+                aggs,
+                self.key_col,
+                lsn=src_snap.version,
+                batch_id=batch_tag,
+                lineage_extra={"mv_source_version": watermark},
+                mode=mode,
+            )
+        finally:
+            affected.unpersist(blocking=False)
+        return {
+            "source_version": watermark,
+            "affected_keys": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "cow",
+        available_now: bool = True,
+        rowlevel: bool = False,
+    ):
         """Continuous maintenance: subscribe to the source's commit log via
         the `lake_cdf` data source and refresh on every micro-batch of new
         versions. Returns the StreamingQuery.
 
-        The cdf stream is used as the *wake-up signal* (its offsets are
-        source versions, checkpointed by Spark); each trigger calls
-        `refresh()`, which re-reads its own high-watermark from target
-        lineage — so duplicate triggers and checkpoint replays are
-        harmless (per-version ledger no-ops), and a missed trigger is
-        caught up by the next one. Exactly-once composes from both ends.
+        rowlevel=False (default): the file-level cdf stream is purely the
+        *wake-up signal* (its offsets are source versions, checkpointed by
+        Spark); each trigger calls `refresh()`, which re-reads its own
+        high-watermark from target lineage — so duplicate triggers and
+        checkpoint replays are harmless (per-version ledger no-ops), and a
+        missed trigger is caught up by the next one.
+
+        rowlevel=True: subscribes to the MATERIALIZED row-level changelog
+        (mode=rowlevel; requires the maintenance job to run
+        `materialize_changelog` — the stream waits for it) and derives the
+        affected keys directly from the batch rows via
+        `refresh_from_changes` — zero consumer-side diff/join work, exact
+        keys (no COW-rewrite candidates). Exactly-once composes from the
+        checkpoint (version offsets) and the target ledger (version-range
+        batch tags), so kill-and-resume converges to the batch-refreshed
+        state.
         """
         from ..streaming.cdf_source import LakeCdfDataSource
 
         spark = self.target.spark
         spark.dataSource.register(LakeCdfDataSource)
-        stream = (
+        reader = (
             spark.readStream.format("lake_cdf")
             .option("path", self.source.root)
             .option("startingVersion", self.last_refreshed_version())
-            .load()
         )
+        if rowlevel:
+            reader = reader.option("mode", "rowlevel")
+        stream = reader.load()
 
-        def on_batch(batch: DataFrame, batch_id: int) -> None:
-            self.refresh(mode=mode)
+        if rowlevel:
+
+            def on_batch(batch: DataFrame, batch_id: int) -> None:
+                vr = batch.agg(
+                    F.min("_commit_version"), F.max("_commit_version")
+                ).first()
+                if vr[0] is None:
+                    return  # empty trigger
+                self.refresh_from_changes(
+                    batch,
+                    batch_tag=f"mv-rl-{vr[0]}-{vr[1]}",
+                    mode=mode,
+                    processed_version=vr[1],
+                )
+
+        else:
+
+            def on_batch(batch: DataFrame, batch_id: int) -> None:
+                self.refresh(mode=mode)
 
         writer = (
             stream.writeStream.foreachBatch(on_batch)
