@@ -455,10 +455,57 @@ ORDER BY query_id, rank
 # on the bench regime (sf0.1, 1000 vectors, 39 true pairs) is 1.000 with
 # zero false positives (the exact-cosine recheck kills any), vs 0.487 at
 # the old t4/p4 (gated by tests/test_sampling.py::test_near_dup_recall_floor).
-# At 10^9 vectors raise `planes` so buckets stay ~constant and keep recall
-# by raising `tables` with it.
+# At larger corpora FIXED planes are a scale cliff (O(n^2/2^planes) pair
+# join: x10 corpus measured x80 wall) — `near_dup_pairs` therefore derives
+# (tables, planes) from the corpus size via `lsh_scale_params` by default;
+# these constants are the derivation's fixed point for n <= 1024 and the
+# static parameters of the SQL twin.
 NEAR_DUP_TABLES = 12
 NEAR_DUP_PLANES = 3
+NEAR_DUP_TARGET_BUCKET = 128
+NEAR_DUP_TARGET_RECALL = 0.978  # the measured-1.0 t12/p3 point's formula value
+NEAR_DUP_MAX_TABLES = 32
+
+
+def lsh_scale_params(
+    n_vectors: int,
+    threshold: float = 0.45,
+    target_bucket: int = NEAR_DUP_TARGET_BUCKET,
+    target_recall: float = NEAR_DUP_TARGET_RECALL,
+    min_planes: int = 3,
+    max_tables: int = NEAR_DUP_MAX_TABLES,
+) -> tuple[int, int]:
+    """The hyperplane-LSH scaling law as code: (tables, planes) for a
+    corpus of `n_vectors` so the candidate volume stays LINEAR in corpus
+    size instead of quadratic.
+
+    * planes = max(min_planes, ceil(log2(n / target_bucket))) keeps the
+      expected bucket size ~`target_bucket` as the corpus grows — with
+      FIXED planes, buckets grow with n and the in-bucket pair join is
+      O(n^2 / 2^planes): a x10 corpus cost x80 wall in the stress bench.
+      With scaled planes, candidates ~= tables * n * target_bucket / 2.
+    * tables = ceil(ln(1-target_recall) / ln(1-p^planes)) with
+      p = 1 - acos(threshold)/pi buys the recall back (pair recall =
+      1-(1-p^planes)^tables), capped at `max_tables`: in the adversarial
+      low-cosine regime the cap is binding and recall degrades with scale
+      (finding cosine-0.45 pairs in huge corpora is inherently expensive —
+      pass explicit tables/planes to pay for it); in the cosine>=0.9
+      regime real near-dup corpora live in, p ~= 0.86 keeps recall >=0.95
+      far past 10^8 vectors.
+
+    At the tuned bench point (n<=1024, threshold 0.45) this derives
+    exactly (12, 3) — the measured recall-1.0 configuration.
+    """
+    import math
+
+    planes = max(min_planes, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    hit = p**planes
+    if hit >= 1.0:
+        tables = 1
+    else:
+        tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    return max(1, min(tables, max_tables)), planes
 
 
 def cosine_vectorized():
@@ -485,8 +532,8 @@ def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
     dim: int = 64,
-    tables: int = NEAR_DUP_TABLES,
-    planes: int = NEAR_DUP_PLANES,
+    tables: int | None = None,
+    planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH:
     candidates must share a bucket in >=1 of `tables` independent tables;
@@ -494,8 +541,20 @@ def near_dup_pairs(
     the pair blowup to sum-of-bucket-sizes-squared — never an all-pairs
     cross join (the scale path; exact ground truth: near_dup_pairs_exact).
 
+    tables/planes default to `lsh_scale_params(corpus size)` — planes grow
+    with the corpus so expected bucket size (and therefore candidate volume
+    PER VECTOR) stays constant; with any fixed planes the in-bucket join is
+    O(n^2/2^planes) and a x10 corpus measured x80 wall (bench_stress.py).
+    The derivation costs one count() of the embeddings (a single-column
+    scan); pass both explicitly to skip it or to pin a configuration (the
+    oracle twin `near_dup_pairs_sql` needs the same explicit pair).
+
     Columns: vec_a, vec_b, cosine.
     """
+    if tables is None or planes is None:
+        auto_t, auto_p = lsh_scale_params(embeddings.count(), threshold)
+        tables = auto_t if tables is None else tables
+        planes = auto_p if planes is None else planes
     buckets_udf = lsh_buckets_vectorized(dim, tables, planes)
     # candidates carry ONLY the id pair (16 bytes/row) through the
     # distinct shuffle — a pair can collide in several tables; the

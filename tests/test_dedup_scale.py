@@ -90,3 +90,26 @@ def test_near_dup_recall_floor(spark):
     lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(emb, dim=64).collect()}
     assert lsh <= exact  # zero false positives
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_lsh_scale_params_law():
+    """The scaling law's contract: exact tuned fixed point at bench scale,
+    bucket size held ~constant as the corpus grows (planes up), recall
+    bought back with tables up to the cap — candidates stay linear in n."""
+    from orientdb_neo4j_importer_plugin_spark.operators.similarity import (
+        NEAR_DUP_MAX_TABLES,
+        NEAR_DUP_TARGET_BUCKET,
+        lsh_scale_params,
+    )
+
+    # fixed point: the measured recall-1.0 configuration
+    for n in (1, 500, 1000, 1024):
+        assert lsh_scale_params(n) == (12, 3)
+    prev_planes = 0
+    for n in (10**4, 10**6, 10**9):
+        tables, planes = lsh_scale_params(n)
+        assert planes > prev_planes  # buckets held ~constant
+        prev_planes = planes
+        assert tables <= NEAR_DUP_MAX_TABLES
+        # expected bucket size within [target/2, target]
+        assert NEAR_DUP_TARGET_BUCKET / 2 <= n / 2**planes <= NEAR_DUP_TARGET_BUCKET
