@@ -463,36 +463,110 @@ class IncrementalJoinView:
             "skipped": res.skipped_replay,
         }
 
-    def stream(self, checkpoint_dir: str, mode: str = "cow", available_now: bool = True):
+    def refresh_from_changes(
+        self, changes: DataFrame, batch_tag: str, mode: str = "cow"
+    ) -> dict[str, Any]:
+        """Refresh exactly the join keys present in a row-level change
+        batch from EITHER source (see IncrementalView.refresh_from_changes
+        for the contract: exact keys from the batch rows, recompute as a
+        pure function of both sources' current state, ledger idempotence
+        via `batch_tag`). Watermarks are NOT advanced here — the rowlevel
+        stream's checkpoints own delivery progress per source; a later
+        batch refresh() will re-derive anything it needs from its own
+        watermarks, and re-refreshing a key is idempotent."""
+        affected = changes.select(self.key_col).distinct().persist()
+        snap_a = self.source_a.current()
+        snap_b = self.source_b.current()
+        a_rows = _pruned_live(self.source_a, snap_a, affected, self.key_col)
+        b_rows = _pruned_live(self.source_b, snap_b, affected, self.key_col)
+        out = self.view_fn(a_rows, b_rows)
+        try:
+            res = _merge_affected(
+                self.target,
+                affected,
+                out,
+                self.key_col,
+                lsn=snap_a.version + snap_b.version,
+                batch_id=batch_tag,
+                lineage_extra={},
+                mode=mode,
+            )
+        finally:
+            affected.unpersist(blocking=False)
+        return {
+            "src_a_version": snap_a.version,
+            "src_b_version": snap_b.version,
+            "affected_keys": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "cow",
+        available_now: bool = True,
+        rowlevel: bool = False,
+    ):
         """Continuous maintenance off BOTH commit logs: one streaming query
         over the union of the two sources' `lake_cdf` feeds (Spark
         checkpoints each source's offset independently), each micro-batch
-        triggering a refresh. The batch data itself is never acted on —
-        the stream is purely the wake-up signal — so no file contents are
-        read by the trigger path; refresh() re-reads its own per-source
-        watermarks from target lineage, making duplicate triggers and
-        checkpoint replays harmless ledger no-ops."""
+        triggering a refresh.
+
+        rowlevel=False (default): the file-level streams are purely the
+        wake-up signal — the batch data is never acted on, so no file
+        contents are read by the trigger path; refresh() re-reads its own
+        per-source watermarks from target lineage, making duplicate
+        triggers and checkpoint replays harmless ledger no-ops.
+
+        rowlevel=True: subscribes to both MATERIALIZED row-level
+        changelogs (each source's maintenance job must run
+        materialize_changelog — the stream waits) and refreshes the batch
+        rows' join keys directly via `refresh_from_changes` — zero
+        consumer-side diff work. Each source's batch is tagged with its
+        own version range plus a source discriminator, so replays/resets
+        are ledger no-ops per source."""
         from ..streaming.cdf_source import LakeCdfDataSource
 
         spark = self.target.spark
         spark.dataSource.register(LakeCdfDataSource)
         from_a, from_b = self.last_refreshed_versions()
 
-        def wake(src: SnapshotTable, from_v: int) -> DataFrame:
-            return (
+        def feed(src: SnapshotTable, from_v: int) -> DataFrame:
+            reader = (
                 spark.readStream.format("lake_cdf")
                 .option("path", src.root)
                 .option("startingVersion", from_v)
-                .load()
-                .select("_commit_version")
             )
+            if rowlevel:
+                # both sources expose the join key under the same name;
+                # the union needs only (key, version) — payloads differ
+                return (
+                    reader.option("mode", "rowlevel")
+                    .load()
+                    .select("_commit_version", F.col(self.key_col))
+                )
+            return reader.load().select("_commit_version")
 
-        stream = wake(self.source_a, from_a).unionByName(
-            wake(self.source_b, from_b)
+        stream = feed(self.source_a, from_a).unionByName(
+            feed(self.source_b, from_b)
         )
 
-        def on_batch(batch: DataFrame, batch_id: int) -> None:
-            self.refresh(mode=mode)
+        if rowlevel:
+
+            def on_batch(batch: DataFrame, batch_id: int) -> None:
+                vr = batch.agg(
+                    F.min("_commit_version"), F.max("_commit_version")
+                ).first()
+                if vr[0] is None:
+                    return
+                self.refresh_from_changes(
+                    batch, batch_tag=f"mvj-rl-{vr[0]}-{vr[1]}-{batch_id}", mode=mode
+                )
+
+        else:
+
+            def on_batch(batch: DataFrame, batch_id: int) -> None:
+                self.refresh(mode=mode)
 
         writer = (
             stream.writeStream.foreachBatch(on_batch)

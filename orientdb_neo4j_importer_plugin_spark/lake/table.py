@@ -371,6 +371,74 @@ class SnapshotTable:
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "metadata", "_current"))
 
+    def clone(
+        self,
+        dest_root: str,
+        snapshot: "Snapshot | None" = None,
+        commit_store=None,
+    ) -> "SnapshotTable":
+        """Zero-copy (shallow) clone at a snapshot: a NEW independent table
+        whose v0 references this table's immutable data files by path
+        (Delta SHALLOW CLONE / Iceberg snapshot-ref analogue) — pure
+        metadata, no data IO regardless of table size, so cloning a 100 TB
+        table for a dev/test/branching workflow costs milliseconds.
+
+        Independence: the clone's own commits (CDC applies, compaction)
+        write under ITS root; a COW rewrite of a borrowed bucket simply
+        stops referencing the source's files. The clone's maintenance
+        never deletes borrowed files (expire/vacuum carry an ownership
+        guard: only paths under the table's own data dir are removed).
+        The standard shallow-clone caveat applies in the OTHER direction:
+        the source's expire_snapshots/vacuum can remove files the clone
+        still references — retain the cloned snapshot on the source side
+        for the clone's lifetime.
+
+        The batch LEDGER is carried over, so replaying an already-applied
+        batch into the clone is still an exactly-once no-op (a clone used
+        as a CDC target resumes where the source's history left off);
+        lineage records provenance ({cloned_from, source_version}).
+
+        `snapshot` clones a time-travel point (default: current). Borrowed
+        files' stats are carried into the clone's manifests so file
+        skipping and metadata pruning keep working."""
+        snap = snapshot or self.current()
+        self._resolve_manifests(snap)
+        dest = SnapshotTable(self.spark, dest_root, commit_store=commit_store)
+        if os.path.exists(dest.meta_dir):
+            raise FileExistsError(f"table exists at {dest_root}")
+        os.makedirs(dest.meta_dir, exist_ok=True)
+        os.makedirs(dest.data_dir, exist_ok=True)
+        clone_snap = Snapshot(
+            version=0,
+            schema_json=snap.schema_json,
+            num_buckets=snap.num_buckets,
+            partition_key=snap.partition_key,
+            buckets={b: list(fs) for b, fs in snap.buckets.items()},
+            ledger=dict(snap.ledger),
+            lineage=[
+                {
+                    "cloned_from": self.root,
+                    "source_version": snap.version,
+                    "commit_epoch": time.time(),
+                }
+            ],
+            parent=None,
+            committed_at=time.time(),
+            deltas={b: list(fs) for b, fs in snap.deltas.items()},
+            key_columns=list(snap.key_columns) if snap.key_columns else None,
+        )
+        # borrowed files keep their stats -> the clone's manifests carry
+        # them and lookup file-skipping / metadata pruning still work
+        dest._stats_cache.update(
+            {
+                f: self._stats_cache[f]
+                for f in snap.all_files()
+                if f in self._stats_cache
+            }
+        )
+        dest._write_snapshot(clone_snap, expected_parent=None)
+        return dest
+
     # -- snapshot plumbing ---------------------------------------------------
 
     def _pointer_path(self) -> str:
@@ -1739,17 +1807,26 @@ class SnapshotTable:
             live.update(snap.all_files())
             live_manifests.update(snap.manifest_paths.values())
         removed = 0
+        own_data = self.data_dir.rstrip(os.sep) + os.sep
+        own_manifests = self.manifest_dir.rstrip(os.sep) + os.sep
         for v in versions:
             if v in keep:
                 continue
             snap = self.snapshot_at(v)
             for f in snap.all_files():
-                if f not in live and os.path.exists(f):
+                # ownership guard: only ever delete files under OUR data
+                # dir — a shallow clone references the source's immutable
+                # files and must never vacuum them out from under it
+                if f not in live and f.startswith(own_data) and os.path.exists(f):
                     os.remove(f)
                     self._stats_cache.pop(f, None)
                     removed += 1
             for m in snap.manifest_paths.values():
-                if m not in live_manifests and os.path.exists(m):
+                if (
+                    m not in live_manifests
+                    and m.startswith(own_manifests)
+                    and os.path.exists(m)
+                ):
                     os.remove(m)
                     self._manifest_cache.pop(m, None)
             os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))

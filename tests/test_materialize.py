@@ -526,6 +526,47 @@ def test_join_view_streamed_maintenance(spark, tmp_path):
     )
 
 
+def test_join_view_rowlevel_streamed(spark, tmp_path):
+    """Join view maintained from BOTH sources' materialized row-level
+    changelogs: affected join keys come straight from the union of batch
+    rows (zero consumer-side diff work); checkpointed kill-and-resume with
+    interleaved commits (including a dimension delete) converges to the
+    from-scratch joined aggregate."""
+    src_a, src_b, target, view, feed = _setup_join(spark, tmp_path)
+    convs = [f"conv_{i:06d}" for i in range(12)]
+    hi = feed.agg(F.max("lsn")).first()[0] + 1
+    ckpt = str(tmp_path / "jrl_ckpt")
+
+    apply_changes(feed.filter(feed.lsn < hi // 2), src_a, batch_id="a1", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(c, "ch_5") for c in convs], 0),
+        src_b,
+        batch_id="b1",
+        mode="mor",
+    )
+    src_a.materialize_changelog()
+    src_b.materialize_changelog()
+    q = view.stream(ckpt, rowlevel=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert _got_join(target) == _expect_join(src_a, src_b)
+
+    # while down: rest of the facts + one dimension delete
+    apply_changes(feed.filter(feed.lsn >= hi // 2), src_a, batch_id="a2", mode="mor")
+    apply_changes(
+        _meta_events(spark, [(convs[2], None)], 9_000_000),
+        src_b,
+        batch_id="b2",
+        mode="mor",
+    )
+    src_a.materialize_changelog()
+    src_b.materialize_changelog()
+    q2 = view.stream(ckpt, rowlevel=True)
+    q2.awaitTermination(120)
+    assert _got_join(target) == _expect_join(src_a, src_b)
+    assert target.read().filter(F.col("conv_id") == convs[2]).count() == 0
+
+
 def test_rollback_between_refreshes_reverts_view(spark, tmp_path):
     """A rollback is a removal-only commit (files of the undone versions
     vanish, nothing is added); the next refresh must recompute the keys the
