@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_render": lambda s, d: TR.render_conversations(
             _replayed_state(s, d)
         ),
+        "transcripts_training_examples": lambda s, d: TR.training_examples(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -760,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join": CDC_MVJ_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
+        "transcripts_training_examples": TR.training_examples_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_session_window": S.session_window_agg_sql(),

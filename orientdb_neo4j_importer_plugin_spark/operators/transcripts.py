@@ -148,3 +148,86 @@ FROM lines
 GROUP BY conv_id
 ORDER BY conv_id
 """
+
+
+def training_examples(state: DataFrame, sep: str = "\n") -> DataFrame:
+    """Ready-to-train conversation examples: the rendered transcript plus
+    the per-turn supervision structure an SFT pipeline needs — which turns
+    contribute loss (assistant turns) and how many tokens each side holds.
+
+    Columns: conv_id, n_turns, text (ordered "role: text" render),
+    n_tokens (whitespace tokens over all turns), loss_mask (one '0'/'1'
+    char per turn in turn order — '1' = assistant turn, the compact
+    engine-portable encoding of the per-turn mask array), n_loss_turns,
+    n_loss_tokens (tokens inside assistant turns — the count a trainer
+    actually optimizes on; the packing budget for loss-bearing content).
+
+    Same scale shape as render_conversations: sort_array over collected
+    (turn_idx, ...) structs makes the order-sensitive parts algebraic —
+    ONE map-side-combinable shuffle on conv_id, no window, no join.
+    """
+    line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    tok = F.size(F.filter(F.split(line, r"\s+"), lambda x: F.length(x) > 0))
+    packed = state.select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"),
+            line.alias("line"),
+            (F.col("role") == "assistant").cast("int").alias("m"),
+            tok.cast("long").alias("tok"),
+        ).alias("t"),
+    )
+    agg = packed.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_sort(F.collect_list("t")).alias("ts"),
+        F.sum(F.col("t.tok")).cast("long").alias("n_tokens"),
+        F.sum(F.col("t.m")).cast("long").alias("n_loss_turns"),
+        F.sum(F.col("t.m") * F.col("t.tok")).cast("long").alias("n_loss_tokens"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        F.array_join(
+            F.transform(F.col("ts"), lambda s: s.getField("line")), sep
+        ).alias("text"),
+        "n_tokens",
+        F.array_join(
+            F.transform(
+                F.col("ts"), lambda s: s.getField("m").cast("string")
+            ),
+            "",
+        ).alias("loss_mask"),
+        "n_loss_turns",
+        "n_loss_tokens",
+    ).orderBy("conv_id")
+
+
+def training_examples_sql(state_cte: str, sep: str = "\n") -> str:
+    """DuckDB twin: string_agg ORDER BY turn_idx for the order-sensitive
+    columns, plain sums for the counters; per-line token count mirrors the
+    Spark whitespace-token expression."""
+    sep_lit = sep.replace("\n", "\\n")
+    return f"""
+{state_cte},
+lines AS (
+  SELECT conv_id, turn_idx,
+         role || ': ' || coalesce(text, '') AS line,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS m
+  FROM state
+),
+toks AS (
+  SELECT *, CAST(len(list_filter(regexp_split_to_array(line, '\\s+'),
+                                 x -> len(x) > 0)) AS BIGINT) AS tok
+  FROM lines
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(line, e'{sep_lit}' ORDER BY turn_idx) AS text,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       string_agg(CAST(m AS VARCHAR), '' ORDER BY turn_idx) AS loss_mask,
+       CAST(sum(m) AS BIGINT) AS n_loss_turns,
+       CAST(sum(m * tok) AS BIGINT) AS n_loss_tokens
+FROM toks
+GROUP BY conv_id
+ORDER BY conv_id
+"""

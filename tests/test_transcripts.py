@@ -76,3 +76,34 @@ def test_render_orders_and_counts(spark):
     # stable under repartition (order comes from the sort, not the plan)
     row2 = TR.render_conversations(df.repartition(7)).collect()[0]
     assert row2["conv_text"] == row["conv_text"]
+
+
+def test_training_examples_mask_semantics(spark):
+    """Handcrafted conversation: the loss mask marks exactly the assistant
+    turns IN TURN ORDER, token counters split into total vs loss-bearing."""
+    from orientdb_neo4j_importer_plugin_spark.operators.transcripts import (
+        training_examples,
+    )
+
+    state = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "two words", None, None),
+            ("c1", 1, "user", "hello there friend", None, None),
+            ("c1", 3, "user", "ok", None, None),
+            ("c1", 4, "assistant", "a b c", None, None),
+            ("c2", 1, "system", "sys", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rows = {r["conv_id"]: r for r in training_examples(state).collect()}
+    c1 = rows["c1"]
+    assert c1["loss_mask"] == "0101"  # turn order, assistant turns flagged
+    assert c1["n_turns"] == 4 and c1["n_loss_turns"] == 2
+    # per-line tokens include the "role:" prefix token
+    # user: hello there friend (4) | assistant: two words (3)
+    # user: ok (2) | assistant: a b c (4)
+    assert c1["n_tokens"] == 13
+    assert c1["n_loss_tokens"] == 7
+    assert c1["text"].split("\n")[0] == "user: hello there friend"
+    assert rows["c2"]["loss_mask"] == "0"
