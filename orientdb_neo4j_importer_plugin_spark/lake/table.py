@@ -822,6 +822,77 @@ class SnapshotTable:
             df = df.filter(F.col(k) == F.lit(v).cast(types[k]))
         return df
 
+    def lookup_many(
+        self, keys: list[dict[str, Any]], snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Batched point lookup: N primary keys in ONE Spark job. Driver
+        routes every key to its bucket (pure-python xxhash64) and unions
+        only the files whose key range covers at least one requested key —
+        IO is O(files containing the requested keys), never O(table) and
+        never N separate jobs. The read is LWW-merged once over the
+        unioned file set (sound: each key's rows live only in its covering
+        files, which are all included), then a broadcast semi-join against
+        the requested key tuples filters to exactly the asked-for rows.
+
+        Every dict must use the same key columns, include the partition
+        key, and use only primary-key columns — same contract as
+        `lookup`, which this is the amortized form of (N round-trips
+        -> 1)."""
+        snap = snapshot or self.current()
+        if not keys:
+            return self.spark.createDataFrame([], snap.schema)
+        cols = sorted(keys[0])
+        for k in keys:
+            if sorted(k) != cols:
+                raise ValueError(
+                    f"all lookups must use the same key columns; got {sorted(k)} vs {cols}"
+                )
+        if snap.partition_key not in cols:
+            raise ValueError(
+                f"lookup requires the partition key {snap.partition_key!r}; got {cols}"
+            )
+        unknown = [c for c in cols if c not in snap.keys]
+        if unknown:
+            raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
+        from ..functions.xxhash import spark_xxhash64
+
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        pk_type = types[snap.partition_key]
+        base_files: set[str] = set()
+        delta_files: set[str] = set()
+        for k in keys:
+            v = k[snap.partition_key]
+            h = spark_xxhash64(v, pk_type)
+            if h is not None:
+                bucket = h % snap.num_buckets
+            else:  # unroutable literal type: one fallback job for this key
+                bucket = (
+                    self.spark.range(1)
+                    .select(
+                        F.pmod(
+                            F.xxhash64(F.lit(v).cast(pk_type)),
+                            F.lit(snap.num_buckets),
+                        )
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .first()["b"]
+                )
+            kb, kd, _ = self._lookup_files(bucket, v, snap)
+            base_files.update(kb)
+            delta_files.update(kd)
+        df = self._merged_from_files(
+            sorted(base_files), sorted(delta_files), snap, raw=False
+        )
+        from pyspark.sql.types import StructType as _ST
+
+        key_schema = _ST([f for f in snap.schema.fields if f.name in cols])
+        key_df = self.spark.createDataFrame(
+            [tuple(k[f.name] for f in key_schema.fields) for k in keys],
+            key_schema,
+        )
+        return df.join(F.broadcast(key_df), on=list(cols), how="left_semi")
+
     def _lookup_files(
         self, bucket: int, key_value: Any, snap: Snapshot
     ) -> tuple[list[str], list[str], int]:

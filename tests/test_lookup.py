@@ -219,3 +219,38 @@ def test_compact_clusters_by_key(spark, tmp_path):
         assert rows == sorted(rows), f"{f} not key-clustered"
         checked += 1
     assert checked > 0
+
+
+def test_lookup_many_matches_individual_lookups(spark, tmp_path):
+    """Batched point read: one job, union-of-covering-files IO, results
+    identical to N single lookups."""
+    table, events = _long_key_table(spark, tmp_path)
+    apply_changes(events.filter("user_id < 100"), table, batch_id="lo", mode="mor")
+    apply_changes(events.filter("user_id >= 100"), table, batch_id="hi", mode="mor")
+    probes = [3, 42, 150, 199]
+    df = table.lookup_many([{"user_id": p} for p in probes])
+    got = {(r["user_id"], r["name"]) for r in df.collect()}
+    want = set()
+    for p in probes:
+        want |= {
+            (r["user_id"], r["name"]) for r in table.lookup({"user_id": p}).collect()
+        }
+    assert got == want == {(p, f"u{p}") for p in probes}
+    # IO bound: only covering files are read, fewer than the table total
+    snap = table.current()
+    total = len(snap.base_files(None)) + len(snap.delta_files(None))
+    assert len(df.inputFiles()) < total
+
+
+def test_lookup_many_validation_and_empty(spark, tmp_path):
+    import pytest
+
+    table, events = _long_key_table(spark, tmp_path)
+    apply_changes(events, table, batch_id="b0", mode="mor")
+    assert table.lookup_many([]).count() == 0
+    with pytest.raises(ValueError, match="partition key"):
+        table.lookup_many([{"name": "u1"}])
+    with pytest.raises(ValueError, match="same key columns"):
+        table.lookup_many([{"user_id": 1}, {"user_id": 2, "name": "x"}])
+    # missing keys simply return no rows
+    assert table.lookup_many([{"user_id": 10_000}]).count() == 0
