@@ -733,8 +733,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": lambda s, d: V.brute_force_topk(
             _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK
         ),
+        # tables/planes PINNED to the SQL twin's static constants: the
+        # operator's default derives them from the corpus size, which
+        # diverges from the fixed-text oracle above n=1024 (sf0.1+)
         "emb_near_dup_pairs": lambda s, d: V.near_dup_pairs(
-            _read(s, d, "embeddings"), dim=EMB_DIM
+            _read(s, d, "embeddings"), dim=EMB_DIM,
+            tables=V.NEAR_DUP_TABLES, planes=V.NEAR_DUP_PLANES,
         ),
         # approximate / array-valued: rows-only checks (no SQL twin)
         "emb_lsh_topk": lambda s, d: V.lsh_topk(

@@ -132,7 +132,6 @@ def _hash_bytes(data: bytes, seed: int = _SPARK_SEED) -> int:
 
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
-_EPOCH_TS = _dt.datetime(1970, 1, 1)
 
 
 def spark_xxhash64(value: Any, dtype: DataType) -> int | None:
@@ -172,12 +171,12 @@ def spark_xxhash64(value: Any, dtype: DataType) -> int | None:
         return None  # string literal: let Spark parse + hash it
     if isinstance(dtype, TimestampType):
         if isinstance(value, _dt.datetime):
-            # integer arithmetic: no float rounding on the micros component
-            micros = (
-                (value - _EPOCH_TS).days * 86_400_000_000
-                + (value - _EPOCH_TS).seconds * 1_000_000
-                + (value - _EPOCH_TS).microseconds
-            )
-            return _hash_long(micros)
-        return None  # string/tz-aware literals: session-tz semantics differ
+            # PySpark's OWN literal conversion (naive datetimes go through
+            # time.mktime => the driver's OS-local timezone; tz-aware go
+            # through timegm) — computing UTC micros here instead routed
+            # timestamp keys to the wrong bucket on any non-UTC host, and
+            # crashed on tz-aware values. toInternal reproduces F.lit's
+            # exact micros for both.
+            return _hash_long(TimestampType().toInternal(value))
+        return None  # string literal: let Spark parse + hash it
     return None

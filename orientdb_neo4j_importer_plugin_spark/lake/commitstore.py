@@ -218,6 +218,11 @@ class ObjectClient(Protocol):
     def delete(self, key: str) -> None:
         ...
 
+    def delete_if_match(self, key: str, etag: str) -> bool:
+        """Delete iff the current etag matches (S3 DELETE If-Match / GCS
+        delete ifGenerationMatch); False on mismatch or absence."""
+        ...
+
 
 class ObjectStoreCommitStore:
     """The commit protocol over conditional object writes.
@@ -286,25 +291,35 @@ class ObjectStoreCommitStore:
         lock = scope.rstrip("/") + "/_swap.lease"
         me = uuid.uuid4().hex
         t0 = time.time()
+        my_etag: str | None = None
         while True:
-            if self.client.put_if_absent(lock, me) is not None:
+            got = self.client.put_if_absent(lock, me)
+            if got is not None:
+                my_etag = got
                 break
             held = self.client.head(lock)
             if held is not None and time.time() - held[1] > self.lease_ttl:
-                # expired lease: break it CONDITIONALLY (if-match via
-                # delete+retry keeps two breakers from both "winning")
-                self.client.delete(lock)
-                continue
+                # expired lease: break it by CONDITIONALLY REPLACING it
+                # with our own (put_if_match on the etag observed at the
+                # staleness check). Exactly one of N concurrent breakers
+                # wins the CAS and owns a FRESH lease; an unconditional
+                # delete here would let a loser delete the winner's fresh
+                # lease and both enter the critical section.
+                got = self.client.put_if_match(lock, me, held[0])
+                if got is not None:
+                    my_etag = got
+                    break
+                continue  # someone else broke/renewed it first: re-check
             if time.time() - t0 > timeout:
                 raise TimeoutError("commit lease timeout") from None
             time.sleep(0.005)
         try:
             yield
         finally:
-            # only release our own lease (a breaker may have replaced it)
-            held = self.client.head(lock)
-            if held is not None and self.client.get(lock) == me:
-                self.client.delete(lock)
+            # conditional release: only OUR lease object (a breaker may
+            # have replaced it after our own lease expired mid-section)
+            if my_etag is not None:
+                self.client.delete_if_match(lock, my_etag)
 
 
 class DirObjectClient:
@@ -396,3 +411,14 @@ class DirObjectClient:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
+
+    def delete_if_match(self, key: str, etag: str) -> bool:
+        with self._srv():
+            if self._etag_of(key) != etag:
+                return False
+            for p in (key, key + ".etag"):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            return True

@@ -531,7 +531,7 @@ class IncrementalJoinView:
         spark.dataSource.register(LakeCdfDataSource)
         from_a, from_b = self.last_refreshed_versions()
 
-        def feed(src: SnapshotTable, from_v: int) -> DataFrame:
+        def feed(src: SnapshotTable, from_v: int, tag: str) -> DataFrame:
             reader = (
                 spark.readStream.format("lake_cdf")
                 .option("path", src.root)
@@ -539,29 +539,44 @@ class IncrementalJoinView:
             )
             if rowlevel:
                 # both sources expose the join key under the same name;
-                # the union needs only (key, version) — payloads differ
+                # the union needs only (source, version, key) — payloads
+                # differ. The source discriminator keeps the batch tag
+                # (below) content-identifying: version numbers from the
+                # two commit logs are incomparable.
                 return (
                     reader.option("mode", "rowlevel")
                     .load()
-                    .select("_commit_version", F.col(self.key_col))
+                    .select(
+                        F.lit(tag).alias("__src"),
+                        "_commit_version",
+                        F.col(self.key_col),
+                    )
                 )
             return reader.load().select("_commit_version")
 
-        stream = feed(self.source_a, from_a).unionByName(
-            feed(self.source_b, from_b)
+        stream = feed(self.source_a, from_a, "a").unionByName(
+            feed(self.source_b, from_b, "b")
         )
 
         if rowlevel:
 
             def on_batch(batch: DataFrame, batch_id: int) -> None:
-                vr = batch.agg(
-                    F.min("_commit_version"), F.max("_commit_version")
-                ).first()
-                if vr[0] is None:
-                    return
-                self.refresh_from_changes(
-                    batch, batch_tag=f"mvj-rl-{vr[0]}-{vr[1]}-{batch_id}", mode=mode
+                # tag = each source's delivered version range: changelogs
+                # are immutable and a microbatch carries whole versions,
+                # so equal tags imply identical batch content — making the
+                # ledger skip safe across checkpoint replays AND resets
+                # (an epoch batch_id restarts at 0 after a reset and would
+                # collide across DIFFERENT content)
+                vr = sorted(
+                    (r[0], r[1], r[2])
+                    for r in batch.groupBy("__src")
+                    .agg(F.min("_commit_version"), F.max("_commit_version"))
+                    .collect()
                 )
+                if not vr:
+                    return
+                tag = "mvj-rl-" + "-".join(f"{s}{lo}.{hi}" for s, lo, hi in vr)
+                self.refresh_from_changes(batch, batch_tag=tag, mode=mode)
 
         else:
 

@@ -551,9 +551,15 @@ class SnapshotTable:
 
     def _resolve_manifests(self, snap: Snapshot) -> None:
         """Populate the in-memory buckets/deltas dicts from manifest refs
-        (no-op for pre-manifest roots that inline them)."""
+        (no-op for pre-manifest roots that inline them). Idempotent-cheap:
+        a snapshot is resolved at most once — repeated calls (every
+        _lookup_files probe goes through here) must not rebuild the full
+        O(files) bucket map each time."""
         if not snap.manifest_paths:
             return
+        if getattr(snap, "_manifests_resolved", False):
+            return
+        snap._manifests_resolved = True
         snap.buckets, snap.deltas = {}, {}
         for b, path in snap.manifest_paths.items():
             base, deltas = self._read_manifest(path)
@@ -787,33 +793,10 @@ class SnapshotTable:
         unknown = [k for k in key_values if k not in snap.keys]
         if unknown:
             raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
-        # the literal MUST be hashed at the column's declared type:
-        # xxhash64 is width-sensitive (hash of int 42 != hash of long 42),
-        # and bucket_expr hashes the column at its table type — an uncast
-        # python literal would route non-string keys to the wrong bucket
-        # and silently return empty. The hash runs DRIVER-SIDE (a pure
-        # python XXH64, property-tested bit-exact against F.xxhash64 in
-        # tests/test_xxhash.py) so a point lookup never pays a scheduler
-        # round-trip just to route; unsupported literal types fall back to
-        # a one-row Spark job with the identical expression.
-        from ..functions.xxhash import spark_xxhash64
-
         types = {f.name: f.dataType for f in snap.schema.fields}
-        pk_type = types[snap.partition_key]
-        h = spark_xxhash64(key_values[snap.partition_key], pk_type)
-        if h is not None:
-            bucket = h % snap.num_buckets  # python % == pmod for int>0 mod
-        else:
-            pk_lit = F.lit(key_values[snap.partition_key]).cast(pk_type)
-            bucket = (
-                self.spark.range(1)
-                .select(
-                    F.pmod(F.xxhash64(pk_lit), F.lit(snap.num_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .first()["b"]
-            )
+        bucket = self._route_bucket(
+            key_values[snap.partition_key], types[snap.partition_key], snap.num_buckets
+        )
         base_files, delta_files, _skipped = self._lookup_files(
             bucket, key_values[snap.partition_key], snap
         )
@@ -854,30 +837,13 @@ class SnapshotTable:
         unknown = [c for c in cols if c not in snap.keys]
         if unknown:
             raise ValueError(f"not key columns: {unknown} (keys: {snap.keys})")
-        from ..functions.xxhash import spark_xxhash64
-
         types = {f.name: f.dataType for f in snap.schema.fields}
         pk_type = types[snap.partition_key]
         base_files: set[str] = set()
         delta_files: set[str] = set()
         for k in keys:
             v = k[snap.partition_key]
-            h = spark_xxhash64(v, pk_type)
-            if h is not None:
-                bucket = h % snap.num_buckets
-            else:  # unroutable literal type: one fallback job for this key
-                bucket = (
-                    self.spark.range(1)
-                    .select(
-                        F.pmod(
-                            F.xxhash64(F.lit(v).cast(pk_type)),
-                            F.lit(snap.num_buckets),
-                        )
-                        .cast("int")
-                        .alias("b")
-                    )
-                    .first()["b"]
-                )
+            bucket = self._route_bucket(v, pk_type, snap.num_buckets)
             kb, kd, _ = self._lookup_files(bucket, v, snap)
             base_files.update(kb)
             delta_files.update(kd)
@@ -892,6 +858,32 @@ class SnapshotTable:
             key_schema,
         )
         return df.join(F.broadcast(key_df), on=list(cols), how="left_semi")
+
+    def _route_bucket(self, value: Any, pk_type, num_buckets: int) -> int:
+        """Bucket id for a partition-key literal. The literal MUST be
+        hashed at the column's declared type: xxhash64 is width-sensitive
+        (hash of int 42 != hash of long 42), and bucket_expr hashes the
+        column at its table type — an uncast python literal would route
+        non-string keys to the wrong bucket and silently return empty.
+        The hash runs DRIVER-SIDE (a pure python XXH64, property-tested
+        bit-exact against F.xxhash64 in tests/test_xxhash.py) so a point
+        lookup never pays a scheduler round-trip just to route;
+        unsupported literal types fall back to a one-row Spark job with
+        the identical expression."""
+        from ..functions.xxhash import spark_xxhash64
+
+        h = spark_xxhash64(value, pk_type)
+        if h is not None:
+            return h % num_buckets  # python % == pmod for int>0 modulus
+        return (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(value).cast(pk_type)), F.lit(num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
 
     def _lookup_files(
         self, bucket: int, key_value: Any, snap: Snapshot
@@ -908,9 +900,9 @@ class SnapshotTable:
         bucket) — and compaction's sort-clustering (optionally split by
         max_file_rows) keeps base-file ranges tight. Returns (base files
         kept, delta files kept, files skipped)."""
+        self._resolve_manifests(snap)  # file lists + _stats_cache first
         base_files = snap.base_files([bucket])
         delta_files = snap.delta_files([bucket])
-        self._resolve_manifests(snap)  # populates _stats_cache
 
         def covers(f: str) -> bool:
             s = self._stats_cache.get(f)

@@ -103,3 +103,41 @@ def test_lookup_routes_without_a_job(spark, tmp_path):
         want = {(r["conv_id"], r["turn_idx"])
                 for r in table.read().filter(F.col("conv_id") == conv).collect()}
         assert got == want and got
+
+
+def test_timestamp_routing_matches_spark_under_non_utc_tz(spark):
+    """Code-review r3 regression: a naive datetime literal is converted by
+    PySpark via the driver's OS-LOCAL timezone (time.mktime), not UTC —
+    the driver-side hash must reproduce exactly that, or timestamp-keyed
+    lookups route to the wrong bucket on any non-UTC host. The Spark
+    session in this test shares the worker's TZ, so we compare against the
+    live F.lit conversion rather than assuming a zone."""
+    import datetime as dt
+
+    from orientdb_neo4j_importer_plugin_spark.functions.xxhash import (
+        spark_xxhash64,
+    )
+
+    vals = [
+        dt.datetime(2024, 3, 1, 12, 34, 56, 789012),
+        dt.datetime(1970, 1, 1),
+        dt.datetime(2031, 12, 31, 23, 59, 59, 1),
+    ]
+    for v in vals:
+        want = (
+            spark.range(1)
+            .select(F.xxhash64(F.lit(v).cast(T.TimestampType())).alias("h"))
+            .first()["h"]
+        )
+        assert spark_xxhash64(v, T.TimestampType()) == want
+
+    # tz-aware values must NOT crash: either match Spark or return None
+    aware = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    got = spark_xxhash64(aware, T.TimestampType())
+    if got is not None:
+        want = (
+            spark.range(1)
+            .select(F.xxhash64(F.lit(aware).cast(T.TimestampType())).alias("h"))
+            .first()["h"]
+        )
+        assert got == want
