@@ -859,6 +859,45 @@ class SnapshotTable:
         )
         return df.join(F.broadcast(key_df), on=list(cols), how="left_semi")
 
+    def read_keyrange(
+        self, lo: Any, hi: Any, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Key-range scan: live rows with lo <= partition_key <= hi,
+        reading only the files whose recorded key min/max OVERLAPS the
+        range — hash bucketing spreads a key range across every bucket,
+        but the per-file bounds (tight after sort-clustered compaction)
+        still skip the files that cannot contain it. Files without bounds
+        are read conservatively; the residual predicate filters exactly.
+
+        Sound for the LWW merge: every storage row for a key in [lo, hi]
+        lives in files whose range covers that key, and all such files
+        overlap [lo, hi] — the winner for every in-range key is computed
+        over its full file set."""
+        snap = snapshot or self.current()
+        self._resolve_manifests(snap)
+
+        def overlaps(f: str) -> bool:
+            s = self._stats_cache.get(f)
+            if not s:
+                return True
+            kmin, kmax = s.get("key_min"), s.get("key_max")
+            if kmin is None or kmax is None:
+                return True
+            try:
+                return not (kmax < lo or kmin > hi)
+            except TypeError:
+                return True
+        base = [f for f in snap.base_files(None) if overlaps(f)]
+        deltas = [f for f in snap.delta_files(None) if overlaps(f)]
+        df = self._merged_from_files(base, deltas, snap, raw=False)
+        pk_type = {f.name: f.dataType for f in snap.schema.fields}[
+            snap.partition_key
+        ]
+        pk = F.col(snap.partition_key)
+        return df.filter(
+            (pk >= F.lit(lo).cast(pk_type)) & (pk <= F.lit(hi).cast(pk_type))
+        )
+
     def _route_bucket(self, value: Any, pk_type, num_buckets: int) -> int:
         """Bucket id for a partition-key literal. The literal MUST be
         hashed at the column's declared type: xxhash64 is width-sensitive
@@ -1531,6 +1570,52 @@ class SnapshotTable:
             f"compaction lost the race {max_recomputes + 1} times; "
             "table is under sustained concurrent writes to the same buckets"
         )
+
+    def maintain(
+        self,
+        compact_if_deltas: int = 8,
+        max_file_rows: int | None = None,
+        changelog: bool = True,
+        changelog_workers: int = 8,
+        expire_keep_last: int | None = None,
+        orphans_older_than_sec: float | None = None,
+    ) -> dict[str, Any]:
+        """One maintenance pass — the background loop a real deployment
+        schedules between (or alongside) ingest batches:
+
+        1. COMPACT every bucket whose delta backlog reached
+           `compact_if_deltas` files (MOR read cost is O(deltas) per
+           bucket until folded; buckets below the threshold are left
+           alone — no write amplification for cold buckets),
+        2. MATERIALIZE pending row-level changelogs (after compaction, so
+           the compaction commit's empty diff is covered too, and BEFORE
+           any expiry — materializing version v reads snapshots v-1, v),
+        3. optionally EXPIRE old snapshots and VACUUM orphan files.
+
+        Each step is the existing idempotent primitive; the method only
+        sequences them safely. Returns a per-step summary dict."""
+        summary: dict[str, Any] = {}
+        snap = self.current()
+        backlog = [
+            int(b) for b, fs in snap.deltas.items() if len(fs) >= compact_if_deltas
+        ]
+        if backlog:
+            self.compact(sorted(backlog), max_file_rows=max_file_rows)
+        summary["compacted_buckets"] = sorted(backlog)
+        if changelog:
+            summary["changelog_versions"] = self.materialize_changelog(
+                max_workers=changelog_workers
+            )
+        if expire_keep_last is not None:
+            summary["expired_files"] = self.expire_snapshots(
+                keep_last=expire_keep_last
+            )
+        if orphans_older_than_sec is not None:
+            summary["orphan_files"] = self.vacuum_orphans(
+                older_than_sec=orphans_older_than_sec
+            )
+        summary["version"] = self.current().version
+        return summary
 
     def evolve_schema(self, incoming: StructType) -> StructType:
         """Reconcile table schema with an incoming batch schema; if new
