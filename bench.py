@@ -243,6 +243,9 @@ def main() -> None:
         "transcripts_integrity",
         "events_kmv_users_by_type",
         "events_session_window",
+        "cdc_incremental_view_join",
+        "events_value_quantiles_hist",
+        "transcripts_training_examples",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
