@@ -404,6 +404,38 @@ ORDER BY conv_id
 """
 
 
+def cdc_keyrange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-pruned key-range read: apply the feed as out-of-order MOR
+    batches, compact with max_file_rows so each bucket splits into tight
+    disjoint key-range files, then read_keyrange over a conv_id band —
+    the scan reads only files whose recorded key bounds overlap the band
+    (test_maintain proves the skipping; this row proves the VALUES against
+    the oracle's filtered LWW state)."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_krs_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="k1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="k0", mode="mor")
+    table.compact(max_file_rows=2000)
+    return (
+        table.read_keyrange("conv_000000100", "conv_000000999")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_KEYRANGE_SQL = f"""
+{_STATE_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM state
+WHERE conv_id BETWEEN 'conv_000000100' AND 'conv_000000999'
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-source incremental JOIN view (lake/materialize.
     IncrementalJoinView): transcripts (fact, from lineitem) equi-joined to
@@ -536,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_incremental_view_join": cdc_incremental_view_join,
+        "cdc_keyrange_scan": cdc_keyrange_scan,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
         ),
@@ -765,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,
         "cdc_incremental_view_join": CDC_MVJ_SQL,
+        "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "transcripts_training_examples": TR.training_examples_sql(_STATE_CTE),
