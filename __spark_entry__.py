@@ -32,6 +32,7 @@ from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import sketches as SK
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import pipeline as PL
+from orientdb_neo4j_importer_plugin_spark.operators import repetition as RP
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
 from orientdb_neo4j_importer_plugin_spark.operators import transcripts as TR
 from orientdb_neo4j_importer_plugin_spark.operators import textstats as T
@@ -436,14 +437,11 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
-def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-source incremental JOIN view (lake/materialize.
-    IncrementalJoinView): transcripts (fact, from lineitem) equi-joined to
-    per-conversation metadata (changing dimension, from orders) on
-    conv_id, maintained in O(changed join keys) per refresh off BOTH
-    commit logs. Batches land interleaved across the two sources with a
-    refresh after each wave; the oracle recomputes the joined aggregate
-    from scratch over both final LWW states."""
+def _mvj_setup(spark: SparkSession, sf_dir: str):
+    """Shared fixture of the two join-view contract queries: transcripts
+    (fact, from lineitem) + per-conversation metadata (changing dimension,
+    from orders) + an empty target, wired into an IncrementalJoinView on
+    conv_id. Returns (src_a, src_b, view, target, feed, meta, root)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -492,6 +490,18 @@ def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     view = IncrementalJoinView(src_a, src_b, target, "conv_id", view_fn)
+    return src_a, src_b, view, target, feed, meta, root
+
+
+def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source incremental JOIN view (lake/materialize.
+    IncrementalJoinView): transcripts (fact, from lineitem) equi-joined to
+    per-conversation metadata (changing dimension, from orders) on
+    conv_id, maintained in O(changed join keys) per refresh off BOTH
+    commit logs. Batches land interleaved across the two sources with a
+    refresh after each wave; the oracle recomputes the joined aggregate
+    from scratch over both final LWW states."""
+    src_a, src_b, view, target, feed, meta, _ = _mvj_setup(spark, sf_dir)
     # interleaved waves: fact-only, dim-only, then both at once
     apply_changes(feed.filter(_CHLOG_B1), src_a, batch_id="ja1", mode="mor")
     view.refresh()
@@ -500,6 +510,39 @@ def cdc_incremental_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_changes(feed.filter(_CHLOG_B2), src_a, batch_id="ja2", mode="mor")
     apply_changes(meta.filter("pmod(lsn, 2) = 1"), src_b, batch_id="jb2", mode="mor")
     view.refresh()
+    return target.read().orderBy("conv_id")
+
+
+def cdc_incremental_view_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join view as `cdc_incremental_view_join`, but maintained by
+    the rowlevel-STREAMED path (IncrementalJoinView.stream(rowlevel=True)):
+    both sources' materialized row-level changelogs are tailed through the
+    `lake_cdf` data source, the micro-batch's join keys drive
+    refresh_from_changes directly (zero consumer-side diff work), and the
+    stream is killed and resumed from its checkpoint between commit waves.
+    Identical oracle (CDC_MVJ_SQL): the end state must not depend on which
+    maintenance path ran."""
+    src_a, src_b, view, target, feed, meta, root = _mvj_setup(spark, sf_dir)
+    ckpt = os.path.join(root, "ckpt")
+
+    def wave() -> None:
+        src_a.materialize_changelog()
+        src_b.materialize_changelog()
+        q = view.stream(ckpt, rowlevel=True)
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise RuntimeError("streamed join-view wave did not drain")
+
+    # two waves (streaming start/stop dominates wall at contract scale):
+    # fresh checkpoint on a fact-only commit, then a checkpoint RESUME over
+    # commits on both sources at once
+    apply_changes(feed.filter(_CHLOG_B1), src_a, batch_id="ja1", mode="mor")
+    wave()
+    apply_changes(meta.filter("pmod(lsn, 2) = 0"), src_b, batch_id="jb1", mode="mor")
+    apply_changes(feed.filter(_CHLOG_B2), src_a, batch_id="ja2", mode="mor")
+    apply_changes(meta.filter("pmod(lsn, 2) = 1"), src_b, batch_id="jb2", mode="mor")
+    wave()
     return target.read().orderBy("conv_id")
 
 
@@ -568,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_incremental_view_join": cdc_incremental_view_join,
+        "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
@@ -712,6 +756,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": lambda s, d: T.lang_id(_read(s, d, "documents")),
         "docs_lang_id_ngram": lambda s, d: T.lang_id_ngram(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
+        "docs_repetition_signals": lambda s, d: RP.repetition_signals(
+            _read(s, d, "documents")
+        ),
+        "docs_decontaminate": lambda s, d: RP.decontaminate(
+            _read(s, d, "documents").filter("doc_id % 41 <> 0"),
+            _read(s, d, "documents").filter("doc_id % 41 = 0"),
+        ),
         "docs_redact_pii": lambda s, d: T.redact_pii(_read(s, d, "documents")),
         "docs_training_pipeline": lambda s, d: PL.training_pipeline(
             _read(s, d, "documents")
@@ -798,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,
         "cdc_incremental_view_join": CDC_MVJ_SQL,
+        "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
@@ -852,6 +904,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": T.LANG_ID_SQL,
         "docs_lang_id_ngram": T.LANG_ID_NGRAM_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
+        "docs_repetition_signals": RP.repetition_signals_sql(),
+        "docs_decontaminate": RP.decontaminate_sql(
+            "doc_id % 41 <> 0", "doc_id % 41 = 0"
+        ),
         "docs_redact_pii": T.redact_pii_sql(),
         "docs_training_pipeline": PL.training_pipeline_sql(),
         "docs_stratified_sample": SM.stratified_sample_sql(),

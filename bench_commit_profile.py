@@ -123,16 +123,22 @@ def main():
     meta = {k: round(v, 3) for k, v in timer.spent.items()}
     meta_total = round(sum(timer.spent.values()), 3)
 
-    # materialize_changelog: serial vs concurrent on IDENTICAL fresh tables
+    # materialize_changelog: serial vs thread-parallel vs single-union-job
+    # on IDENTICAL fresh tables (strategies pinned — 'auto' would pick
+    # union at this backlog depth)
     _, t_serial = mor_apply(spark, wal, os.path.join(d, "ms"))
     _, t_par = mor_apply(spark, wal, os.path.join(d, "mp"))
+    _, t_uni = mor_apply(spark, wal, os.path.join(d, "mu"))
     t0 = time.perf_counter()
-    n1 = t_serial.materialize_changelog(max_workers=1)
+    n1 = t_serial.materialize_changelog(max_workers=1, strategy="threads")
     serial_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n8 = t_par.materialize_changelog(max_workers=8)
+    n8 = t_par.materialize_changelog(max_workers=8, strategy="threads")
     par_sec = time.perf_counter() - t0
-    assert n1 == n8, (n1, n8)
+    t0 = time.perf_counter()
+    nu = t_uni.materialize_changelog(max_workers=8, strategy="union")
+    union_sec = time.perf_counter() - t0
+    assert n1 == n8 == nu, (n1, n8, nu)
 
     out = {
         "metric": "MOR commit-path profile (within-run)",
@@ -147,7 +153,9 @@ def main():
         "materialize_versions": n1,
         "materialize_serial_sec": round(serial_sec, 3),
         "materialize_parallel8_sec": round(par_sec, 3),
+        "materialize_union_sec": round(union_sec, 3),
         "materialize_speedup": round(serial_sec / par_sec, 2),
+        "materialize_union_speedup": round(serial_sec / union_sec, 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -1160,7 +1160,10 @@ class SnapshotTable:
         return changelog_data_files(self.root, version)
 
     def materialize_changelog(
-        self, to_version: int | None = None, max_workers: int = 8
+        self,
+        to_version: int | None = None,
+        max_workers: int = 8,
+        strategy: str = "auto",
     ) -> int:
         """Persist the row-level changelog of every not-yet-materialized
         version up to `to_version` (default: current) as parquet under
@@ -1176,12 +1179,25 @@ class SnapshotTable:
         the number of versions materialized.
 
         Versions are mutually independent (each diff reads only immutable
-        files of v-1 and v), so pending versions run CONCURRENTLY on up to
-        `max_workers` driver threads — Spark schedules their jobs in
-        parallel across executor slots instead of leaving the cluster idle
-        between one version's small jobs. Failure of one version leaves the
-        others' `_DONE` markers intact; a retry re-materializes only the
-        failed ones.
+        files of v-1 and v), so a backlog is drained in parallel.
+        `strategy` picks how:
+
+        - ``"threads"``: one write job per version on up to `max_workers`
+          driver threads — Spark schedules the per-version jobs in
+          parallel across executor slots. Failure of one version leaves
+          the others' `_DONE` markers intact; a retry re-materializes
+          only the failed ones.
+        - ``"union"``: every pending version's diff plan is tagged with
+          its version and unioned into ONE write job
+          (`partitionBy(version)` into a staging dir, files then moved
+          into each version dir, `_DONE` markers last). Collapses N write
+          jobs' scheduling/commit overhead into one and lets Spark pack
+          all versions' tasks into the same stage wave — the right shape
+          for a deep backlog (thousands of versions behind). Plan-building
+          (each version's bucket-prune collects) still runs on
+          `max_workers` threads.
+        - ``"auto"`` (default): union for a backlog of ≥ 4 versions,
+          threads otherwise (measured crossover; BENCH/BASELINE.md).
         """
         end = self.current().version if to_version is None else to_version
         pending = [
@@ -1189,6 +1205,11 @@ class SnapshotTable:
         ]
         if not pending:
             return 0
+        if strategy == "auto":
+            strategy = "union" if len(pending) >= 4 else "threads"
+        if strategy == "union" and len(pending) > 1:
+            self._materialize_changelog_union(pending, max_workers)
+            return len(pending)
 
         def _one(v: int) -> None:
             out = self.changelog_dir(v)
@@ -1217,6 +1238,62 @@ class SnapshotTable:
                 # list() drains the iterator so the first failure raises
                 list(ex.map(_one, pending))
         return len(pending)
+
+    def _materialize_changelog_union(
+        self, pending: list[int], max_workers: int
+    ) -> None:
+        """Union-strategy body of `materialize_changelog`: all pending
+        versions' diffs in ONE Spark write job.
+
+        Schema evolution between the pending versions is handled by
+        `unionByName(allowMissingColumns=True)` — pre-evolution versions'
+        files gain null-filled evolved columns, which the rowlevel reader
+        (`streaming/cdf_source._read_partition_batches`) projects by name
+        against the declared schema anyway. Crash-safety: the staging dir
+        is discarded and rebuilt on retry; a version becomes visible only
+        when its files have moved AND its `_DONE` marker landed, so a
+        crash mid-move re-materializes exactly the unmarked versions.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        vcol = "__cdc_mat_v"
+
+        def _plan(v: int):
+            df, cand = self._changelog_with_cache(v - 1, v)
+            return df.withColumn(vcol, F.lit(v)), cand
+
+        # plan-building runs the per-version bucket-prune collects — small
+        # jobs; overlap them on threads like the threads strategy does
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(pending))
+        ) as ex:
+            planned = list(ex.map(_plan, pending))
+        union = planned[0][0]
+        for df, _ in planned[1:]:
+            union = union.unionByName(df, allowMissingColumns=True)
+        staging = os.path.join(self.root, "_changelog", "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            union.write.mode("overwrite").partitionBy(vcol).parquet(staging)
+        finally:
+            for _, cand in planned:
+                cand.unpersist(blocking=False)
+        for v in pending:
+            out = self.changelog_dir(v)
+            shutil.rmtree(out, ignore_errors=True)  # partial prior attempt
+            os.makedirs(out, exist_ok=True)
+            # empty diffs produce no staging partition dir — the bare
+            # _DONE marker then records a real no-op changelog ([])
+            src = os.path.join(staging, f"{vcol}={v}")
+            if os.path.isdir(src):
+                for name in os.listdir(src):
+                    if name.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(src, name), os.path.join(out, name)
+                        )
+            with open(os.path.join(out, "_DONE"), "w") as fh:
+                fh.write(str(v))
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _argmax_rows(self, rows: DataFrame, keys: list[str]) -> DataFrame:
         """One storage row per primary key: max __lsn wins (algebraic agg).

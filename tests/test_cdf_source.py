@@ -228,6 +228,36 @@ def test_rowlevel_matches_iter_changelogs(spark, tmp_path):
     assert got.count() == total
 
 
+def test_materialize_union_strategy_equivalence(spark, tmp_path):
+    """strategy='union' (one partitioned write job for the whole backlog)
+    produces version directories indistinguishable from the per-version
+    path: same rows per version as iter_changelogs, [] (not None) for a
+    no-op commit's empty diff, idempotent, and a retry after a lost _DONE
+    marker re-materializes exactly the unmarked version."""
+    table = _mor_table(spark, tmp_path)
+    table.compact()  # adds a version whose row-level diff is empty
+    n = table.current().version
+    assert (
+        table.materialize_changelog(strategy="union", max_workers=4) == n
+    )
+    assert table.materialize_changelog(strategy="union") == 0  # idempotent
+    empty = table.changelog_files(n)
+    assert empty == []  # no-op commit: real empty changelog, not None
+    for v, df in table.iter_changelogs(0):
+        got = table.spark.read.parquet(table.changelog_dir(v)) if (
+            table.changelog_files(v)
+        ) else df.limit(0)
+        got = got.select(*df.columns)
+        assert got.exceptAll(df).count() == 0, f"v{v}: extra rows"
+        assert df.exceptAll(got).count() == 0, f"v{v}: missing rows"
+    # simulate a crash that lost one version's marker: only it re-runs
+    import os
+
+    os.remove(os.path.join(table.changelog_dir(2), "_DONE"))
+    assert table.materialize_changelog(strategy="union") == 1
+    assert table.changelog_files(2) is not None
+
+
 def test_rowlevel_requires_materialization(spark, tmp_path):
     table = _mor_table(spark, tmp_path, n_batches=1)
     _register(spark)
