@@ -798,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "events")
         ),
         "events_span_summary": lambda s, d: S.span_summary(_read(s, d, "events")),
+        "events_error_window_join": lambda s, d: TP.error_window_hits(
+            _read(s, d, "events")
+        ),
         "events_asof_join": lambda s, d: TP.purchase_asof_click(
             _read(s, d, "events")
         ),
@@ -937,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_parse": S.PROPS_PARSE_SQL,
         "events_first_value": S.FIRST_VALUE_SAMPLE_SQL,
         "events_span_summary": S.SPAN_SUMMARY_SQL,
+        "events_error_window_join": TP.ERROR_WINDOW_HITS_SQL,
         "events_asof_join": TP.PURCHASE_ASOF_CLICK_SQL,
         "events_value_quantiles": TP.VALUE_QUANTILES_SQL,
         "events_value_quantiles_hist": TP.VALUE_QUANTILES_HIST_SQL,

@@ -1190,14 +1190,17 @@ class SnapshotTable:
         - ``"union"``: every pending version's diff plan is tagged with
           its version and unioned into ONE write job
           (`partitionBy(version)` into a staging dir, files then moved
-          into each version dir, `_DONE` markers last). Collapses N write
-          jobs' scheduling/commit overhead into one and lets Spark pack
-          all versions' tasks into the same stage wave — the right shape
-          for a deep backlog (thousands of versions behind). Plan-building
-          (each version's bucket-prune collects) still runs on
-          `max_workers` threads.
-        - ``"auto"`` (default): union for a backlog of ≥ 4 versions,
-          threads otherwise (measured crossover; BENCH/BASELINE.md).
+          into each version dir, `_DONE` markers last) — all-or-nothing
+          drain semantics (no version visible until the single job
+          succeeds). Measured SLOWER than threads in both probed regimes
+          (8 large versions at sf0.1: 44.9 s vs 35.2 s; 24 small
+          versions: parity-to-worse — BENCH/BASELINE.md): the per-version
+          bucket-prune collects dominate and run threaded either way, so
+          the single write job only serializes what threads overlap.
+          Kept as an explicit opt-in for the atomicity property, not for
+          speed.
+        - ``"auto"`` (default): threads (the measured winner at every
+          probed backlog shape).
         """
         end = self.current().version if to_version is None else to_version
         pending = [
@@ -1206,7 +1209,7 @@ class SnapshotTable:
         if not pending:
             return 0
         if strategy == "auto":
-            strategy = "union" if len(pending) >= 4 else "threads"
+            strategy = "threads"
         if strategy == "union" and len(pending) > 1:
             self._materialize_changelog_union(pending, max_workers)
             return len(pending)

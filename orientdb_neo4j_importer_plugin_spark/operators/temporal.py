@@ -105,6 +105,119 @@ ORDER BY event_id
 """
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    bin_width_us: int,
+) -> DataFrame:
+    """Point-in-interval equi-ized range join (Spark's missing built-in —
+    a raw `p.ts BETWEEN i.s AND i.e` join plans as BroadcastNestedLoop).
+
+    Each interval is exploded to every time bin of width `bin_width_us` it
+    overlaps; each point lands in exactly one bin; the join is then a pure
+    EQUI-join on (key, bin) with an exact residual BETWEEN filter —
+    hash-partitionable, AQE-skew-splittable, no nested loop anywhere.
+    A (point, interval) pair appears exactly once: the pair can only meet
+    in the point's own bin.
+
+    Inclusive on both interval endpoints. Time columns are BIGINT epoch
+    MICROSECONDS (tz-free integer arithmetic on both engines). Cost:
+    shuffle of points + intervals × ceil(len/bin_width); pick
+    `bin_width_us` near the typical interval length so intervals explode
+    to ~2 bins.
+    """
+    if bin_width_us <= 0:
+        raise ValueError("bin_width_us must be positive")
+    overlap = [
+        c for c in points.columns if c in intervals.columns and c != key
+    ]
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns: {overlap}")
+    binned_i = intervals.withColumn(
+        "__ij_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_us} div {int(bin_width_us)}"),
+                F.expr(f"{end_us} div {int(bin_width_us)}"),
+            )
+        ),
+    )
+    binned_p = points.withColumn(
+        "__ij_bin", F.expr(f"{point_us} div {int(bin_width_us)}")
+    )
+    return (
+        binned_p.join(binned_i, on=[key, "__ij_bin"], how="inner")
+        .filter(
+            (F.col(point_us) >= F.col(start_us))
+            & (F.col(point_us) <= F.col(end_us))
+        )
+        .drop("__ij_bin")
+    )
+
+
+ERROR_WINDOW_SEC = 600  # contract constant, shared verbatim with the oracle
+
+
+def error_window_hits(events: DataFrame) -> DataFrame:
+    """Contract query: for every `error` event, the purchases the SAME
+    user made within the following 10 minutes (inclusive) — an interval
+    join of purchase points against per-error windows, aggregated per
+    window. Columns: error_id, user_id, n_purchases, cents (exact integer
+    cents — no float-sum order sensitivity), first_purchase_id.
+    Windows with zero purchases are absent (inner join), same as the SQL
+    twin."""
+    win_us = ERROR_WINDOW_SEC * 1_000_000
+    intervals = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__iw_s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(win_us)).alias("__iw_e"),
+    )
+    points = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__iw_p"),
+        F.round(F.col("value") * 100).cast("long").alias("__iw_cents"),
+    )
+    pairs = interval_join(
+        points,
+        intervals,
+        key="user_id",
+        point_us="__iw_p",
+        start_us="__iw_s",
+        end_us="__iw_e",
+        bin_width_us=win_us,
+    )
+    return (
+        pairs.groupBy("error_id", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("__iw_cents").cast("long").alias("cents"),
+            F.min("purchase_id").cast("long").alias("first_purchase_id"),
+        )
+        .orderBy("error_id")
+    )
+
+
+ERROR_WINDOW_HITS_SQL = f"""
+SELECT e.event_id AS error_id, e.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(p.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(min(p.event_id) AS BIGINT) AS first_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = e.user_id
+ AND epoch_us(p.ts) >= epoch_us(e.ts)
+ AND epoch_us(p.ts) <= epoch_us(e.ts) + {ERROR_WINDOW_SEC * 1_000_000}
+GROUP BY e.event_id, e.user_id
+ORDER BY error_id
+"""
+
+
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Exact per-type value quantiles (linear interpolation — Spark
     `percentile` == DuckDB `quantile_cont`). Exact quantiles shuffle the

@@ -106,3 +106,60 @@ def test_hist_quantiles_deterministic_under_repartition(spark):
         map(tuple, value_quantiles_hist(events.repartition(17, "user_id")).collect())
     )
     assert a == b
+
+
+def test_interval_join_semantics(spark):
+    """Binned interval join: inclusive endpoints, multi-bin intervals
+    match without duplicate pairs, key isolation, and the plan is an
+    equi-join (no nested loop)."""
+    from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+        interval_join,
+    )
+
+    W = 100  # bin width (us) deliberately smaller than the intervals
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 10, 250, "i1"),   # spans bins 0,1,2
+            ("u1", 240, 260, "i2"),  # overlaps i1's tail
+            ("u2", 0, 1000, "i3"),   # other key
+        ],
+        "k string, s long, e long, iid string",
+    )
+    points = spark.createDataFrame(
+        [
+            ("u1", 10, "p_start"),    # == i1.s -> inclusive
+            ("u1", 250, "p_end"),     # == i1.e and inside i2
+            ("u1", 251, "p_after"),   # only i2
+            ("u1", 5, "p_before"),    # no interval
+            ("u2", 250, "p_u2"),      # i3 only (key isolation)
+        ],
+        "k string, p long, pid string",
+    )
+    pairs = interval_join(
+        points, intervals, key="k", point_us="p",
+        start_us="s", end_us="e", bin_width_us=W,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in pairs.collect())
+    assert got == [
+        ("p_after", "i2"),
+        ("p_end", "i1"),
+        ("p_end", "i2"),
+        ("p_start", "i1"),
+        ("p_u2", "i3"),
+    ]
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_bad_inputs(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+        interval_join,
+    )
+    import pytest
+
+    df = spark.createDataFrame([("u1", 1, 2)], "k string, s long, e long")
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(df, df, "k", "s", "s", "e", 0)
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(df, df, "k", "s", "s", "e", 10)
