@@ -159,12 +159,12 @@ def interval_join(
     )
 
 
-ERROR_WINDOW_SEC = 600  # contract constant, shared verbatim with the oracle
+ERROR_WINDOW_SEC = 14400  # contract constant (4 h: ~137 windows at sf0.01), shared verbatim with the oracle
 
 
 def error_window_hits(events: DataFrame) -> DataFrame:
     """Contract query: for every `error` event, the purchases the SAME
-    user made within the following 10 minutes (inclusive) — an interval
+    user made within the following ERROR_WINDOW_SEC seconds (inclusive) — an interval
     join of purchase points against per-error windows, aggregated per
     window. Columns: error_id, user_id, n_purchases, cents (exact integer
     cents — no float-sum order sensitivity), first_purchase_id.
