@@ -32,6 +32,7 @@ from orientdb_neo4j_importer_plugin_spark.operators import sessionize as S
 from orientdb_neo4j_importer_plugin_spark.operators import sketches as SK
 from orientdb_neo4j_importer_plugin_spark.operators import similarity as V
 from orientdb_neo4j_importer_plugin_spark.operators import pipeline as PL
+from orientdb_neo4j_importer_plugin_spark.operators import graph as G
 from orientdb_neo4j_importer_plugin_spark.operators import repetition as RP
 from orientdb_neo4j_importer_plugin_spark.operators import temporal as TP
 from orientdb_neo4j_importer_plugin_spark.operators import transcripts as TR
@@ -756,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": lambda s, d: T.lang_id(_read(s, d, "documents")),
         "docs_lang_id_ngram": lambda s, d: T.lang_id_ngram(_read(s, d, "documents")),
         "docs_fingerprint": lambda s, d: T.fingerprint(_read(s, d, "documents")),
+        "docs_dup_components": lambda s, d: G.dup_components(
+            _read(s, d, "documents")
+        ),
         "docs_repetition_signals": lambda s, d: RP.repetition_signals(
             _read(s, d, "documents")
         ),
@@ -907,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": T.LANG_ID_SQL,
         "docs_lang_id_ngram": T.LANG_ID_NGRAM_SQL,
         "docs_fingerprint": T.FINGERPRINT_SQL,
+        "docs_dup_components": G.dup_components_sql(),
         "docs_repetition_signals": RP.repetition_signals_sql(),
         "docs_decontaminate": RP.decontaminate_sql(
             "doc_id % 41 <> 0", "doc_id % 41 = 0"
