@@ -767,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents").filter("doc_id % 41 <> 0"),
             _read(s, d, "documents").filter("doc_id % 41 = 0"),
         ),
+        "docs_vocab_topk": lambda s, d: RP.vocab_topk(
+            _read(s, d, "documents")
+        ),
         "docs_redact_pii": lambda s, d: T.redact_pii(_read(s, d, "documents")),
         "docs_training_pipeline": lambda s, d: PL.training_pipeline(
             _read(s, d, "documents")
@@ -916,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": RP.decontaminate_sql(
             "doc_id % 41 <> 0", "doc_id % 41 = 0"
         ),
+        "docs_vocab_topk": RP.vocab_topk_sql(),
         "docs_redact_pii": T.redact_pii_sql(),
         "docs_training_pipeline": PL.training_pipeline_sql(),
         "docs_stratified_sample": SM.stratified_sample_sql(),

@@ -246,6 +246,10 @@ def main() -> None:
         "cdc_incremental_view_join",
         "events_value_quantiles_hist",
         "transcripts_training_examples",
+        "docs_repetition_signals",
+        "docs_decontaminate",
+        "docs_dup_components",
+        "events_error_window_join",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

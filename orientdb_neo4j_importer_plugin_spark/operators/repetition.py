@@ -157,6 +157,58 @@ FROM metrics GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def vocab_topk(
+    documents: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level vocabulary head: the `k` most frequent tokens with
+    their total counts and document frequencies. Deterministic total
+    order: count desc, then token asc (ties never reorder between runs
+    or engines).
+
+    Columns: token, n_occurrences, n_docs (both BIGINT).
+
+    Plan: one explode + one combinable hash aggregation (count +
+    conditional distinct-doc count via the per-(token, doc) pre-agg),
+    then TakeOrdered(k) — the reduction to k rows happens map-side per
+    partition, so the driver sees at most k rows per partition, never
+    the vocabulary.
+    """
+    per_doc = (
+        documents.select(
+            "doc_id",
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("__vt_c"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("__vt_c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(k: int = 50, table: str = "documents") -> str:
+    """DuckDB twin of ``vocab_topk``."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS token FROM {table}
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS __vt_c FROM toks GROUP BY token, doc_id
+)
+SELECT token,
+       CAST(sum(__vt_c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT {k}
+"""
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,

@@ -82,3 +82,14 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.repetition import (
+        vocab_topk,
+    )
+
+    docs = _docs(spark, ["b a", "a b", "c c", "z"])
+    # counts: a=2(2 docs), b=2(2), c=2(1), z=1(1) -> ties broken token-asc
+    got = [tuple(r) for r in vocab_topk(docs, k=3).collect()]
+    assert got == [("a", 2, 2), ("b", 2, 2), ("c", 2, 1)]
