@@ -124,8 +124,8 @@ def main():
     meta_total = round(sum(timer.spent.values()), 3)
 
     # materialize_changelog: serial vs thread-parallel vs single-union-job
-    # on IDENTICAL fresh tables (strategies pinned — 'auto' would pick
-    # union at this backlog depth)
+    # on IDENTICAL fresh tables (strategies pinned explicitly; 'auto'
+    # resolves to threads — union measured slower, see BENCH/BASELINE.md)
     _, t_serial = mor_apply(spark, wal, os.path.join(d, "ms"))
     _, t_par = mor_apply(spark, wal, os.path.join(d, "mp"))
     _, t_uni = mor_apply(spark, wal, os.path.join(d, "mu"))

@@ -1202,10 +1202,21 @@ class SnapshotTable:
         - ``"auto"`` (default): threads (the measured winner at every
           probed backlog shape).
         """
+        if strategy not in ("auto", "threads", "union"):
+            raise ValueError(
+                f"unknown materialize strategy {strategy!r} "
+                "(expected 'auto', 'threads' or 'union')"
+            )
         end = self.current().version if to_version is None else to_version
         pending = [
             v for v in range(1, end + 1) if self.changelog_files(v) is None
         ]
+        # a crashed union attempt leaves a dead staging dir; every strategy
+        # clears it (nothing else ever removes it — vacuum walks data only)
+        shutil.rmtree(
+            os.path.join(self.root, "_changelog", "_staging"),
+            ignore_errors=True,
+        )
         if not pending:
             return 0
         if strategy == "auto":
@@ -1260,26 +1271,32 @@ class SnapshotTable:
         from concurrent.futures import ThreadPoolExecutor
 
         vcol = "__cdc_mat_v"
+        # all versions' candidate caches stay pinned until the single write
+        # finishes — O(backlog) executor storage vs threads' O(max_workers);
+        # the frames are small (changed KEYS, not data), but it is the
+        # union strategy's real memory cost. `cands` collects every frame a
+        # _plan call persisted so a mid-planning failure releases them all.
+        cands: list[DataFrame] = []
 
         def _plan(v: int):
             df, cand = self._changelog_with_cache(v - 1, v)
-            return df.withColumn(vcol, F.lit(v)), cand
+            cands.append(cand)
+            return df.withColumn(vcol, F.lit(v))
 
-        # plan-building runs the per-version bucket-prune collects — small
-        # jobs; overlap them on threads like the threads strategy does
-        with ThreadPoolExecutor(
-            max_workers=min(max_workers, len(pending))
-        ) as ex:
-            planned = list(ex.map(_plan, pending))
-        union = planned[0][0]
-        for df, _ in planned[1:]:
-            union = union.unionByName(df, allowMissingColumns=True)
         staging = os.path.join(self.root, "_changelog", "_staging")
-        shutil.rmtree(staging, ignore_errors=True)
         try:
+            # plan-building runs the per-version bucket-prune collects —
+            # small jobs; overlap them on threads like the threads strategy
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(pending))
+            ) as ex:
+                planned = list(ex.map(_plan, pending))
+            union = planned[0]
+            for df in planned[1:]:
+                union = union.unionByName(df, allowMissingColumns=True)
             union.write.mode("overwrite").partitionBy(vcol).parquet(staging)
         finally:
-            for _, cand in planned:
+            for cand in cands:
                 cand.unpersist(blocking=False)
         for v in pending:
             out = self.changelog_dir(v)

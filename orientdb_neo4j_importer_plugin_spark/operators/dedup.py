@@ -103,12 +103,30 @@ LSH_BANDS = 4  # bands of 4 rows -> catches jaccard >~ 0.5
 SHINGLE_N = 3
 
 
-def _doc_shingle_hashes(documents: DataFrame) -> DataFrame:
-    sh = word_shingles(tokens(F.col("text")), SHINGLE_N)
+def _doc_shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs — the shared front half of
+    every shingle-evidence operator (MinHash, Jaccard, shared-shingle
+    edges)."""
+    sh = word_shingles(tokens(F.col("text")), n)
     return (
         documents.select("doc_id", F.explode(sh).alias("shingle"))
         .select("doc_id", h64(F.col("shingle")).alias("sh"))
         .distinct()
+    )
+
+
+def cap_shingle_df(ds: DataFrame, max_df: int, col: str = "sh") -> DataFrame:
+    """Drop shingles present in more than `max_df` docs (boilerplate
+    guard bounding any later per-shingle self-join at max_df²). df per
+    shingle as a whole-partition window: ONE shuffle by the hash in the
+    same lineage (a separate hot-list aggregate + anti-join recomputes
+    the exploded shingle stream — measured 2x slower; at extreme scale,
+    persist ds once and use the broadcast anti-join)."""
+    w = Window.partitionBy(col)
+    return (
+        ds.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
     )
 
 
@@ -314,16 +332,7 @@ def ngram_jaccard_pairs(
     """
     ds = _doc_shingle_hashes(documents)
     if max_df is not None:
-        # df per shingle as a whole-partition window: ONE shuffle by sh in
-        # the same lineage (a separate hot-list aggregate + anti-join
-        # recomputes the exploded shingle stream — measured 2x slower here;
-        # at extreme scale, persist ds once and use the broadcast anti-join)
-        w = Window.partitionBy("sh")
-        ds = (
-            ds.withColumn("__df", F.count("*").over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+        ds = cap_shingle_df(ds, max_df)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")

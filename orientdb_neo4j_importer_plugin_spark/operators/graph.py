@@ -28,16 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from ..functions.hashes import (
-    h64,
-    h64_sql,
-    tokens,
-    tokens_sql,
-    word_shingles,
-    word_shingles_sql,
-)
+from ..functions.hashes import h64_sql, tokens_sql, word_shingles_sql
+from .dedup import _doc_shingle_hashes, cap_shingle_df
 
 # shared-shingle edge defaults: 8-gram evidence, boilerplate shingles in
 # more than MAX_EDGE_DF docs are dropped before the self-join (the same
@@ -53,8 +46,11 @@ def connected_components(
 
     Returns one row per vertex appearing in `edges`: ``vertex``,
     ``component`` (= the minimum vertex id reachable from it). Raises
-    RuntimeError if the fixpoint is not reached within `max_iter` rounds
-    (component diameter exceeded the guard).
+    RuntimeError if the fixpoint is not reached within `max_iter`
+    propagation rounds — i.e. `max_iter` bounds the component DIAMETER
+    (one extra detection round is always run, so a diameter-`max_iter`
+    graph converges, not raises). Intermediate caches are released on
+    every exit path, including mid-round Spark failures.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -65,33 +61,37 @@ def connected_components(
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u")).persist()
     )
-    labels.count()
     converged = False
-    for _ in range(max_iter):
-        nbr = sym.join(
-            labels.select(F.col("u").alias("v"), "label"), on="v"
-        ).select("u", "label")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.join(
-                labels.select("u", F.col("label").alias("__cc_old")), on="u"
+    try:
+        labels.count()
+        for _ in range(max_iter + 1):  # +1: fixpoint-detection round
+            nbr = sym.join(
+                labels.select(F.col("u").alias("v"), "label"), on="v"
+            ).select("u", "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+                .persist()
             )
-            .filter(F.col("label") < F.col("__cc_old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    sym.unpersist()
+            changed = (
+                new_labels.join(
+                    labels.select("u", F.col("label").alias("__cc_old")),
+                    on="u",
+                )
+                .filter(F.col("label") < F.col("__cc_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        sym.unpersist()
+        if not converged:
+            labels.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
@@ -106,29 +106,16 @@ def shared_shingle_edges(
     """Undirected duplicate-evidence edges: (doc_a < doc_b) pairs sharing
     at least one word n-gram, with shingles present in > max_df documents
     dropped first (boilerplate guard — bounds the per-shingle self-join at
-    max_df², same discipline as the LSH band cap)."""
-    sh = (
-        documents.select(
-            "doc_id",
-            F.explode(word_shingles(tokens(F.col("text")), n)).alias(
-                "__cc_g"
-            ),
-        )
-        .select("doc_id", h64(F.col("__cc_g")).alias("__cc_h"))
-        .distinct()
-    )
-    w = Window.partitionBy("__cc_h")
-    capped = (
-        sh.withColumn("__cc_df", F.count("*").over(w))
-        .filter(F.col("__cc_df") <= max_df)
-        .drop("__cc_df")
-    )
+    max_df², same discipline as the LSH band cap). Shingling and the cap
+    are the shared dedup primitives (`operators/dedup`), so the guard
+    logic cannot drift between the pair operators and this one."""
+    capped = cap_shingle_df(_doc_shingle_hashes(documents, n=n), max_df)
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
             on=[
-                F.col("a.__cc_h") == F.col("b.__cc_h"),
+                F.col("a.sh") == F.col("b.sh"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )

@@ -57,61 +57,59 @@ def repetition_signals(
     Documents with zero tokens are absent from the output (they have no
     measurable n-grams) — same in the SQL twin.
 
-    Plan: n-grams for ALL orders are built array-native per row and
-    exploded ONCE as (n, gram) pairs; everything after is two combinable
-    hash aggregations (gram counts, then per-(doc, n) rollup) plus a
-    conditional-aggregation pivot — the word-count shape, linear at any
-    corpus size.
+    Plan: every metric is per-document, so the whole operator is a
+    ROW-LOCAL projection — n-gram arrays built in place, distinct counts
+    via `array_distinct`, and the most-frequent-gram count via a
+    run-length `aggregate` fold over the sorted gram array. Zero
+    shuffles, zero explodes, zero Python; whole-stage codegen end to end
+    and embarrassingly parallel at any corpus size. (An earlier
+    explode + two-hash-aggregation formulation measured 20 s at sf0.1;
+    this form retires the shuffles entirely.)
     """
-    toks = tokens(F.col(text_col))
 
-    # NB: a one-arg lambda is required — F.transform feeds the array INDEX
-    # to a second parameter, so `lambda g, n=n` would shadow the closure
-    def _tagger(n: int):
-        return lambda g: F.struct(
-            F.lit(n).alias("__rep_n"), g.alias("__rep_gram")
+    def _runmax(garr: str):
+        # longest run in the sorted array == count of the most frequent
+        # gram; null-safe <=> makes the first element start a run of 1
+        return F.expr(
+            f"""aggregate(array_sort({garr}),
+              struct(CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS run,
+                     CAST(NULL AS STRING) AS prev),
+              (acc, x) -> struct(
+                greatest(acc.best,
+                         IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT))),
+                IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+                x),
+              acc -> acc.best)"""
         )
 
-    per_n = [
-        F.transform(word_shingles(toks, n), _tagger(n)) for n in REPETITION_NS
-    ]
-    exploded = documents.select(
+    def _bp(num, den):
+        return F.when(den > 0, F.floor(num * 10000 / den)).cast("long")
+
+    base = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.flatten(F.array(*per_n))).alias("__rep_g"),
-    ).select("doc_id", "__rep_g.__rep_n", "__rep_g.__rep_gram")
-    counts = exploded.groupBy("doc_id", "__rep_n", "__rep_gram").agg(
-        F.count("*").alias("__rep_c")
-    )
-    per_doc_n = counts.groupBy("doc_id", "__rep_n").agg(
-        F.sum("__rep_c").cast("long").alias("__rep_total"),
-        F.count("*").cast("long").alias("__rep_uniq"),
-        F.max("__rep_c").cast("long").alias("__rep_maxc"),
-    )
-    total, uniq, maxc = (
-        F.col("__rep_total"),
-        F.col("__rep_uniq"),
-        F.col("__rep_maxc"),
-    )
-    metrics = per_doc_n.select(
+        tokens(F.col(text_col)).alias("__rs_toks"),
+    ).filter(F.size("__rs_toks") > 0)
+    g = base.select(
         "doc_id",
-        "__rep_n",
-        total,
-        F.floor(uniq * 10000 / total).cast("long").alias("__rep_uniq_bp"),
-        F.floor(maxc * 10000 / total).cast("long").alias("__rep_top_bp"),
-        F.floor((total - uniq) * 10000 / total)
-        .cast("long")
-        .alias("__rep_dup_bp"),
+        "__rs_toks",
+        *[
+            word_shingles(F.col("__rs_toks"), n).alias(f"__rs_g{n}")
+            for n in (2, 3, 5)
+        ],
     )
-
-    def at(n: int, col: str):
-        return F.max(F.when(F.col("__rep_n") == n, F.col(col)))
-
-    return metrics.groupBy("doc_id").agg(
-        at(1, "__rep_total").alias("n_tokens"),
-        at(1, "__rep_uniq_bp").alias("uniq_token_bp"),
-        at(2, "__rep_top_bp").alias("top2_bp"),
-        at(3, "__rep_top_bp").alias("top3_bp"),
-        at(5, "__rep_dup_bp").alias("dup5_bp"),
+    n_tok = F.size("__rs_toks").cast("long")
+    g2, g3, g5 = F.col("__rs_g2"), F.col("__rs_g3"), F.col("__rs_g5")
+    return g.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        _bp(F.size(F.array_distinct("__rs_toks")), n_tok).alias(
+            "uniq_token_bp"
+        ),
+        _bp(_runmax("__rs_g2"), F.size(g2)).alias("top2_bp"),
+        _bp(_runmax("__rs_g3"), F.size(g3)).alias("top3_bp"),
+        _bp(
+            F.size(g5) - F.size(F.array_distinct("__rs_g5")), F.size(g5)
+        ).alias("dup5_bp"),
     )
 
 

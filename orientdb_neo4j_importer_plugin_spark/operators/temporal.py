@@ -137,6 +137,8 @@ def interval_join(
     ]
     if overlap:
         raise ValueError(f"rename overlapping non-key columns: {overlap}")
+    if "__ij_bin" in points.columns or "__ij_bin" in intervals.columns:
+        raise ValueError("'__ij_bin' is reserved by interval_join")
     binned_i = intervals.withColumn(
         "__ij_bin",
         F.explode(
