@@ -252,6 +252,92 @@ def _replayed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww_resolve(feed, keys=["conv_id", "turn_idx"]).filter("op <> 'D'")
 
 
+def cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level LWW over a feed with PARTIAL updates (op='P' rows
+    patch only their non-null columns; cdc/lww.lww_resolve_patch): the
+    live merged state after insert/update/delete/patch bands, where
+    patches above the last full write apply per column, patches under it
+    are overridden, and patches on deleted keys are ignored. The oracle
+    computes the same fold with an independent WINDOW formulation
+    (row_number anchors + per-column ranked patch joins) vs the engine's
+    single algebraic aggregation."""
+    from orientdb_neo4j_importer_plugin_spark.cdc.lww import lww_resolve_patch
+    from orientdb_neo4j_importer_plugin_spark.feedgen import patch_feed_from_tpch
+
+    feed = patch_feed_from_tpch(spark, sf_dir).drop("source_part")
+    st = lww_resolve_patch(
+        feed.repartition("conv_id"), keys=["conv_id", "turn_idx"]
+    ).filter("op <> 'D'")
+    return st.select("conv_id", "turn_idx", "role", "text", "tool", "ts").orderBy(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+_PATCH_BAND_3X = 3 * (1 << 61)
+_PATCH_BAND_35X = 3 * (1 << 61) + (1 << 60)
+
+CDC_PATCH_STATE_SQL = f"""{_FEED_SQL},
+pfeed AS (
+  SELECT * FROM feed
+  UNION ALL
+  SELECT h + {_PATCH_BAND_3X}, 'P', conv_id, turn_idx, NULL, NULL,
+         'patched_' || CAST(l_suppkey % 5 AS VARCHAR), CAST(NULL AS TIMESTAMP)
+  FROM hashed WHERE l_suppkey % 4 = 1
+  UNION ALL
+  SELECT h + {_PATCH_BAND_35X}, 'P', conv_id, turn_idx, NULL,
+         'patched: part ' || CAST(l_partkey AS VARCHAR), NULL,
+         CAST(NULL AS TIMESTAMP)
+  FROM hashed WHERE l_partkey % 5 = 0
+),
+anchors AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+  ) AS rn
+  FROM pfeed WHERE op IN ('I', 'U', 'D')
+),
+anchor AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts
+  FROM anchors WHERE rn = 1
+),
+p_role AS (
+  SELECT conv_id, turn_idx, role AS v, lsn, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM pfeed WHERE op = 'P' AND role IS NOT NULL
+),
+p_text AS (
+  SELECT conv_id, turn_idx, text AS v, lsn, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM pfeed WHERE op = 'P' AND text IS NOT NULL
+),
+p_tool AS (
+  SELECT conv_id, turn_idx, tool AS v, lsn, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM pfeed WHERE op = 'P' AND tool IS NOT NULL
+),
+p_ts AS (
+  SELECT conv_id, turn_idx, ts AS v, lsn, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM pfeed WHERE op = 'P' AND ts IS NOT NULL
+)
+SELECT a.conv_id, a.turn_idx,
+       CASE WHEN pr.lsn > a.lsn THEN pr.v ELSE a.role END AS role,
+       CASE WHEN pt.lsn > a.lsn THEN pt.v ELSE a.text END AS text,
+       CASE WHEN pl.lsn > a.lsn THEN pl.v ELSE a.tool END AS tool,
+       CASE WHEN ps.lsn > a.lsn THEN ps.v ELSE a.ts END AS ts
+FROM anchor a
+LEFT JOIN p_role pr ON pr.conv_id = a.conv_id
+  AND pr.turn_idx = a.turn_idx AND pr.rn = 1
+LEFT JOIN p_text pt ON pt.conv_id = a.conv_id
+  AND pt.turn_idx = a.turn_idx AND pt.rn = 1
+LEFT JOIN p_tool pl ON pl.conv_id = a.conv_id
+  AND pl.turn_idx = a.turn_idx AND pl.rn = 1
+LEFT JOIN p_ts ps ON ps.conv_id = a.conv_id
+  AND ps.turn_idx = a.turn_idx AND ps.rn = 1
+WHERE a.op <> 'D'
+ORDER BY 1, 2, 4
+"""
+
+
 # the same state as a DuckDB CTE named `state`
 _STATE_CTE = f"""{_FEED_SQL},
 ranked AS (
@@ -614,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join": cdc_incremental_view_join,
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
+        "cdc_patch_state": cdc_patch_state,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
         ),
@@ -861,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join": CDC_MVJ_SQL,
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
+        "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "transcripts_training_examples": TR.training_examples_sql(_STATE_CTE),

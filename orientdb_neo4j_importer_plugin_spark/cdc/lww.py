@@ -118,3 +118,75 @@ def lww_resolve_with_stats(
     return out.select(
         *keys, *[F.col(f"__w.{c}").alias(c) for c in ordered], *stat_cols
     )
+
+
+def lww_resolve_patch(
+    events: DataFrame, keys: list[str] | None = None, op_col: str = "op"
+) -> DataFrame:
+    """Column-level last-writer-wins for feeds carrying PARTIAL updates
+    (the Debezium partial-event / MERGE-update-set analogue the plain
+    row-level LWW cannot express).
+
+    Ops: ``I``/``U`` replace the whole row, ``D`` deletes, ``P`` patches
+    only its NON-NULL payload columns onto the current live row. Exact
+    fold semantics per key in lsn order; equivalently (and how it is
+    computed here, in ONE algebraic aggregation):
+
+    - anchor = the max-lsn I/U/D event (the last full-row write);
+    - for each payload column, the max-lsn non-null ``P`` value APPLIES
+      iff its lsn is greater than the anchor's (patches under the last
+      full write are overridden by it);
+    - a key is live iff its anchor exists and is not ``D`` — a patch
+      never creates a row and never revives a deleted one (rows with a
+      dead/absent anchor are dropped or kept with op='D' respectively).
+
+    Output: keys + ``lsn`` (max lsn that contributed to the final row) +
+    op (anchor op — filter ``op <> 'D'`` for live state) + merged payload.
+
+    Scale shape: exactly like ``lww_resolve`` — a single groupBy whose
+    aggregates are all max-of-struct (map-side combinable), so hot keys
+    collapse before the shuffle and no window sort exists anywhere.
+    """
+    keys = keys or KEY_COLUMNS
+    payload = [
+        c for c in events.columns if c not in keys and c not in ("lsn", op_col)
+    ]
+    is_anchor = F.col(op_col).isin("I", "U", "D")
+    anchor = F.when(
+        is_anchor,
+        F.struct(
+            F.col("lsn"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c) for c in payload],
+        ),
+    )
+    aggs = [F.max(anchor).alias("__a")]
+    for c in payload:
+        patch_c = F.when(
+            (F.col(op_col) == "P") & F.col(c).isNotNull(),
+            F.struct(F.col("lsn"), F.col(c).alias("__v")),
+        )
+        aggs.append(F.max(patch_c).alias(f"__p_{c}"))
+    g = events.groupBy(*keys).agg(*aggs).filter(F.col("__a").isNotNull())
+    applies = {
+        c: F.col(f"__p_{c}.lsn") > F.col("__a.lsn") for c in payload
+    }
+    lsn_out = (
+        F.greatest(
+            F.col("__a.lsn"),
+            *[F.when(applies[c], F.col(f"__p_{c}.lsn")) for c in payload],
+        )
+        if payload
+        else F.col("__a.lsn")
+    )
+    return g.select(
+        *keys,
+        lsn_out.alias("lsn"),
+        F.col("__a.__op").alias(op_col),
+        *[
+            F.when(applies[c], F.col(f"__p_{c}.__v"))
+            .otherwise(F.col(f"__a.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+    )

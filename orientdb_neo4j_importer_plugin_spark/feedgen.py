@@ -208,25 +208,13 @@ def replicate_feed(feed: DataFrame, times: int) -> DataFrame:
     )
 
 
-def feed_from_tpch(
-    spark: SparkSession,
-    sf_dir: str,
-    updates: bool = True,
-    deletes: bool = True,
-    parallelism: int | None = None,
-) -> DataFrame:
-    """Derive a deterministic transcripts change feed from the provided
-    read-only TPC-H-ish tables: conversation = order, turn = line number,
-    text from part/supplier attributes. Inserts for every lineitem; one
-    update revision for lines with l_partkey % 3 == 0; deletes for lines
-    with l_partkey % 17 == 0.
-
-    (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
-    lsn is a content hash (h64, 60 bits) banded by op — deterministic,
-    engine-portable (the SQL oracle recomputes it verbatim), and totally
-    ordered the same way in both engines. Update band > insert band and
-    delete band > update band, mirroring arrival order semantics.
-    """
+def _tpch_hashed_base(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+):
+    """Shared front of the lineitem-derived feeds: the projected base
+    columns plus the content-hash ordinal (h64, 60 bits) both op bands
+    and the patch bands offset from. Returns (base DataFrame, ordinal
+    Column)."""
     from .functions.hashes import h64
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -251,7 +239,29 @@ def feed_from_tpch(
         F.col("l_suppkey").cast("string"),
         F.col("l_quantity").cast("string"),
     )
-    ordinal = h64(content)
+    return base, h64(content)
+
+
+def feed_from_tpch(
+    spark: SparkSession,
+    sf_dir: str,
+    updates: bool = True,
+    deletes: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Derive a deterministic transcripts change feed from the provided
+    read-only TPC-H-ish tables: conversation = order, turn = line number,
+    text from part/supplier attributes. Inserts for every lineitem; one
+    update revision for lines with l_partkey % 3 == 0; deletes for lines
+    with l_partkey % 17 == 0.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
+    lsn is a content hash (h64, 60 bits) banded by op — deterministic,
+    engine-portable (the SQL oracle recomputes it verbatim), and totally
+    ordered the same way in both engines. Update band > insert band and
+    delete band > update band, mirroring arrival order semantics.
+    """
+    base, ordinal = _tpch_hashed_base(spark, sf_dir, parallelism)
     n_span = F.lit(1 << 60).cast("long") * 2  # op band offset
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
@@ -313,6 +323,61 @@ def feed_from_tpch(
         out = out.unionByName(p)
     return out.select(
         "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source_part"
+    )
+
+
+def patch_feed_from_tpch(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
+    """``feed_from_tpch`` plus two PARTIAL-update bands (op='P', null
+    payload columns mean "untouched") ABOVE the delete band:
+
+    - tool patches for ``l_suppkey % 4 == 1`` (band 3x),
+    - text patches for ``l_partkey % 5 == 0``  (band 3.5x).
+
+    Band arithmetic stays within int64: h < 2^60 and the highest band
+    offset is 3.5 * 2^61, so lsn ≤ 2^63 - 1 exactly. The patch filters
+    overlap the delete band's (%17), so a correct column-level resolver
+    (``cdc/lww.lww_resolve_patch``) must IGNORE patches landing on
+    deleted keys — the contract query exercises that edge at data scale.
+    """
+    base, ordinal = _tpch_hashed_base(spark, sf_dir, parallelism)
+    n_span = F.lit(1 << 60).cast("long") * 2
+    null_s = F.lit(None).cast("string")
+    null_ts = F.lit(None).cast("timestamp")
+    src = F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    p_tool = (
+        base.filter(F.col("l_suppkey") % 4 == 1)
+        .withColumn("lsn", ordinal + n_span * 3)
+        .withColumn("op", F.lit("P"))
+        .withColumn("role", null_s)
+        .withColumn("text", null_s)
+        .withColumn(
+            "tool",
+            F.concat(F.lit("patched_"), (F.col("l_suppkey") % 5).cast("string")),
+        )
+        .withColumn("ts", null_ts)
+        .withColumn("source_part", src)
+    )
+    p_text = (
+        base.filter(F.col("l_partkey") % 5 == 0)
+        .withColumn("lsn", ordinal + n_span * 3 + F.lit(1 << 60).cast("long"))
+        .withColumn("op", F.lit("P"))
+        .withColumn("role", null_s)
+        .withColumn(
+            "text",
+            F.concat(F.lit("patched: part "), F.col("l_partkey").cast("string")),
+        )
+        .withColumn("tool", null_s)
+        .withColumn("ts", null_ts)
+        .withColumn("source_part", src)
+    )
+    cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "source_part"]
+    return (
+        feed_from_tpch(spark, sf_dir, parallelism=parallelism)
+        .unionByName(p_tool.select(*cols))
+        .unionByName(p_text.select(*cols))
     )
 
 

@@ -1,0 +1,107 @@
+"""cdc/lww.lww_resolve_patch: column-level LWW for partial-update feeds.
+
+Hand-crafted edge cases plus a Hypothesis property: the single algebraic
+aggregation must equal a pure-Python sequential fold of the events in lsn
+order (patches apply only to live rows, only their non-null columns).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from orientdb_neo4j_importer_plugin_spark.cdc.lww import lww_resolve_patch
+
+SCHEMA = "k string, lsn long, op string, a string, b string"
+
+
+def _resolve(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = lww_resolve_patch(df, keys=["k"])
+    return {
+        r["k"]: (r["op"], r["a"], r["b"], r["lsn"]) for r in out.collect()
+    }
+
+
+def _fold(rows):
+    """Sequential per-key fold in lsn order — the semantics oracle."""
+    state = {}
+    for r in sorted(rows, key=lambda r: r[1]):
+        k, _, op, a, b = r
+        if op in ("I", "U"):
+            state[k] = {"alive": True, "a": a, "b": b}
+        elif op == "D":
+            state[k] = {"alive": False}
+        elif state.get(k, {}).get("alive"):
+            if a is not None:
+                state[k]["a"] = a
+            if b is not None:
+                state[k]["b"] = b
+    return {
+        k: (v["a"], v["b"]) for k, v in state.items() if v.get("alive")
+    }
+
+
+def test_patch_merges_per_column(spark):
+    got = _resolve(
+        spark,
+        [
+            ("k1", 1, "I", "a0", "b0"),
+            ("k1", 2, "P", "a1", None),  # patches a only
+            ("k1", 3, "P", None, "b1"),  # patches b only
+        ],
+    )
+    assert got["k1"] == ("I", "a1", "b1", 3)
+
+
+def test_full_write_overrides_earlier_patches(spark):
+    got = _resolve(
+        spark,
+        [
+            ("k1", 1, "I", "a0", "b0"),
+            ("k1", 2, "P", "ax", "bx"),
+            ("k1", 3, "U", "a2", None),  # full row: b becomes NULL
+        ],
+    )
+    assert got["k1"] == ("U", "a2", None, 3)
+
+
+def test_patch_on_deleted_or_absent_key_is_ignored(spark):
+    got = _resolve(
+        spark,
+        [
+            ("k1", 1, "I", "a0", "b0"),
+            ("k1", 2, "D", None, None),
+            ("k1", 3, "P", "ghost", None),  # after delete: no revive
+            ("k2", 1, "P", "orphan", None),  # no anchor ever: dropped
+        ],
+    )
+    assert got["k1"][0] == "D"  # caller filters tombstones
+    assert "k2" not in got
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),
+            st.sampled_from(["I", "U", "D", "P"]),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.one_of(st.none(), st.sampled_from(["p", "q"])),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_patch_resolve_equals_sequential_fold(spark, seq):
+    rows = [
+        (k, lsn, op, a, b) for lsn, (k, op, a, b) in enumerate(seq)
+    ]
+    got = {
+        k: (a, b)
+        for k, (op, a, b, _) in _resolve(spark, rows).items()
+        if op != "D"
+    }
+    assert got == _fold(rows)
