@@ -273,6 +273,42 @@ def cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial updates through the exactly-once TABLE apply path
+    (cdc/apply.apply_patch_changes): anchors land as ordinary MOR
+    batches, then two patch batches merge against the table's CURRENT
+    state (bucket-pruned read of exactly the patch keys), one of them
+    replayed to prove the ledger no-op, then compaction folds the deltas.
+    The final table state must equal the same pure-fold oracle as the
+    resolver-level query (CDC_PATCH_STATE_SQL) — patches arrive after
+    their anchors here, so apply-time and fold semantics coincide."""
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+    from orientdb_neo4j_importer_plugin_spark.feedgen import patch_feed_from_tpch
+
+    feed = patch_feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_patch_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    anchors = feed.filter("op <> 'P'")
+    apply_changes(anchors.filter("pmod(lsn, 2) = 1"), table, batch_id="pa1", mode="mor")
+    apply_changes(anchors.filter("pmod(lsn, 2) = 0"), table, batch_id="pa0", mode="mor")
+    p1 = feed.filter(f"op = 'P' AND lsn < {_PATCH_BAND_35X}")
+    p2 = feed.filter(f"op = 'P' AND lsn >= {_PATCH_BAND_35X}")
+    apply_patch_changes(p1, table, batch_id="pp1", mode="mor")
+    apply_patch_changes(p1, table, batch_id="pp1", mode="mor")  # replay no-op
+    apply_patch_changes(p2, table, batch_id="pp2", mode="mor")
+    table.compact()
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
 _PATCH_BAND_3X = 3 * (1 << 61)
 _PATCH_BAND_35X = 3 * (1 << 61) + (1 << 60)
 
@@ -701,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "cdc_patch_state": cdc_patch_state,
+        "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
             _replayed_state(s, d)
         ),
@@ -949,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
+        "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "transcripts_training_examples": TR.training_examples_sql(_STATE_CTE),

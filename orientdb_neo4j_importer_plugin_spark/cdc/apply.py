@@ -511,3 +511,67 @@ def apply_changes(
         return res
     finally:
         winners.unpersist()
+
+
+def apply_patch_changes(
+    events: DataFrame,
+    table: SnapshotTable,
+    batch_id: str | None = None,
+    mode: str = "mor",
+    **apply_kwargs,
+):
+    """`apply_changes` for feeds carrying PARTIAL updates (op='P', null
+    payload columns mean "untouched" — see ``cdc/lww.lww_resolve_patch``).
+
+    A patch must merge against the CURRENT live row of its key, so this
+    wrapper (1) bucket-prune-reads the table state of exactly the
+    patch-affected keys, (2) turns live rows into anchor events at their
+    stored lsn, (3) resolves the batch with ``lww_resolve_patch`` over
+    anchors ∪ batch, and (4) hands the resulting SELF-CONTAINED I/U/D
+    rows to the ordinary ``apply_changes`` — storage rows remain whole
+    (MOR readers keep the plain row-level LWW fold; no reader change),
+    and the ledger / quarantine / lineage / schema-evolution machinery is
+    reused untouched, including exactly-once replay of the batch_id.
+
+    Out-of-order safety is inherited: a late patch below the stored
+    anchor's lsn re-emits the stored row unchanged (read-time LWW then
+    ties on identical rows); a patch on a deleted or absent key writes
+    nothing. Cost over plain apply: one bucket-pruned state read of the
+    patch keys' buckets + the patch resolve — O(batch + touched buckets),
+    zero if the batch carries no patches.
+    """
+    from .lww import lww_resolve_patch
+
+    snap = table.current()
+    if batch_id is not None and table.is_batch_committed(batch_id):
+        return apply_changes(
+            events, table, batch_id=batch_id, mode=mode, **apply_kwargs
+        )  # ledger no-op, same ApplyResult shape
+    keys = list(snap.keys)
+    key, nb = snap.partition_key, snap.num_buckets
+    pkeys = events.filter(F.col("op") == "P").select(*keys).distinct()
+    touched = sorted(
+        r["b"]
+        for r in pkeys.select(bucket_expr(key, nb).alias("b"))
+        .distinct()
+        .collect()
+    )
+    payload = [f.name for f in snap.schema.fields]
+    if touched:
+        state = table.read_buckets(touched, raw=True).join(
+            pkeys, on=keys, how="left_semi"
+        )
+        anchors = state.filter(~F.col(DELETED_COL)).select(
+            F.col(LSN_COL).alias("lsn"),
+            F.lit("U").alias("op"),
+            *[F.col(c) for c in payload],
+        )
+        combined = events.unionByName(anchors, allowMissingColumns=True)
+    else:
+        combined = events
+    resolved = lww_resolve_patch(
+        combined.drop("source_part"), keys=keys
+    )
+    return apply_changes(
+        resolved, table, batch_id=batch_id, mode=mode, **apply_kwargs
+    )

@@ -105,3 +105,83 @@ def test_patch_resolve_equals_sequential_fold(spark, seq):
         if op != "D"
     }
     assert got == _fold(rows)
+
+
+def _patch_table(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    return SnapshotTable.create(
+        spark, str(tmp_path / "pt"), schema, "k", num_buckets=4,
+        key_columns=["k"],
+    )
+
+
+def _state(table):
+    return {r["k"]: (r["a"], r["b"]) for r in table.read().collect()}
+
+
+def test_apply_patch_changes_end_to_end(spark, tmp_path):
+    """Patches through the table apply path: merge against current state,
+    ignore patches on deleted/absent keys, ledger replay no-op, late
+    patches below the stored anchor are inert."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+
+    table = _patch_table(spark, tmp_path)
+    anchors = spark.createDataFrame(
+        [
+            ("k1", 1, "I", "a0", "b0"),
+            ("k2", 2, "I", "a2", "b2"),
+            ("k2", 3, "D", None, None),
+        ],
+        SCHEMA,
+    )
+    apply_changes(anchors, table, batch_id="a", mode="mor")
+    patches = spark.createDataFrame(
+        [
+            ("k1", 10, "P", None, "b9"),   # live: apply b only
+            ("k2", 11, "P", "zz", None),   # deleted: ignore
+            ("k3", 12, "P", "zz", None),   # absent: ignore
+        ],
+        SCHEMA,
+    )
+    apply_patch_changes(patches, table, batch_id="p", mode="mor")
+    assert _state(table) == {"k1": ("a0", "b9")}
+    v = table.current().version
+    res = apply_patch_changes(patches, table, batch_id="p", mode="mor")
+    assert res.skipped_replay and table.current().version == v  # ledger
+
+    late = spark.createDataFrame([("k1", 0, "P", "OLD", None)], SCHEMA)
+    apply_patch_changes(late, table, batch_id="late", mode="mor")
+    assert _state(table) == {"k1": ("a0", "b9")}  # below anchor: inert
+    table.compact()
+    assert _state(table) == {"k1": ("a0", "b9")}
+
+
+def test_apply_patch_before_anchor_is_merge_semantics(spark, tmp_path):
+    """A patch arriving before its base row is a documented no-op (MERGE
+    whenMatched semantics) — it must not create a row, and the later
+    anchor lands unpatched."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+
+    table = _patch_table(spark, tmp_path)
+    early = spark.createDataFrame([("k1", 10, "P", "px", None)], SCHEMA)
+    apply_patch_changes(early, table, batch_id="p0", mode="mor")
+    assert _state(table) == {}
+    anchor = spark.createDataFrame([("k1", 1, "I", "a0", "b0")], SCHEMA)
+    apply_changes(anchor, table, batch_id="a0", mode="mor")
+    assert _state(table) == {"k1": ("a0", "b0")}
