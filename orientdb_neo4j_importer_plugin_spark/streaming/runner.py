@@ -134,6 +134,7 @@ class CdcStreamRunner:
         compact_every: int = 0,
         quarantine: bool = False,
         feed_format: str = "parquet",
+        allow_patches: bool = False,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -155,6 +156,13 @@ class CdcStreamRunner:
         # divert poison records to the table's dead-letter side table instead
         # of failing the micro-batch (reference: Migrator:274-283,585-594)
         self.quarantine = quarantine
+        # admit op='P' partial-update events: each micro-batch routes
+        # through cdc/apply.apply_patch_changes (merge against current
+        # state, then the ordinary exactly-once apply). NB: in this mode
+        # the late-drop filter and quarantine predicates evaluate on the
+        # RESOLVED one-row-per-key upserts, not the raw partial events —
+        # the merged row is the meaningful unit for those policies here.
+        self.allow_patches = allow_patches
         self._batches_since_compact = 0
         # Ledger keys must be scoped to the checkpoint lineage: Spark batch
         # ids restart at 0 for a fresh checkpoint, and a new batch 0 may hold
@@ -229,7 +237,10 @@ class CdcStreamRunner:
         # over rows passing the FULL keep predicate — a quarantined row's
         # corrupt future timestamp can't poison the watermark, and the value
         # stays monotone across the bounded lineage window
-        res = apply_changes(
+        from ..cdc.apply import apply_patch_changes
+
+        apply_fn = apply_patch_changes if self.allow_patches else apply_changes
+        res = apply_fn(
             batch,
             self.table,
             batch_id=f"{self.batch_id_prefix}-{batch_id}",

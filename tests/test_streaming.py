@@ -237,3 +237,52 @@ def test_stream_quarantine_poison_records(spark, tmp_path):
     assert ok, msg
     status = json.load(open(runner.status_path))
     assert status["quarantined"] == 2
+
+
+def test_stream_with_patch_events(spark, tmp_path):
+    """allow_patches=True: op='P' partial updates stream through the
+    exactly-once micro-batch path; anchors arrive in earlier files, the
+    patch file later (maxFilesPerTrigger=1 forces separate batches), and
+    the final state equals the sequential fold."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    base_ts = datetime.datetime(2024, 1, 1)
+    anchors = [
+        Row(lsn=1, op="I", source_part=0, conv_id="c1", turn_idx=0,
+            role="user", text="t0", ts=base_ts),
+        Row(lsn=2, op="I", source_part=0, conv_id="c2", turn_idx=0,
+            role="user", text="t2", ts=base_ts),
+        Row(lsn=3, op="D", source_part=0, conv_id="c2", turn_idx=0,
+            role=None, text=None, ts=base_ts),
+    ]
+    patches = [
+        Row(lsn=10, op="P", source_part=0, conv_id="c1", turn_idx=0,
+            role=None, text="patched", ts=None),       # applies
+        Row(lsn=11, op="P", source_part=0, conv_id="c2", turn_idx=0,
+            role=None, text="ghost", ts=None),         # deleted: ignored
+        Row(lsn=12, op="P", source_part=0, conv_id="c9", turn_idx=0,
+            role=None, text="orphan", ts=None),        # absent: ignored
+    ]
+    feed_dir = str(tmp_path / "pfeed")
+    os.makedirs(feed_dir)
+    spark.createDataFrame(anchors, CHANGE_EVENT_V1).coalesce(1).write.parquet(
+        feed_dir + "/c_000"
+    )
+    spark.createDataFrame(patches, CHANGE_EVENT_V1).coalesce(1).write.parquet(
+        feed_dir + "/c_001"
+    )
+    # file-source ordering: the two chunk DIRS stream as separate batches
+    runner = make_runner(
+        spark, tmp_path, "patch",
+        feed_dir + "/c_00*",
+        max_files_per_trigger=1, allow_patches=True, mode="mor",
+    )
+    m = runner.run_to_completion(timeout_sec=300)
+    assert m.status == "FINISHED"
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+        for r in runner.table.read().collect()
+    }
+    assert got == {("c1", 0): ("user", "patched")}
