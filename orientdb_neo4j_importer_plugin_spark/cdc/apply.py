@@ -56,20 +56,24 @@ BROADCAST_KEY_LIMIT = 500_000
 
 
 def poison_reason_expr(
-    events_schema: StructType, target: StructType, keys: list[str]
+    events_schema: StructType,
+    target: StructType,
+    keys: list[str],
+    allowed_ops: tuple[str, ...] = ("I", "U", "D"),
 ) -> Column:
     """NULL for well-formed events, else a reason label — the per-record
     error-isolation predicate (reference: catch-per-record, log, continue,
     ``ONeo4jImporterVerticesAndEdgesMigrator.java:274-283,585-594``).
 
-    Poison classes: null lsn, unknown/null op, null key column, and (for
+    Poison classes: null lsn, unknown/null op (outside `allowed_ops` —
+    patch-admitting callers extend it with 'P'), null key column, and (for
     non-deletes) a payload value the target type can't represent
     (``try_cast`` null while the source value is non-null).
     """
     in_types = {f.name: f.dataType for f in events_schema.fields}
     checks: list[tuple[Column, str]] = [
         (F.col("lsn").isNull(), "null_lsn"),
-        (F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"), "bad_op"),
+        (F.col("op").isNull() | ~F.col("op").isin(*allowed_ops), "bad_op"),
     ]
     for k in keys:
         if k in in_types:
@@ -518,27 +522,46 @@ def apply_patch_changes(
     table: SnapshotTable,
     batch_id: str | None = None,
     mode: str = "mor",
+    event_filter: Column | None = None,
+    quarantine: bool = False,
     **apply_kwargs,
 ):
     """`apply_changes` for feeds carrying PARTIAL updates (op='P', null
     payload columns mean "untouched" — see ``cdc/lww.lww_resolve_patch``).
 
     A patch must merge against the CURRENT live row of its key, so this
-    wrapper (1) bucket-prune-reads the table state of exactly the
-    patch-affected keys, (2) turns live rows into anchor events at their
-    stored lsn, (3) resolves the batch with ``lww_resolve_patch`` over
-    anchors ∪ batch, and (4) hands the resulting SELF-CONTAINED I/U/D
-    rows to the ordinary ``apply_changes`` — storage rows remain whole
-    (MOR readers keep the plain row-level LWW fold; no reader change),
-    and the ledger / quarantine / lineage / schema-evolution machinery is
+    wrapper (1) runs the admission policies (event_filter, quarantine) on
+    the RAW events — a patch row's null ts passes a late-data filter, and
+    poison rows land in the dead-letter table instead of vanishing inside
+    the resolve, (2) bucket-prune-reads the table state of exactly the
+    patch-affected keys, (3) turns live rows into anchor events at their
+    stored lsn, (4) resolves admitted events with ``lww_resolve_patch``
+    over anchors ∪ batch, and (5) hands the resulting SELF-CONTAINED
+    I/U/D rows to the ordinary ``apply_changes`` — storage rows remain
+    whole (MOR readers keep the plain row-level LWW fold; no reader
+    change), with the ledger / lineage / schema-evolution machinery
     reused untouched, including exactly-once replay of the batch_id.
+    The returned counters (events_in / filtered_out / quarantined)
+    describe the RAW batch, not the resolved upsert set; the lineage
+    lsn_range describes the rows actually applied (a re-emitted stored
+    anchor can therefore carry a pre-batch lsn into the range's minimum).
 
-    Out-of-order safety is inherited: a late patch below the stored
-    anchor's lsn re-emits the stored row unchanged (read-time LWW then
-    ties on identical rows); a patch on a deleted or absent key writes
-    nothing. Cost over plain apply: one bucket-pruned state read of the
-    patch keys' buckets + the patch resolve — O(batch + touched buckets),
-    zero if the batch carries no patches.
+    SEMANTICS (apply-time supersession): a patch merges against the
+    state's effective version AT APPLY TIME. A patch below the stored
+    row's lsn — including an lsn the row gained from an EARLIER patch —
+    is treated as already superseded and re-emits the stored row
+    unchanged. This equals the exact event-fold when patches arrive in
+    per-key lsn order (what lsn-banded feeds deliver); under adversarial
+    cross-batch reordering of two patches to different columns of one
+    key, exactness would need per-column versions in storage (a
+    documented non-goal; see test_patch_lww pinning both behaviors).
+    A patch on a deleted or absent key writes nothing.
+
+    Cost over plain apply: ONE detection/stats aggregate over the
+    (persisted) batch; patch-free batches then take the plain
+    ``apply_changes`` path with no extra transformation, and patch
+    batches add the bucket-pruned state read + the resolve —
+    O(batch + touched buckets).
     """
     from .lww import lww_resolve_patch
 
@@ -549,29 +572,85 @@ def apply_patch_changes(
         )  # ledger no-op, same ApplyResult shape
     keys = list(snap.keys)
     key, nb = snap.partition_key, snap.num_buckets
-    pkeys = events.filter(F.col("op") == "P").select(*keys).distinct()
-    touched = sorted(
-        r["b"]
-        for r in pkeys.select(bucket_expr(key, nb).alias("b"))
-        .distinct()
-        .collect()
-    )
-    payload = [f.name for f in snap.schema.fields]
-    if touched:
-        state = table.read_buckets(touched, raw=True).join(
-            pkeys, on=keys, how="left_semi"
+    events = events.persist()
+    try:
+        # --- admission on RAW events + patch detection: ONE aggregate ----
+        flt = (
+            F.coalesce(event_filter, F.lit(False))
+            if event_filter is not None
+            else F.lit(True)
         )
-        anchors = state.filter(~F.col(DELETED_COL)).select(
-            F.col(LSN_COL).alias("lsn"),
-            F.lit("U").alias("op"),
-            *[F.col(c) for c in payload],
+        reason = (
+            poison_reason_expr(
+                events.schema, snap.schema, keys,
+                allowed_ops=("I", "U", "D", "P"),
+            )
+            if quarantine
+            else None
         )
-        combined = events.unionByName(anchors, allowMissingColumns=True)
-    else:
-        combined = events
-    resolved = lww_resolve_patch(
-        combined.drop("source_part"), keys=keys
-    )
-    return apply_changes(
-        resolved, table, batch_id=batch_id, mode=mode, **apply_kwargs
-    )
+        keep = flt & (reason.isNull() if reason is not None else F.lit(True))
+        agg = events.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((~flt).cast("long")).alias("n_filtered"),
+            (
+                F.sum((flt & reason.isNotNull()).cast("long"))
+                if reason is not None
+                else F.lit(0)
+            ).alias("n_quar"),
+            F.collect_set(
+                F.when(keep & (F.col("op") == "P"), bucket_expr(key, nb))
+            ).alias("pbuckets"),
+        ).collect()[0]
+        n_filtered = int(agg["n_filtered"] or 0)
+        n_quar = int(agg["n_quar"] or 0)
+        if reason is not None and n_quar > 0:
+            table.quarantine_append(
+                events.filter(flt & reason.isNotNull()).select(
+                    F.lit(str(batch_id)).alias("batch_id"),
+                    reason.alias("reason"),
+                    F.col("lsn").try_cast("long").alias("lsn"),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in events.columns])
+                    ).alias("event_json"),
+                ),
+                batch_id=batch_id,
+            )
+        admitted = (
+            events.filter(keep)
+            if (event_filter is not None or reason is not None)
+            else events
+        )
+        touched = sorted(b for b in agg["pbuckets"] if b is not None)
+        if touched:
+            pkeys = (
+                admitted.filter(F.col("op") == "P").select(*keys).distinct()
+            )
+            state = table.read_buckets(touched, raw=True).join(
+                pkeys, on=keys, how="left_semi"
+            )
+            payload = [f.name for f in snap.schema.fields]
+            anchors = state.filter(~F.col(DELETED_COL)).select(
+                F.col(LSN_COL).alias("lsn"),
+                F.lit("U").alias("op"),
+                *[F.col(c) for c in payload],
+            )
+            to_apply = lww_resolve_patch(
+                admitted.unionByName(
+                    anchors, allowMissingColumns=True
+                ).drop("source_part"),
+                keys=keys,
+            )
+        else:
+            to_apply = admitted  # patch-free: the plain path, unresolved
+        res = apply_changes(
+            to_apply, table, batch_id=batch_id, mode=mode, **apply_kwargs
+        )
+        # counters describe the RAW batch (resolution collapses rows and
+        # synthesizes anchors; those are not "events in")
+        if not res.skipped_replay and res.events_in >= 0:
+            res.events_in = int(agg["n_total"]) - n_filtered - n_quar
+            res.filtered_out = n_filtered
+            res.quarantined = n_quar
+        return res
+    finally:
+        events.unpersist(blocking=False)

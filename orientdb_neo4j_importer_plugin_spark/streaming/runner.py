@@ -158,10 +158,10 @@ class CdcStreamRunner:
         self.quarantine = quarantine
         # admit op='P' partial-update events: each micro-batch routes
         # through cdc/apply.apply_patch_changes (merge against current
-        # state, then the ordinary exactly-once apply). NB: in this mode
-        # the late-drop filter and quarantine predicates evaluate on the
-        # RESOLVED one-row-per-key upserts, not the raw partial events —
-        # the merged row is the meaningful unit for those policies here.
+        # state, then the ordinary exactly-once apply). The late-drop
+        # filter and quarantine predicates evaluate on the RAW events
+        # (a patch row's null ts passes the late filter; poison rows
+        # reach the dead-letter table), same as the plain path.
         self.allow_patches = allow_patches
         self._batches_since_compact = 0
         # Ledger keys must be scoped to the checkpoint lineage: Spark batch

@@ -185,3 +185,67 @@ def test_apply_patch_before_anchor_is_merge_semantics(spark, tmp_path):
     anchor = spark.createDataFrame([("k1", 1, "I", "a0", "b0")], SCHEMA)
     apply_changes(anchor, table, batch_id="a0", mode="mor")
     assert _state(table) == {"k1": ("a0", "b0")}
+
+
+def test_apply_patch_quarantine_and_filter_on_raw_events(spark, tmp_path):
+    """Admission policies run on the RAW events in patch mode: poison rows
+    reach the dead-letter table (not swallowed by the resolve), a patch
+    row's null admission column passes the filter, and counters describe
+    the raw batch."""
+    from pyspark.sql import functions as F
+
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+
+    table = _patch_table(spark, tmp_path)
+    apply_changes(
+        spark.createDataFrame([("k1", 1, "I", "a0", "b0")], SCHEMA),
+        table, batch_id="a", mode="mor",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("k1", 10, "P", None, "b9"),   # good patch (null a: untouched)
+            ("k1", 11, "X", "zz", None),   # poison: unknown op
+            ("k1", 12, "U", "drop", "me"),  # excluded by the filter
+        ],
+        SCHEMA,
+    )
+    res = apply_patch_changes(
+        batch, table, batch_id="p", mode="mor",
+        event_filter=F.col("lsn") != 12, quarantine=True,
+        stats_via_observation=False,
+    )
+    assert _state(table) == {"k1": ("a0", "b9")}
+    assert (res.events_in, res.filtered_out, res.quarantined) == (1, 1, 1)
+    q = table.read_quarantine().collect()
+    assert len(q) == 1 and q[0]["reason"] == "bad_op"
+
+
+def test_apply_patch_below_patch_is_superseded(spark, tmp_path):
+    """Pinned apply-time supersession semantics: a cross-batch patch whose
+    lsn is above the true anchor but below a PREVIOUSLY APPLIED patch is
+    treated as superseded (exact cross-column fold would need per-column
+    versions in storage — documented non-goal)."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+
+    table = _patch_table(spark, tmp_path)
+    apply_changes(
+        spark.createDataFrame([("k1", 10, "I", "a0", "b0")], SCHEMA),
+        table, batch_id="a", mode="mor",
+    )
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 100, "P", None, "b1")], SCHEMA),
+        table, batch_id="p1", mode="mor",
+    )
+    assert _state(table) == {"k1": ("a0", "b1")}
+    # lsn 50 > anchor 10, but the row's effective version is now 100
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 50, "P", "a5", None)], SCHEMA),
+        table, batch_id="p2", mode="mor",
+    )
+    assert _state(table) == {"k1": ("a0", "b1")}  # superseded, unchanged
