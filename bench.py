@@ -250,6 +250,8 @@ def main() -> None:
         "docs_decontaminate",
         "docs_dup_components",
         "events_error_window_join",
+        "docs_vocab_topk",
+        "cdc_patch_state",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
