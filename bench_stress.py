@@ -114,9 +114,32 @@ def mor_apply_and_materialize(spark, feed, root):
 
 
 def dedup_paths(spark, docs):
+    from orientdb_neo4j_importer_plugin_spark.operators import graph as G
+    from orientdb_neo4j_importer_plugin_spark.operators import repetition as RP
+
     out = {}
     out["minhash_lsh_pairs"] = timed(lambda: _run(D.minhash_lsh_pairs(docs)))
     out["ngram_jaccard_pairs"] = timed(lambda: _run(D.ngram_jaccard_pairs(docs)))
+    # round-3 continuation additions: hygiene + clustering growth shapes
+    # hash split: replicated corpora carry string doc_ids ('12#3')
+    bench_pred = "pmod(xxhash64(cast(doc_id as string)), 41) = 0"
+    out["decontaminate"] = timed(
+        lambda: _run(
+            RP.decontaminate(
+                docs.filter(f"NOT ({bench_pred})"), docs.filter(bench_pred)
+            )
+        )
+    )
+    out["repetition_signals"] = timed(
+        lambda: _run(RP.repetition_signals(docs))
+    )
+    # components over the raw primitives: replicated corpora carry string
+    # doc_ids, so skip dup_components' long cast
+    out["dup_components"] = timed(
+        lambda: G.connected_components(
+            G.shared_shingle_edges(docs), src="doc_a", dst="doc_b"
+        ).count()
+    )
     return out
 
 
@@ -163,6 +186,9 @@ def main():
             "cdf_materialize_sec",
             "minhash_lsh_pairs",
             "ngram_jaccard_pairs",
+            "decontaminate",
+            "repetition_signals",
+            "dup_components",
             "emb_near_dup_pairs_sec",
         )
     }
