@@ -902,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents")
         ),
         "docs_train_split": lambda s, d: SM.train_split(_read(s, d, "documents")),
+        "docs_quality_weighted_sample": lambda s, d: SM.quality_weighted_sample(
+            _read(s, d, "documents")
+        ),
         "docs_pack_sequences": lambda s, d: SM.pack_documents(
             _read(s, d, "documents")
         ),
@@ -1050,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_training_pipeline": PL.training_pipeline_sql(),
         "docs_stratified_sample": SM.stratified_sample_sql(),
         "docs_train_split": SM.train_split_sql(),
+        "docs_quality_weighted_sample": SM.quality_weighted_sample_sql(),
         "docs_pack_sequences": SM.pack_documents_sql(),
         "dedup_exact_groups": f"""
             SELECT {h64_sql("text")} AS content_hash,

@@ -191,3 +191,56 @@ SELECT doc_id, bucket, n_tokens,
 FROM base
 ORDER BY doc_id
 """
+
+
+def quality_weighted_sample(
+    documents: DataFrame, floor_bp: int = 500, cap_bp: int = 10_000
+) -> DataFrame:
+    """Quality-PROPORTIONAL deterministic downsampling: each document's
+    keep probability is its quality score itself (basis points of 10000,
+    `textstats.quality_exprs`), clamped to [floor_bp, cap_bp] — high-
+    quality text survives near-certainly, boilerplate is thinned in
+    proportion, and nothing is ever fully censored (the floor keeps a
+    diversity trickle). Keep iff hash-bucket(doc_id) < clamp(quality_bp).
+
+    Same determinism contract as the other samplers: membership is a pure
+    function of doc_id, reproducible across engines/partitionings, and
+    incremental-friendly. Columns: doc_id, quality_bp (the applied keep
+    probability in bp). Row-local filter — zero shuffles.
+    """
+    from .textstats import quality_exprs
+
+    q = quality_exprs()["quality_bp"]
+    keep_bp = F.greatest(
+        F.lit(int(floor_bp)), F.least(q, F.lit(int(cap_bp)))
+    ).cast("long")
+    return (
+        documents.select(
+            "doc_id",
+            keep_bp.alias("quality_bp"),
+            _bucket(F.col("doc_id")).alias("__b"),
+        )
+        .filter(F.col("__b") < F.col("quality_bp"))
+        .select("doc_id", "quality_bp")
+    )
+
+
+def quality_weighted_sample_sql(
+    floor_bp: int = 500, cap_bp: int = 10_000
+) -> str:
+    """DuckDB twin of ``quality_weighted_sample`` (ORDER BY doc_id)."""
+    from .textstats import QUALITY_BP_SQL, QUALITY_CTES_SQL
+
+    return f"""
+WITH {QUALITY_CTES_SQL},
+w AS (
+  SELECT doc_id,
+         CAST(greatest({int(floor_bp)},
+                       least({QUALITY_BP_SQL}, {int(cap_bp)})) AS BIGINT)
+           AS quality_bp
+  FROM bp
+)
+SELECT doc_id, quality_bp FROM w
+WHERE {_bucket_sql("doc_id")} < quality_bp
+ORDER BY doc_id
+"""

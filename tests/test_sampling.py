@@ -72,3 +72,32 @@ def test_pack_documents_invariants(spark, sf_dir):
         assert pids == set(range(max(pids) + 1)), (bkt, sorted(pids))
     # every document packed exactly once
     assert len(out) == docs.count()
+
+
+def test_quality_weighted_sample_proportional_and_stable(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    # high-quality docs: long, stopword-rich; junk: short, punct-heavy
+    good = "the quick brown fox jumps over the lazy dog and runs on " * 8
+    junk = "!!! ??? ,,, ;;;"
+    docs = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else junk) for i in range(2000)],
+        "doc_id long, text string",
+    )
+    kept = quality_weighted_sample(docs).collect()
+    by_parity = {0: 0, 1: 0}
+    for r in kept:
+        by_parity[r["doc_id"] % 2] += 1
+    # quality-proportional: good docs survive at a much higher rate, junk
+    # is thinned but NOT censored (floor keeps a trickle)
+    assert by_parity[0] > 800  # good: near-certain keep
+    assert 0 < by_parity[1] < 200  # junk: floor-rate trickle
+    # clamp respected on the emitted keep probability
+    assert all(500 <= r["quality_bp"] <= 10_000 for r in kept)
+    # deterministic under repartition
+    again = quality_weighted_sample(docs.repartition(13)).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in kept
+    )
