@@ -560,6 +560,39 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_tsrange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range read over NON-KEY column stats: apply the feed as
+    out-of-order MOR batches, compact (tight per-file stats for every
+    payload column, ts included — timestamps are written TIMESTAMP_MICROS
+    so parquet footers carry min/max), then read_colrange over a ts band.
+    Only files whose recorded ts bounds overlap the band are read in
+    delta-free buckets (test_maintain proves the skipping; this row
+    proves the VALUES against the oracle's time-filtered LWW state)."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tsr_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="t1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="t0", mode="mor")
+    table.compact(max_file_rows=2000)
+    return (
+        table.read_colrange("ts", "1994-03-01 00:00:00", "1994-09-30 00:00:00")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_TSRANGE_SQL = f"""
+{_STATE_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM state
+WHERE ts BETWEEN TIMESTAMP '1994-03-01 00:00:00' AND TIMESTAMP '1994-09-30 00:00:00'
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _mvj_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two join-view contract queries: transcripts
     (fact, from lineitem) + per-conversation metadata (changing dimension,
@@ -736,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join": cdc_incremental_view_join,
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
+        "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_patch_state": cdc_patch_state,
         "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
@@ -988,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join": CDC_MVJ_SQL,
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
+        "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),

@@ -82,6 +82,81 @@ DELETED_COL = "__deleted"
 META_COLS = [LSN_COL, DELETED_COL]
 
 
+_STAT_STR_LIMIT = 64  # manifest string bounds are truncated to this length
+
+
+class _ts_micros:
+    """Write parquet timestamps as TIMESTAMP_MICROS for the duration of a
+    data-file write. Spark's default INT96 encoding carries NO parquet
+    min/max statistics, which would leave every timestamp column boundless
+    in the manifests and defeat time-range file skipping (read_colrange).
+    Micros is also what Iceberg mandates; INT96 is deprecated. Set/restore
+    so the caller's session conf is untouched."""
+
+    KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, "TIMESTAMP_MICROS")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)
+
+
+def _stat_norm(v):
+    """Normalize a parquet footer stat into a JSON-safe, order-preserving
+    python value: timestamps -> epoch micros (int, exact), dates -> ISO
+    strings (lexicographic == chronological), str/int/float as-is.
+    None = not representable (bytes, bools, ...) — the column stays
+    boundless (conservative)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (str, int, float)):
+        return v
+    return None
+
+
+def _trunc_lo(v):
+    """Truncate a LOWER string bound: a prefix sorts <= the original, so it
+    stays a valid lower bound."""
+    if isinstance(v, str) and len(v) > _STAT_STR_LIMIT:
+        return v[:_STAT_STR_LIMIT]
+    return v
+
+
+def _trunc_hi(v):
+    """Truncate an UPPER string bound Iceberg-style: cut to the limit, then
+    increment the last incrementable code point so the result sorts >= any
+    string with the cut prefix. None when every char is at the max code
+    point (no valid short upper bound exists — caller drops the bound)."""
+    if not (isinstance(v, str) and len(v) > _STAT_STR_LIMIT):
+        return v
+    t = v[:_STAT_STR_LIMIT]
+    for i in range(len(t) - 1, -1, -1):
+        c = ord(t[i])
+        if c >= 0x10FFFF:
+            continue
+        nxt = c + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000  # skip the surrogate gap (unencodable)
+        return t[:i] + chr(nxt)
+    return None
+
+
 def bucket_expr(key_col: str, num_buckets: int):
     """Deterministic hash bucket of the partition key.
 
@@ -481,18 +556,25 @@ class SnapshotTable:
     @staticmethod
     def _footer_stats(paths: list[str], key_col: str | None = None) -> dict[str, dict]:
         """Per-file stats from parquet footers: row count, __lsn min/max,
-        tombstone presence, and (when `key_col` is given) the partition
-        key's min/max — the in-bucket file-skipping index for point
-        lookups. Driver-side footer reads, O(files per commit) — on a real
-        cluster these come back from the write tasks instead; the footer
-        read is the single-node stand-in (same information)."""
+        tombstone presence, (when `key_col` is given) the partition key's
+        min/max — the in-bucket file-skipping index for point lookups —
+        and min/max bounds for EVERY other top-level primitive column
+        under ``"cols"`` (the Iceberg data-file column-stats analogue;
+        what ``read_colrange`` prunes on for time-windowed reads; the
+        reference indexes non-key properties for the same query class,
+        ``ONeo4jImporterVerticesAndEdgesMigrator.java:394-401``).
+        Driver-side footer reads, O(files per commit) — on a real cluster
+        these come back from the write tasks instead; the footer read is
+        the single-node stand-in (same information)."""
         import pyarrow.parquet as pq
 
-        # manifest stats are JSON; only record key bounds whose python type
-        # round-trips exactly (str/int/float). Parquet string stats may be
-        # TRUNCATED, but truncation only ever widens the range (min rounded
-        # down, max rounded up), so stored bounds stay valid bounds.
-        _json_safe = (str, int, float)
+        # manifest stats are JSON; only record bounds whose normalized
+        # python type round-trips exactly (str/int/float; timestamps are
+        # normalized to epoch-micros ints, dates to ISO strings — both
+        # order-preserving). Parquet string stats may be TRUNCATED, but
+        # truncation only ever widens the range (min rounded down, max
+        # rounded up), so stored bounds stay valid bounds; our own
+        # truncation (_trunc_lo/_trunc_hi) follows the same discipline.
         out: dict[str, dict] = {}
         for p in paths:
             try:
@@ -500,10 +582,10 @@ class SnapshotTable:
             except Exception:
                 continue  # stats are an optimization, never a correctness gate
             lsn_min = lsn_max = None
-            key_min = key_max = None
-            key_rgs = 0
             tomb = False
             del_rgs = 0
+            # col -> [min, max, row groups with stats] in normalized domain
+            bounds: dict[str, list] = {}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -511,26 +593,25 @@ class SnapshotTable:
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         continue
-                    if col.path_in_schema == LSN_COL:
+                    name = col.path_in_schema
+                    if name == LSN_COL:
                         lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
                         lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
-                    elif col.path_in_schema == DELETED_COL:
+                    elif name == DELETED_COL:
                         del_rgs += 1
                         tomb = tomb or bool(st.max)
-                    elif key_col is not None and col.path_in_schema == key_col:
-                        if (
-                            isinstance(st.min, _json_safe)
-                            and isinstance(st.max, _json_safe)
-                            and not isinstance(st.min, bool)
-                            and not isinstance(st.max, bool)
-                        ):
-                            key_rgs += 1
-                            key_min = (
-                                st.min if key_min is None else min(key_min, st.min)
-                            )
-                            key_max = (
-                                st.max if key_max is None else max(key_max, st.max)
-                            )
+                    elif "." not in name:  # top-level primitives only
+                        lo = _stat_norm(st.min)
+                        hi = _stat_norm(st.max)
+                        if lo is None or hi is None:
+                            bounds.pop(name, None)  # poison: stays unknown
+                            bounds[name] = [None, None, -1]
+                            continue
+                        b = bounds.setdefault(name, [lo, hi, 0])
+                        if b[2] >= 0:
+                            b[0] = min(b[0], lo)
+                            b[1] = max(b[1], hi)
+                            b[2] += 1
             # tombstones: True / False (every row group had stats) / None
             # (UNKNOWN — some row group lacked __deleted stats; consumers
             # must treat unknown conservatively, never as "no tombstones")
@@ -542,11 +623,19 @@ class SnapshotTable:
                 if tomb
                 else (False if del_rgs == md.num_row_groups else None),
             }
-            # key bounds are only trustworthy if EVERY row group had them —
-            # a partial range would wrongly exclude files on lookup
-            if key_col is not None and key_rgs == md.num_row_groups:
-                out[p]["key_min"] = key_min
-                out[p]["key_max"] = key_max
+            # bounds are only trustworthy if EVERY row group had them —
+            # a partial range would wrongly exclude files on read
+            cols = {}
+            for name, (lo, hi, rgs) in bounds.items():
+                if rgs != md.num_row_groups:
+                    continue
+                lo, hi = _trunc_lo(lo), _trunc_hi(hi)
+                if hi is not None:  # hi=None: increment overflow -> unknown
+                    cols[name] = [lo, hi]
+            if cols:
+                out[p]["cols"] = cols
+            if key_col is not None and key_col in cols:
+                out[p]["key_min"], out[p]["key_max"] = cols[key_col]
         return out
 
     def _resolve_manifests(self, snap: Snapshot) -> None:
@@ -896,6 +985,81 @@ class SnapshotTable:
         pk = F.col(snap.partition_key)
         return df.filter(
             (pk >= F.lit(lo).cast(pk_type)) & (pk <= F.lit(hi).cast(pk_type))
+        )
+
+    def read_colrange(
+        self, col: str, lo: Any, hi: Any, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Non-key column range scan (time-windowed reads): live rows with
+        lo <= col <= hi, skipping files whose recorded column bounds
+        cannot overlap the range. The lake analogue of the reference's
+        non-key NOTUNIQUE index used for provenance queries
+        (``ONeo4jImporterVerticesAndEdgesMigrator.java:394-401``); Iceberg
+        column-stats file skipping is the format analogue.
+
+        SOUNDNESS under the LWW merge: a non-key predicate says nothing
+        about WHERE a key's other storage rows live, so pruning is only
+        legal where each key has at most ONE storage row — i.e. in
+        buckets with no delta files (base files hold <=1 row/key by
+        invariant). Buckets that currently carry deltas are read in full
+        and resolved normally; compaction restores their skipping. The
+        residual predicate filters exactly either way.
+
+        For timestamp/date columns, lo/hi accept python datetime/date or
+        ISO strings. Compaction clusters files by primary key, so skipping
+        is effective when the column correlates with the key (the common
+        time-series shape: conversations are contiguous in time); for
+        uncorrelated columns it degrades to a full scan, never to a wrong
+        answer."""
+        import datetime as _dt
+
+        from pyspark.sql.types import DateType, TimestampType
+
+        snap = snapshot or self.current()
+        if col == snap.partition_key:
+            return self.read_keyrange(lo, hi, snapshot=snap)
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        if col not in types:
+            raise ValueError(f"not a table column: {col!r}")
+        self._resolve_manifests(snap)
+
+        def qnorm(v):
+            if isinstance(v, str) and isinstance(types[col], TimestampType):
+                v = _dt.datetime.fromisoformat(v)
+            if isinstance(v, str) and isinstance(types[col], DateType):
+                v = _dt.date.fromisoformat(v)
+            return _stat_norm(v)
+
+        nlo, nhi = qnorm(lo), qnorm(hi)
+
+        def overlaps(f: str) -> bool:
+            if nlo is None or nhi is None:
+                return True  # unnormalizable query bound: no skipping
+            s = self._stats_cache.get(f)
+            b = (s or {}).get("cols", {}).get(col)
+            if not b or b[0] is None or b[1] is None:
+                return True  # no recorded bounds: conservative keep
+            try:
+                return not (b[1] < nlo or b[0] > nhi)
+            except TypeError:
+                return True
+        base: list[str] = []
+        deltas: list[str] = []
+        for b in set(snap.buckets) | set(snap.deltas):
+            dfs = snap.deltas.get(b, [])
+            bfs = snap.buckets.get(b, [])
+            if dfs:
+                # merge-on-read bucket: keys span base+delta files — no
+                # file-level pruning on a non-key column is sound here
+                base.extend(bfs)
+                deltas.extend(dfs)
+            else:
+                base.extend(f for f in bfs if overlaps(f))
+        df = self._merged_from_files(sorted(base), sorted(deltas), snap, raw=False)
+        c = F.col(col)
+        ctype = types[col]
+        return df.filter(
+            (c >= F.lit(lo).cast(ctype)) & (c <= F.lit(hi).cast(ctype))
         )
 
     def _route_bucket(self, value: Any, pk_type, num_buckets: int) -> int:
@@ -1390,7 +1554,8 @@ class SnapshotTable:
         writer = new_data.write.partitionBy(BUCKET_COL).mode("error")
         if max_file_rows is not None:
             writer = writer.option("maxRecordsPerFile", max_file_rows)
-        writer.parquet(out_dir)
+        with _ts_micros(self.spark):
+            writer.parquet(out_dir)
         bucket_files: dict[str, list[str]] = {str(b): [] for b in touched_buckets}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
@@ -1541,7 +1706,8 @@ class SnapshotTable:
         # -> O(partitions x buckets) tiny delta files per batch. AQE coalesces
         # the repartition to few tasks for small batches.
         winners = winners.repartition(F.col(BUCKET_COL))
-        winners.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
+        with _ts_micros(self.spark):
+            winners.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
         added: dict[str, list[str]] = {}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
@@ -1676,6 +1842,7 @@ class SnapshotTable:
         changelog_workers: int = 8,
         expire_keep_last: int | None = None,
         orphans_older_than_sec: float | None = None,
+        tombstone_below_lsn: int | None = None,
     ) -> dict[str, Any]:
         """One maintenance pass — the background loop a real deployment
         schedules between (or alongside) ingest batches:
@@ -1684,10 +1851,16 @@ class SnapshotTable:
            `compact_if_deltas` files (MOR read cost is O(deltas) per
            bucket until folded; buckets below the threshold are left
            alone — no write amplification for cold buckets),
-        2. MATERIALIZE pending row-level changelogs (after compaction, so
-           the compaction commit's empty diff is covered too, and BEFORE
-           any expiry — materializing version v reads snapshots v-1, v),
-        3. optionally EXPIRE old snapshots and VACUUM orphan files.
+        2. optionally VACUUM expirable tombstones (after compaction so
+           the rewrite folds both; `tombstone_below_lsn` is the caller's
+           replication-lag low-watermark — the committed lsn below which
+           no out-of-order event can still arrive; see SCALE.md retention
+           policy). Candidate buckets are found metadata-only from
+           per-file tombstone/lsn stats,
+        3. MATERIALIZE pending row-level changelogs (after the rewrites,
+           so their empty diffs are covered too, and BEFORE any expiry —
+           materializing version v reads snapshots v-1, v),
+        4. optionally EXPIRE old snapshots and VACUUM orphan files.
 
         Each step is the existing idempotent primitive; the method only
         sequences them safely. Returns a per-step summary dict."""
@@ -1699,6 +1872,10 @@ class SnapshotTable:
         if backlog:
             self.compact(sorted(backlog), max_file_rows=max_file_rows)
         summary["compacted_buckets"] = sorted(backlog)
+        if tombstone_below_lsn is not None:
+            v_before = self.current().version
+            v_after = self.vacuum_tombstones(tombstone_below_lsn).version
+            summary["tombstones_vacuumed"] = v_after > v_before
         if changelog:
             summary["changelog_versions"] = self.materialize_changelog(
                 max_workers=changelog_workers

@@ -350,3 +350,53 @@ def test_rebucket_preserves_state(spark, tmp_path):
     assert ok, msg
     # no-op when already at the target count
     assert table.rebucket(16).version == table.current().version
+
+
+def test_numeric_widening_through_apply(spark, tmp_path):
+    """Lossless numeric widening (int->long, float->double) flows through
+    batch apply: the table type widens, old files read through the widened
+    schema, and values beyond the narrow range round-trip exactly. The
+    lossless subset of the reference's tolerated numeric coercions
+    (Migrator.java:313-327)."""
+    from pyspark.sql.types import (
+        FloatType,
+        IntegerType,
+        LongType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("val", IntegerType(), True),
+            StructField("x", FloatType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_widen"), schema, "k", num_buckets=4,
+        key_columns=["k"],
+    )
+    b1 = spark.createDataFrame(
+        [(1, "I", "a", 5, 1.5), (2, "I", "b", 6, 2.5)],
+        "lsn long, op string, k string, val int, x float",
+    )
+    apply_changes(b1, table, batch_id="w1", mode="mor")
+    big = 2**40
+    b2 = spark.createDataFrame(
+        [(3, "I", "c", big, 0.25)],
+        "lsn long, op string, k string, val long, x double",
+    )
+    apply_changes(b2, table, batch_id="w2", mode="mor")
+    cur = table.current().schema
+    assert cur["val"].dataType == LongType()
+    assert cur["x"].dataType == DoubleType()
+    got = sorted((r.k, r.val, r.x) for r in table.read().collect())
+    assert got == [("a", 5, 1.5), ("b", 6, 2.5), ("c", big, 0.25)]
+    # compaction rewrites old int32 files through the widened schema
+    table.compact()
+    assert sorted((r.k, r.val, r.x) for r in table.read().collect()) == got
+    # point lookup through the widened read path
+    assert table.lookup({"k": "a"}).collect()[0]["val"] == 5

@@ -114,3 +114,147 @@ def test_read_keyrange_without_stats_is_correct(spark, tmp_path):
         s.pop("key_max", None)
     got = {r["user_id"] for r in table.read_keyrange(10, 20).collect()}
     assert got == set(range(10, 21))
+
+
+def _ts_table(spark, tmp_path, n=200, batches=4):
+    """Table whose ts correlates with the key (the time-series shape):
+    compaction's key-clustering then gives tight per-file ts bounds."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tsmt"), schema, "user_id",
+        num_buckets=8, key_columns=["user_id"],
+    )
+    events = spark.range(n).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0)"
+        ).alias("ts"),
+    )
+    per = n // batches
+    for i in range(batches):
+        apply_changes(
+            events.filter(f"user_id >= {i * per} and user_id < {(i + 1) * per}"),
+            table,
+            batch_id=f"t{i}",
+            mode="mor",
+        )
+    return table
+
+
+def test_read_colrange_skips_files_and_matches_filter(spark, tmp_path):
+    import datetime as dt
+
+    table = _ts_table(spark, tmp_path)
+    table.compact(max_file_rows=10)  # tight per-file bounds
+    lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+    df = table.read_colrange("ts", lo, hi)
+    got = {(r["user_id"], r["name"], r["ts"]) for r in df.collect()}
+    want = {
+        (r["user_id"], r["name"], r["ts"])
+        for r in table.read()
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .collect()
+    }
+    assert got == want and got
+    total = len(table.current().base_files(None))
+    assert len(df.inputFiles()) < total, "ts-range scan read every file"
+    # string bounds accepted for timestamp columns
+    df2 = table.read_colrange("ts", "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    assert {(r["user_id"], r["name"], r["ts"]) for r in df2.collect()} == want
+
+
+def test_read_colrange_without_stats_is_correct(spark, tmp_path):
+    table = _ts_table(spark, tmp_path, batches=2)
+    table.compact()
+    for f, s in table._stats_cache.items():
+        s.pop("cols", None)
+    got = {r["user_id"] for r in table.read_colrange(
+        "ts", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    ).collect()}
+    assert got == set(range(24, 49))  # hours 24..48 inclusive
+
+
+def test_read_colrange_mor_bucket_is_not_pruned(spark, tmp_path):
+    """SOUNDNESS: with deltas present, a key's winner (ts OUT of range)
+    may sit in a delta file while a stale base loser (ts IN range) sits in
+    a base file whose bounds overlap the band. File pruning on a non-key
+    column must not resurrect the loser — buckets with deltas are read in
+    full and LWW-merged."""
+    import datetime as dt
+
+    table = _ts_table(spark, tmp_path, n=50, batches=1)
+    table.compact(max_file_rows=5)  # losers now in base files
+    updates = spark.range(50).select(
+        (F.col("id") + 1000).alias("lsn"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("v2_"), F.col("id").cast("string")).alias("name"),
+        # winners move OUT of the queried band
+        F.lit(dt.datetime(2030, 1, 1)).alias("ts"),
+    )
+    apply_changes(updates, table, batch_id="mv", mode="mor")
+    df = table.read_colrange("ts", "2024-01-01 00:00:00", "2024-01-09 00:00:00")
+    assert df.count() == 0, "stale base rows surfaced past their delta winners"
+    # and the winners are visible in their own band
+    got = table.read_colrange("ts", "2029-12-31 00:00:00", "2030-01-02 00:00:00")
+    assert got.count() == 50
+
+
+def test_read_colrange_delegates_key_and_rejects_unknown(spark, tmp_path):
+    table = _ts_table(spark, tmp_path, n=40, batches=1)
+    got = {r["user_id"] for r in table.read_colrange("user_id", 5, 9).collect()}
+    assert got == set(range(5, 10))
+    try:
+        table.read_colrange("nope", 0, 1)
+        raise AssertionError("expected ValueError for unknown column")
+    except ValueError:
+        pass
+
+
+def test_maintain_sequences_tombstone_vacuum(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.table import (
+        DELETED_COL,
+        LSN_COL,
+    )
+
+    table = _long_key_table(spark, tmp_path, batches=2)
+    deletes = spark.range(30).select(
+        (F.col("id") + 10_000).alias("lsn"),
+        F.lit("D").alias("op"),
+        F.col("id").alias("user_id"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    apply_changes(deletes, table, batch_id="del", mode="mor")
+    before = {(r["user_id"], r["name"]) for r in table.read().collect()}
+    n_tombs = table.read(raw=True).filter(F.col(DELETED_COL)).count()
+    assert n_tombs == 30
+    s = table.maintain(
+        compact_if_deltas=1, tombstone_below_lsn=20_000, changelog=True
+    )
+    assert s["tombstones_vacuumed"] is True
+    assert table.read(raw=True).filter(F.col(DELETED_COL)).count() == 0
+    assert {(r["user_id"], r["name"]) for r in table.read().collect()} == before
+    # watermark respected: a second pass below every remaining lsn is a no-op
+    v = table.current().version
+    s2 = table.maintain(compact_if_deltas=100, tombstone_below_lsn=0)
+    assert s2["tombstones_vacuumed"] is False
+    assert table.current().version == v
+    # replay invariant: the vacuumed-away delete batch is still in the ledger
+    assert table.is_batch_committed("del")

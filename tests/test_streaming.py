@@ -286,3 +286,71 @@ def test_stream_with_patch_events(spark, tmp_path):
         for r in runner.table.read().collect()
     }
     assert got == {("c1", 0): ("user", "patched")}
+
+
+def test_stream_restart_with_widened_schema(spark, tmp_path):
+    """A feed whose numeric column widened (int -> long) between deploys:
+    the restarted stream evolves the table type losslessly and pre-widening
+    rows stay readable — no SchemaEvolutionError, no reload."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    payload_v1 = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("score", IntegerType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    payload_v2 = StructType(
+        [f if f.name != "score" else StructField("score", LongType(), True)
+         for f in payload_v1.fields]
+    )
+    from orientdb_neo4j_importer_plugin_spark.schema import change_event_schema
+
+    ts = datetime.datetime(2024, 1, 1)
+    feed_dir = str(tmp_path / "wfeed")
+    os.makedirs(feed_dir)
+    spark.createDataFrame(
+        [(i, "I", 0, f"c{i}", 0, i * 10, ts) for i in range(4)],
+        change_event_schema(payload_v1),
+    ).coalesce(1).write.parquet(feed_dir + "/chunk-000")
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t_widen_stream"), payload_v1, "conv_id",
+        num_buckets=4,
+    )
+    r1 = CdcStreamRunner(
+        spark, feed_dir + "/chunk-000", table,
+        checkpoint_dir=str(tmp_path / "ck_w1"),
+        event_schema=change_event_schema(payload_v1),
+        status_path=str(tmp_path / "st_w1.json"),
+    )
+    m1 = r1.run_to_completion(timeout_sec=300)
+    assert m1.status == "FINISHED" and m1.events_in == 4
+
+    big = 2**40
+    spark.createDataFrame(
+        [(100, "I", 0, "c_big", 0, big, ts)],
+        change_event_schema(payload_v2),
+    ).coalesce(1).write.parquet(feed_dir + "/chunk-001")
+    r2 = CdcStreamRunner(
+        spark, feed_dir + "/chunk-001", table,
+        checkpoint_dir=str(tmp_path / "ck_w2"),
+        event_schema=change_event_schema(payload_v2),
+        status_path=str(tmp_path / "st_w2.json"),
+    )
+    m2 = r2.run_to_completion(timeout_sec=300)
+    assert m2.status == "FINISHED" and m2.events_in == 1
+    from pyspark.sql.types import LongType as _LT
+
+    assert table.current().schema["score"].dataType == _LT()
+    got = sorted((r.conv_id, r.score) for r in table.read().collect())
+    assert got == [("c0", 0), ("c1", 10), ("c2", 20), ("c3", 30), ("c_big", big)]
