@@ -44,6 +44,10 @@ from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
 EMB_DIM = 64
 EMB_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_TOPK = 5
+# Pinned LSH configurations (fixed-text-oracle rule: the SQL twin needs
+# static constants, so the contract passes them explicitly on both sides).
+LSH_TOPK_TABLES, LSH_TOPK_PLANES = 12, 3  # lsh_scale_params fixed point n<=1024
+LSH_MULTI_TABLES, LSH_MULTI_PLANES = 8, 4  # measured recall-1.0 explicit point
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -995,12 +999,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings"), dim=EMB_DIM,
             tables=V.NEAR_DUP_TABLES, planes=V.NEAR_DUP_PLANES,
         ),
-        # approximate / array-valued: rows-only checks (no SQL twin)
-        "emb_lsh_topk": lambda s, d: V.lsh_topk(
-            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+        # LSH top-k: both entries run the multi-table+multiprobe path with
+        # PINNED (tables, planes) matching their fixed-text SQL twins.
+        # emb_lsh_topk pins the lsh_scale_params fixed point for n <= 1024
+        # (what the no-argument default derives at the contract scales);
+        # emb_lsh_topk_multi pins the measured recall-1.0 explicit point.
+        # The old single-table default measured recall 0.0-0.16 in the
+        # bench's hard regime — retired from the contract (the function
+        # keeps it behind an explicit `planes=` for the bench curve).
+        "emb_lsh_topk": lambda s, d: V.lsh_topk_multi(
+            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM,
+            tables=LSH_TOPK_TABLES, planes=LSH_TOPK_PLANES,
         ),
         "emb_lsh_topk_multi": lambda s, d: V.lsh_topk_multi(
-            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+            _read(s, d, "embeddings"), EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM,
+            tables=LSH_MULTI_TABLES, planes=LSH_MULTI_PLANES,
         ),
         "emb_centroid_by_label": lambda s, d: V.centroid_by_label_str(
             _read(s, d, "embeddings"), dim=EMB_DIM
@@ -1105,9 +1118,13 @@ def oracle_sql() -> dict[str, str]:
             EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
         ),
         "emb_near_dup_pairs": V.near_dup_pairs_sql(dim=EMB_DIM),
-        "emb_lsh_topk": V.lsh_topk_sql(EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM),
+        "emb_lsh_topk": V.lsh_topk_multi_sql(
+            EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM,
+            tables=LSH_TOPK_TABLES, planes=LSH_TOPK_PLANES,
+        ),
         "emb_lsh_topk_multi": V.lsh_topk_multi_sql(
-            EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM
+            EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM,
+            tables=LSH_MULTI_TABLES, planes=LSH_MULTI_PLANES,
         ),
         "emb_centroid_by_label": V.centroid_by_label_str_sql(dim=EMB_DIM),
         "emb_ivf_topk": V.ivf_topk_sql(EMB_QUERY_IDS, EMB_TOPK, dim=EMB_DIM),

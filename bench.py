@@ -171,6 +171,16 @@ def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
             for r in V.lsh_topk(emb, qids, k, dim=dim, planes=planes).collect()
         }
         topk_recall[str(planes)] = round(len(got & brute) / max(len(brute), 1), 3)
+    # the DEFAULT (untuned) paths — what a user gets with no planes/tables:
+    # lsh_scale_params-derived multi-table. This is the contract-quality
+    # gate: no ANN entry may measure recall < 0.6 at its own defaults.
+    defaults_recall = {}
+    for name, fn in (
+        ("lsh_topk", lambda: V.lsh_topk(emb, qids, k, dim=dim)),
+        ("lsh_topk_multi", lambda: V.lsh_topk_multi(emb, qids, k, dim=dim)),
+    ):
+        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        defaults_recall[name] = round(len(got & brute) / max(len(brute), 1), 3)
     multi_recall = {}
     for tables, planes, probes in ((8, 8, 1), (8, 4, 1), (4, 8, 1)):
         got = {
@@ -197,6 +207,7 @@ def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
     lsh = {(r.vec_a, r.vec_b) for r in V.near_dup_pairs(sub, dim=dim).collect()}
     return {
         "lsh_topk_recall_at_5_by_planes": topk_recall,
+        "lsh_topk_recall_at_5_defaults": defaults_recall,
         "lsh_topk_multi_recall_at_5": multi_recall,
         "ivf_topk_recall_at_5": ivf_recall,
         "near_dup_pair_recall": round(len(lsh & exact) / max(len(exact), 1), 3),

@@ -203,20 +203,28 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 5,
     dim: int = 128,
-    planes: int = LSH_PLANES,
+    planes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate LSH top-k. Same output columns as brute_force_topk.
 
-    Same output columns as brute_force_topk. Recall < 1 by construction; at
-    scale the bucket column is precomputed/partitioned-on so a query touches
-    1/2^planes of the corpus.
+    DEFAULTS (planes=None) derive (tables, planes) from the corpus size
+    via the `lsh_scale_params` scaling law and run the multi-table +
+    multiprobe path — a user calling this untuned gets the production
+    configuration (measured recall 1.0 on the bench's adversarial
+    low-cosine regime), at one extra count() job (columnar metadata-only).
 
-    NOTE: single-table LSH is the pedagogical baseline, kept for the
-    recall-vs-planes bench curve — measured recall@5 is 0.16 at planes=4
-    and 0 at 8/12 on the bench regime. Production ANN should use
-    `lsh_topk_multi` (multi-table + multiprobe, measured recall 1.0 at
-    tables=8/planes=4) or `ivf_topk`.
+    Passing EXPLICIT `planes` selects the single-table pedagogical
+    baseline, kept only for the recall-vs-planes bench curve — measured
+    recall@5 is 0.16 at planes=4 and 0 at 8/12 on the bench regime: a
+    query's true neighbors at low cosine rarely share all `planes` sign
+    bits with it in ONE plane family. Never use it untuned in production;
+    that is exactly the silent-low-recall trap the default now avoids.
     """
+    if planes is None:
+        tables, planes = lsh_scale_params(embeddings.count())
+        return lsh_topk_multi(
+            embeddings, query_ids, k, dim=dim, planes=planes, tables=tables
+        )
     withb = embeddings.withColumn(
         "bucket", lsh_bucket_expr(F.col("embedding"), dim, planes)
     )
@@ -313,8 +321,8 @@ def lsh_topk_multi(
     query_ids: list[int],
     k: int = 5,
     dim: int = 128,
-    planes: int = LSH_PLANES,
-    tables: int = 8,
+    planes: int | None = None,
+    tables: int | None = None,
     probes: int = 1,
 ) -> DataFrame:
     """Multi-table + multiprobe hyperplane-LSH top-k — the production ANN
@@ -326,12 +334,23 @@ def lsh_topk_multi(
     p^planes + planes*p^(planes-1)*(1-p) at (1+planes)/2^planes of the
     corpus scanned.
 
+    When planes/tables are omitted they derive from the corpus size via
+    `lsh_scale_params` (one count() job): the old static default (8, 8)
+    measured recall 0.6 on the bench's hard regime while the derived
+    point measures 1.0 — and fixed planes are a scale cliff (bucket
+    occupancy grows with n; planes must grow log2(n) to keep the
+    candidate join linear).
+
     Scale shape: the corpus is bucketed ONCE per table (one Arrow-batched
     matmul, posexplode to (table, bucket) rows); only the tiny query side
     explodes by the probe count and broadcasts. Candidates dedup on the id
     pair, then exact cosine re-ranks — identical output contract to
     brute_force_topk. Columns: query_id, rank, neighbor_id, cosine.
     """
+    if planes is None or tables is None:
+        dt, dp = lsh_scale_params(embeddings.count())
+        planes = dp if planes is None else planes
+        tables = dt if tables is None else tables
     buckets_udf = lsh_buckets_vectorized(dim, tables, planes)
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
