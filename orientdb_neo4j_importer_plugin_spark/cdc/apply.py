@@ -40,6 +40,7 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..lake.table import (
     BUCKET_COL,
+    COL_LSNS_COL,
     DELETED_COL,
     LSN_COL,
     SnapshotTable,
@@ -203,7 +204,8 @@ def apply_changes(
         [
             StructField(f.name, f.dataType, f.name not in keys)
             for f in events.schema.fields
-            if f.name not in CDC_META_COLUMNS
+            # __col_lsns is row metadata from the patch resolve, never payload
+            if f.name not in CDC_META_COLUMNS and f.name != COL_LSNS_COL
         ]
     )
     schema = table.evolve_schema(incoming_payload) if evolve_schema else snap.schema
@@ -374,14 +376,19 @@ def apply_changes(
     types = {f.name: f.dataType for f in schema.fields}
 
     def to_storage(df: DataFrame) -> DataFrame:
+        meta = [
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+        ]
+        if COL_LSNS_COL in df.columns:  # patch resolve: persist the vector
+            meta.append(F.col(COL_LSNS_COL))
         return df.select(
             *[
                 F.col(c).cast(types[c]).alias(c)
                 for c in payload_cols
                 if c in df.columns
             ],
-            F.col("lsn").alias(LSN_COL),
-            (F.col("op") == "D").alias(DELETED_COL),
+            *meta,
             F.col(BUCKET_COL),
         )
 
@@ -546,16 +553,20 @@ def apply_patch_changes(
     lsn_range describes the rows actually applied (a re-emitted stored
     anchor can therefore carry a pre-batch lsn into the range's minimum).
 
-    SEMANTICS (apply-time supersession): a patch merges against the
-    state's effective version AT APPLY TIME. A patch below the stored
-    row's lsn — including an lsn the row gained from an EARLIER patch —
-    is treated as already superseded and re-emits the stored row
-    unchanged. This equals the exact event-fold when patches arrive in
-    per-key lsn order (what lsn-banded feeds deliver); under adversarial
-    cross-batch reordering of two patches to different columns of one
-    key, exactness would need per-column versions in storage (a
-    documented non-goal; see test_patch_lww pinning both behaviors).
-    A patch on a deleted or absent key writes nothing.
+    SEMANTICS (exact event-fold): storage rows of patch tables carry a
+    per-column version vector (``__col_lsns``: anchor lsn + per-column
+    setter lsns, null when the whole row sits at one lsn), so the merge
+    equals the exact fold of ALL events seen so far regardless of
+    cross-batch ordering — a late patch to column A applies even after a
+    later patch to column B was already applied, a late full write slots
+    under surviving patches per column, and a late delete above the true
+    anchor kills the row even when a higher-lsn patch was applied first
+    (see cdc/lww._resolve_patch_exact for the sufficiency argument).
+    Unchanged keys are not rewritten. A patch on a deleted key records
+    residue on the tombstone (no revive until a real I/U above the
+    delete); a patch on an ABSENT key writes nothing — the one remaining
+    deviation from the pure event-fold (MERGE whenMatched semantics,
+    pinned in test_patch_lww).
 
     Cost over plain apply: ONE detection/stats aggregate over the
     (persisted) batch; patch-free batches then take the plain
@@ -572,6 +583,12 @@ def apply_patch_changes(
         )  # ledger no-op, same ApplyResult shape
     keys = list(snap.keys)
     key, nb = snap.partition_key, snap.num_buckets
+    # once a table has patch history, EVERY batch must merge through the
+    # exact resolve: stored rows carry storage-ordering tokens above their
+    # true event lsns, so a plain row-level LWW would wrongly drop a late
+    # full write that the per-column fold accepts (tables with
+    # patch_cols are written via apply_patch_changes by contract)
+    table_exact = snap.patch_cols
     events = events.persist()
     try:
         # --- admission on RAW events + patch detection: ONE aggregate ----
@@ -598,7 +615,10 @@ def apply_patch_changes(
                 else F.lit(0)
             ).alias("n_quar"),
             F.collect_set(
-                F.when(keep & (F.col("op") == "P"), bucket_expr(key, nb))
+                F.when(
+                    keep if table_exact else (keep & (F.col("op") == "P")),
+                    bucket_expr(key, nb),
+                )
             ).alias("pbuckets"),
         ).collect()[0]
         n_filtered = int(agg["n_filtered"] or 0)
@@ -622,23 +642,37 @@ def apply_patch_changes(
         )
         touched = sorted(b for b in agg["pbuckets"] if b is not None)
         if touched:
+            # first patch ever: flip the snapshot flag so the storage read
+            # schema (and all files from here on) carries the version vector
+            psnap = table.enable_patch_cols()
             pkeys = (
-                admitted.filter(F.col("op") == "P").select(*keys).distinct()
-            )
-            state = table.read_buckets(touched, raw=True).join(
+                admitted
+                if table_exact
+                else admitted.filter(F.col("op") == "P")
+            ).select(*keys).distinct()
+            # tombstones included: a dead row is an anchor too (op='D'), so
+            # a late full write above the delete revives exactly, and patch
+            # residue recorded on the tombstone survives until then
+            state = table.read_buckets(touched, snapshot=psnap, raw=True).join(
                 pkeys, on=keys, how="left_semi"
             )
-            payload = [f.name for f in snap.schema.fields]
-            anchors = state.filter(~F.col(DELETED_COL)).select(
+            payload = [f.name for f in psnap.schema.fields]
+            anchors = state.select(
                 F.col(LSN_COL).alias("lsn"),
-                F.lit("U").alias("op"),
+                F.when(F.col(DELETED_COL), F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
                 *[F.col(c) for c in payload],
+                F.col(COL_LSNS_COL),
+                F.col(LSN_COL).alias("__state_lsn"),
             )
             to_apply = lww_resolve_patch(
                 admitted.unionByName(
                     anchors, allowMissingColumns=True
                 ).drop("source_part"),
                 keys=keys,
+                col_lsns_col=COL_LSNS_COL,
+                state_lsn_col="__state_lsn",
             )
         else:
             to_apply = admitted  # patch-free: the plain path, unresolved

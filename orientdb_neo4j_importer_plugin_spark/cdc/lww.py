@@ -121,7 +121,11 @@ def lww_resolve_with_stats(
 
 
 def lww_resolve_patch(
-    events: DataFrame, keys: list[str] | None = None, op_col: str = "op"
+    events: DataFrame,
+    keys: list[str] | None = None,
+    op_col: str = "op",
+    col_lsns_col: str | None = None,
+    state_lsn_col: str | None = None,
 ) -> DataFrame:
     """Column-level last-writer-wins for feeds carrying PARTIAL updates
     (the Debezium partial-event / MERGE-update-set analogue the plain
@@ -146,11 +150,44 @@ def lww_resolve_patch(
     Scale shape: exactly like ``lww_resolve`` — a single groupBy whose
     aggregates are all max-of-struct (map-side combinable), so hot keys
     collapse before the shuffle and no window sort exists anywhere.
+
+    EXACT INCREMENTAL MODE (``col_lsns_col``/``state_lsn_col`` set — the
+    apply path): input may additionally contain STATE rows synthesized
+    from storage, marked by a non-null ``state_lsn_col`` (the stored
+    ``__lsn``) and carrying the stored per-column version vector in
+    ``col_lsns_col`` (JSON ``{"__anchor": <last full-write lsn>, "<col>":
+    <setter lsn>, ...}``; null vector = whole row at the stored lsn). The
+    fold then merges the batch against the state's EXACT sufficient
+    statistic — a late patch to column A no longer loses to an
+    earlier-applied patch to column B, and a late full write slots under
+    surviving patches per column. Output gains:
+
+    * ``col_lsns_col`` — the NEW version vector (null when every column
+      sits at the anchor), to be persisted with the row;
+    * ``lsn`` becomes a storage-ordering token: max contributing lsn,
+      bumped above the stored row's ``__lsn`` so the rewritten row always
+      beats its predecessor in the row-level merge-on-read fold (the true
+      semantic versions live in the vector);
+    * UNCHANGED keys are dropped from the output (nothing to rewrite) —
+      the change test compares every column's setter against the state's.
+
+    Sufficiency argument: per key, (anchor = max-lsn I/U/D event with its
+    payload) + (per column, the max-lsn setter and its value) is a
+    commutative monoid under event-set union — any future event either
+    beats a stored setter (bringing its own value) or loses to it, so the
+    anchor values a patch overwrote can never be needed again. Patch
+    residue is kept on tombstones too, so a late full write ABOVE the
+    delete but BELOW a recorded patch revives with the patch applied —
+    the one remaining inexactness is patches on keys with no storage row
+    at all, which are dropped by design (MERGE whenMatched semantics).
     """
     keys = keys or KEY_COLUMNS
-    payload = [
-        c for c in events.columns if c not in keys and c not in ("lsn", op_col)
-    ]
+    meta = {"lsn", op_col, col_lsns_col, state_lsn_col, "__clm"}
+    payload = [c for c in events.columns if c not in keys and c not in meta]
+    if col_lsns_col is not None:
+        return _resolve_patch_exact(
+            events, keys, op_col, col_lsns_col, state_lsn_col, payload
+        )
     is_anchor = F.col(op_col).isin("I", "U", "D")
     anchor = F.when(
         is_anchor,
@@ -189,4 +226,113 @@ def lww_resolve_patch(
             .alias(c)
             for c in payload
         ],
+    )
+
+
+def _resolve_patch_exact(
+    events: DataFrame,
+    keys: list[str],
+    op_col: str,
+    col_lsns_col: str,
+    state_lsn_col: str,
+    payload: list[str],
+) -> DataFrame:
+    """Exact-incremental column-level LWW (see lww_resolve_patch docstring).
+
+    One algebraic aggregate per key, all max-of-struct (map-side
+    combinable): anchor argmax over full-row events (state rows compare at
+    their TRUE anchor lsn from the version vector, not the storage lsn),
+    per-column setter argmax over patches ∪ state residues, plus the
+    state's previous setters for the changed-row filter."""
+    clm = F.from_json(F.col(col_lsns_col), "map<string,bigint>")
+    ev = events.withColumn("__clm", clm)
+    is_state = F.col(state_lsn_col).isNotNull()
+    # a state row's anchor is its recorded last full write; a feed event's
+    # anchor candidacy is its own lsn
+    anchor_lsn_in = F.when(
+        is_state,
+        F.coalesce(F.col("__clm").getItem("__anchor"), F.col(state_lsn_col)),
+    ).otherwise(F.col("lsn"))
+    is_anchor = F.col(op_col).isin("I", "U", "D")
+    anchor = F.when(
+        is_anchor,
+        F.struct(
+            anchor_lsn_in.alias("lsn"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c) for c in payload],
+        ),
+    )
+    aggs = [
+        F.max(anchor).alias("__a"),
+        F.max(F.col(state_lsn_col)).alias("__s"),
+        F.max(F.when(is_state, anchor_lsn_in)).alias("__pa"),
+    ]
+    for c in payload:
+        patch_c = F.when(
+            (F.col(op_col) == "P") & F.col(c).isNotNull(),
+            F.struct(F.col("lsn"), F.col(c).alias("__v")),
+        ).when(
+            is_state & F.col("__clm").getItem(c).isNotNull(),
+            F.struct(
+                F.col("__clm").getItem(c).alias("lsn"), F.col(c).alias("__v")
+            ),
+        )
+        aggs.append(F.max(patch_c).alias(f"__p_{c}"))
+        # previous setter (change detection); non-null iff a state row exists
+        aggs.append(
+            F.max(
+                F.when(
+                    is_state,
+                    F.coalesce(F.col("__clm").getItem(c), anchor_lsn_in),
+                )
+            ).alias(f"__ps_{c}")
+        )
+    g = ev.groupBy(*keys).agg(*aggs).filter(F.col("__a").isNotNull())
+    applies = {c: F.col(f"__p_{c}.lsn") > F.col("__a.lsn") for c in payload}
+    setter = {
+        c: F.when(applies[c], F.col(f"__p_{c}.lsn")).otherwise(F.col("__a.lsn"))
+        for c in payload
+    }
+    changed = F.col("__s").isNull() | (F.col("__a.lsn") > F.col("__pa"))
+    for c in payload:
+        changed = changed | (setter[c] != F.col(f"__ps_{c}"))
+    # storage-ordering token: strictly above the stored row so the rewrite
+    # wins the row-level MOR fold even when every contributing lsn is below
+    # the stored one (the late-cross-column case this mode exists for)
+    lsn_out = F.greatest(
+        F.col("__a.lsn"),
+        *[F.when(applies[c], F.col(f"__p_{c}.lsn")) for c in payload],
+        F.when(F.col("__s").isNotNull(), F.col("__s") + F.lit(1)),
+    ) if payload else F.greatest(
+        F.col("__a.lsn"),
+        F.when(F.col("__s").isNotNull(), F.col("__s") + F.lit(1)),
+    )
+    # the vector must be emitted whenever a residue applies OR the storage
+    # token diverges from the anchor (a null vector means "whole row at
+    # __lsn", so a bumped token without a vector would misstate the anchor
+    # for every later merge)
+    need_vec = lsn_out != F.col("__a.lsn")
+    for c in payload:
+        need_vec = need_vec | F.coalesce(applies[c], F.lit(False))
+    vec = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("__anchor"), *[F.lit(c) for c in payload]),
+            F.array(
+                F.col("__a.lsn"),
+                *[F.when(applies[c], F.col(f"__p_{c}.lsn")) for c in payload],
+            ),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return g.filter(changed).select(
+        *keys,
+        lsn_out.alias("lsn"),
+        F.col("__a.__op").alias(op_col),
+        *[
+            F.when(applies[c], F.col(f"__p_{c}.__v"))
+            .otherwise(F.col(f"__a.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+        F.when(need_vec, F.to_json(vec)).alias(col_lsns_col),
     )

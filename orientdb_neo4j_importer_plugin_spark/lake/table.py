@@ -79,7 +79,14 @@ LEDGER_HORIZON = 100_000
 # arrival: a delete at lsn L must beat a later-arriving update at lsn < L.
 LSN_COL = "__lsn"
 DELETED_COL = "__deleted"
-META_COLS = [LSN_COL, DELETED_COL]
+# Per-column version vector for PATCH-enabled tables (cdc/lww.py column-level
+# LWW): a JSON map {"__anchor": lsn of the last full I/U/D write, "<col>":
+# setter lsn for columns patched above the anchor}. NULL on rows never
+# touched by a patch. Present in storage ONLY once a table has applied
+# partial updates (Snapshot.patch_cols) — non-patch tables' files are
+# byte-identical to before this column existed.
+COL_LSNS_COL = "__col_lsns"
+META_COLS = [LSN_COL, DELETED_COL, COL_LSNS_COL]
 
 
 _STAT_STR_LIMIT = 64  # manifest string bounds are truncated to this length
@@ -194,6 +201,11 @@ class Snapshot:
     # O(num_buckets), independent of data-file count. Unchanged buckets
     # carry their manifest forward by reference across commits.
     manifest_paths: dict[str, str] = field(default_factory=dict)
+    # True once the table has applied partial-update (op='P') events: data
+    # files may then carry the __col_lsns per-column version vector and the
+    # storage read schema includes it (older files null-fill). Never set on
+    # tables that only see full-row events — their storage is unchanged.
+    patch_cols: bool = False
 
     @property
     def keys(self) -> list[str]:
@@ -239,6 +251,7 @@ class Snapshot:
                 "parent": self.parent,
                 "committed_at": self.committed_at,
                 "key_columns": self.key_columns,
+                "patch_cols": self.patch_cols,
             }
         )
 
@@ -260,6 +273,7 @@ class Snapshot:
             deltas=d.get("deltas", {}),
             key_columns=d.get("key_columns"),
             manifest_paths=d.get("manifests", {}),
+            patch_cols=d.get("patch_cols", False),
         )
 
 
@@ -501,6 +515,7 @@ class SnapshotTable:
             committed_at=time.time(),
             deltas={b: list(fs) for b, fs in snap.deltas.items()},
             key_columns=list(snap.key_columns) if snap.key_columns else None,
+            patch_cols=snap.patch_cols,
         )
         # borrowed files keep their stats -> the clone's manifests carry
         # them and lookup file-skipping / metadata pruning still work
@@ -804,15 +819,19 @@ class SnapshotTable:
 
     # -- read path ------------------------------------------------------------
 
-    def storage_schema(self, schema: StructType) -> StructType:
-        """Payload schema + persisted row-metadata columns."""
-        return StructType(
-            list(schema.fields)
-            + [
-                StructField(LSN_COL, LongType(), False),
-                StructField(DELETED_COL, BooleanType(), False),
-            ]
-        )
+    def storage_schema(
+        self, schema: StructType, patch_cols: bool = False
+    ) -> StructType:
+        """Payload schema + persisted row-metadata columns. `patch_cols`
+        appends the per-column version vector (tables that applied partial
+        updates; files written before the first patch null-fill it)."""
+        fields = list(schema.fields) + [
+            StructField(LSN_COL, LongType(), False),
+            StructField(DELETED_COL, BooleanType(), False),
+        ]
+        if patch_cols:
+            fields.append(StructField(COL_LSNS_COL, StringType(), True))
+        return StructType(fields)
 
     def read(self, snapshot: Snapshot | None = None, raw: bool = False) -> DataFrame:
         """Full-table scan at a snapshot (default: current).
@@ -849,11 +868,11 @@ class SnapshotTable:
         snap: Snapshot,
         raw: bool,
     ) -> DataFrame:
-        base = self._read_files(base_files, snap.schema)
+        base = self._read_files(base_files, snap.schema, snap.patch_cols)
         if delta_files:
             # merge-on-read: one argmax-by-__lsn shuffle over base ∪ deltas.
             # Key invariant: base has ≤1 row/key; deltas may carry several.
-            deltas = self._read_files(delta_files, snap.schema)
+            deltas = self._read_files(delta_files, snap.schema, snap.patch_cols)
             merged = self._argmax_rows(base.unionByName(deltas), snap.keys)
         else:
             merged = base
@@ -1154,7 +1173,7 @@ class SnapshotTable:
         cur = self.current()
         seen = set(old.all_files())
         new_files = [f for f in cur.all_files() if f not in seen]
-        rows = self._read_files(new_files, cur.schema)
+        rows = self._read_files(new_files, cur.schema, cur.patch_cols)
         if raw:
             return rows
         return rows.filter(~F.col(DELETED_COL)).drop(*META_COLS)
@@ -1178,9 +1197,13 @@ class SnapshotTable:
         added = sorted(new_files - old_files)
         removed = sorted(old_files - new_files)
         return (
-            self._read_files(added, new_snap.schema)
+            self._read_files(added, new_snap.schema, new_snap.patch_cols)
             .select(*keys)
-            .unionByName(self._read_files(removed, old_snap.schema).select(*keys))
+            .unionByName(
+                self._read_files(
+                    removed, old_snap.schema, old_snap.patch_cols
+                ).select(*keys)
+            )
             .distinct()
         )
 
@@ -1234,17 +1257,44 @@ class SnapshotTable:
             self.current() if to_version is None else self.snapshot_at(to_version)
         )
         keys = list(new_snap.keys)
-        # read once, reused by two bucket-collects + two semi-joins
+        # read once, reused by the semi-joins (and by the bucket-collect
+        # fallback below)
         cand = self._changed_key_candidates(old_snap, new_snap).persist()
-        # touched buckets under EACH snapshot's own layout (a rebucket
-        # between the two versions changes the key->bucket mapping)
+        # touched buckets METADATA-ONLY (zero Spark jobs) in the common
+        # case: every candidate key lives in the bucket its data-file path
+        # names (files are written under __bucket=<b>/ dirs and a key's
+        # rows never leave its bucket), and the key->bucket mapping depends
+        # only on num_buckets — so when both snapshots share the bucket
+        # count, the file diff's path buckets ARE the touched set for both
+        # sides. This removes the two per-version driver collect jobs that
+        # dominated materialize_changelog backlogs (round-3 profile).
+        touched_meta: list[int] | None = None
+        if old_snap.num_buckets == new_snap.num_buckets:
+            import re as _re
+
+            pat = _re.compile(_re.escape(BUCKET_COL) + r"=(\d+)/")
+            old_files = set(old_snap.all_files())
+            new_files = set(new_snap.all_files())
+            bs: set[int] = set()
+            for f in old_files.symmetric_difference(new_files):
+                m = pat.search(f)
+                if m is None:
+                    bs.clear()
+                    break  # unparseable path: fall back to the collect
+                bs.add(int(m.group(1)))
+            else:
+                touched_meta = sorted(bs)
+        # fallback: touched buckets under EACH snapshot's own layout (a
+        # rebucket between the two versions changes the key->bucket mapping)
         def pruned_state(snap: Snapshot) -> DataFrame:
-            touched = [
-                r.b
-                for r in cand.select(
-                    bucket_expr_for(snap).alias("b")
-                ).distinct().collect()
-            ]
+            touched = touched_meta
+            if touched is None:
+                touched = [
+                    r.b
+                    for r in cand.select(
+                        bucket_expr_for(snap).alias("b")
+                    ).distinct().collect()
+                ]
             state = self.read_buckets(touched, snapshot=snap, raw=True)
             return state.join(F.broadcast(cand), on=keys, how="left_semi")
 
@@ -1491,8 +1541,10 @@ class SnapshotTable:
             *[F.col(f"__w.{c}").alias(c) for c in rest],
         )
 
-    def _read_files(self, files: list[str], schema: StructType) -> DataFrame:
-        full = self.storage_schema(schema)
+    def _read_files(
+        self, files: list[str], schema: StructType, patch_cols: bool = False
+    ) -> DataFrame:
+        full = self.storage_schema(schema, patch_cols=patch_cols)
         if not files:
             return self.spark.createDataFrame([], full)
         # Explicit snapshot schema: files written before a column existed
@@ -1653,6 +1705,7 @@ class SnapshotTable:
                 committed_at=time.time(),
                 deltas=new_deltas,
                 key_columns=parent.key_columns,
+                patch_cols=parent.patch_cols,
             )
 
         try:
@@ -1771,6 +1824,7 @@ class SnapshotTable:
                 committed_at=time.time(),
                 deltas=new_deltas,
                 key_columns=parent.key_columns,
+                patch_cols=parent.patch_cols,
             )
 
         try:
@@ -1912,6 +1966,39 @@ class SnapshotTable:
                 if attempt == COMMIT_MAX_RETRIES:
                     raise
 
+    def enable_patch_cols(self) -> Snapshot:
+        """Flip the snapshot's patch_cols flag (metadata-only commit, like
+        evolve_schema): from here on data files may carry the __col_lsns
+        per-column version vector and the storage read schema includes it
+        (pre-flag files null-fill). Idempotent; called by
+        apply_patch_changes before the first patch-bearing commit."""
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            parent = self.current()
+            if parent.patch_cols:
+                return parent
+            snap = Snapshot(
+                version=parent.version + 1,
+                schema_json=parent.schema_json,
+                num_buckets=parent.num_buckets,
+                partition_key=parent.partition_key,
+                buckets=parent.buckets,
+                ledger=parent.ledger,
+                lineage=parent.lineage
+                + [{"patch_cols_enabled": True, "commit_epoch": time.time()}],
+                parent=parent.version,
+                committed_at=time.time(),
+                deltas=parent.deltas,
+                key_columns=parent.key_columns,
+                manifest_paths=dict(parent.manifest_paths),
+                patch_cols=True,
+            )
+            try:
+                self._write_snapshot(snap, expected_parent=parent.version)
+                return snap
+            except ConcurrentCommitError:
+                if attempt == COMMIT_MAX_RETRIES:
+                    raise
+
     def _commit_schema(self, parent: Snapshot, merged: StructType) -> None:
         snap = Snapshot(
             version=parent.version + 1,
@@ -1936,6 +2023,7 @@ class SnapshotTable:
             committed_at=time.time(),
             deltas=parent.deltas,
             key_columns=parent.key_columns,
+            patch_cols=parent.patch_cols,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
 
@@ -2007,6 +2095,7 @@ class SnapshotTable:
                 committed_at=time.time(),
                 deltas=target.deltas,
                 key_columns=target.key_columns,
+                patch_cols=target.patch_cols,
                 # seed with the target's manifests: unchanged buckets carry
                 # forward by reference instead of being rewritten
                 manifest_paths=dict(target.manifest_paths),

@@ -223,11 +223,11 @@ def test_apply_patch_quarantine_and_filter_on_raw_events(spark, tmp_path):
     assert len(q) == 1 and q[0]["reason"] == "bad_op"
 
 
-def test_apply_patch_below_patch_is_superseded(spark, tmp_path):
-    """Pinned apply-time supersession semantics: a cross-batch patch whose
-    lsn is above the true anchor but below a PREVIOUSLY APPLIED patch is
-    treated as superseded (exact cross-column fold would need per-column
-    versions in storage — documented non-goal)."""
+def test_apply_patch_cross_column_out_of_order_is_exact(spark, tmp_path):
+    """Exact cross-column fold (per-column versions in storage): a late
+    patch to column a applies even though a HIGHER-lsn patch to column b
+    was applied first — and a second delivery below a's new setter is
+    superseded per column, not per row."""
     from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
     from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
         apply_patch_changes,
@@ -243,9 +243,131 @@ def test_apply_patch_below_patch_is_superseded(spark, tmp_path):
         table, batch_id="p1", mode="mor",
     )
     assert _state(table) == {"k1": ("a0", "b1")}
-    # lsn 50 > anchor 10, but the row's effective version is now 100
+    # lsn 50 > anchor 10: exact fold applies it to column a; column b keeps
+    # its higher setter 100
     apply_patch_changes(
-        spark.createDataFrame([("k1", 50, "P", "a5", None)], SCHEMA),
+        spark.createDataFrame([("k1", 50, "P", "a5", "bx")], SCHEMA),
         table, batch_id="p2", mode="mor",
     )
-    assert _state(table) == {"k1": ("a0", "b1")}  # superseded, unchanged
+    assert _state(table) == {"k1": ("a5", "b1")}
+    # per-column supersession: 40 < 50 for a, but 40 > 10 would have won
+    # under whole-row rules — must stay inert per column
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 40, "P", "a4", None)], SCHEMA),
+        table, batch_id="p3", mode="mor",
+    )
+    assert _state(table) == {"k1": ("a5", "b1")}
+    table.compact()
+    assert _state(table) == {"k1": ("a5", "b1")}
+
+
+def test_apply_patch_late_full_write_slots_under_patches(spark, tmp_path):
+    """A late full write ABOVE the anchor but BELOW applied patches becomes
+    the new anchor: unpatched columns take its values, patched columns keep
+    their higher setters. A late delete above the anchor kills the row even
+    though a higher-lsn patch was applied first; a later full write above
+    the delete revives with recorded residue applied."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+
+    table = _patch_table(spark, tmp_path)
+    apply_changes(
+        spark.createDataFrame([("k1", 10, "I", "a0", "b0")], SCHEMA),
+        table, batch_id="a", mode="mor",
+    )
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 100, "P", None, "b1")], SCHEMA),
+        table, batch_id="p1", mode="mor",
+    )
+    # late full write @50: new anchor; a from the write, b keeps patch@100
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 50, "U", "a5", "b5")], SCHEMA),
+        table, batch_id="u1", mode="mor",
+    )
+    assert _state(table) == {"k1": ("a5", "b1")}
+    # late delete @70 > anchor 50: row dies (patch@100 does not revive)
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 70, "D", None, None)], SCHEMA),
+        table, batch_id="d1", mode="mor",
+    )
+    assert _state(table) == {}
+    # full write @80 > delete 70 revives; patch residue b@100 re-applies
+    apply_patch_changes(
+        spark.createDataFrame([("k1", 80, "U", "a8", "b8")], SCHEMA),
+        table, batch_id="u2", mode="mor",
+    )
+    assert _state(table) == {"k1": ("a8", "b1")}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),
+            st.sampled_from(["I", "U", "D", "P", "P", "P"]),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.one_of(st.none(), st.sampled_from(["p", "q"])),
+            st.integers(0, 2),  # batch assignment
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    st.permutations([0, 1, 2]),
+)
+def test_apply_patch_incremental_equals_global_fold(spark, seq, order):
+    """THE exactness property (per-column versions in storage): applying an
+    adversarially batched and REORDERED event stream through
+    apply_patch_changes lands on the same live state as the one-shot fold
+    of all events in lsn order — cross-column out-of-order patches, late
+    full writes, and late deletes included. Precondition (documented MERGE
+    semantics): every key exists before its first patch — guaranteed here
+    by a seed batch of I@0 events."""
+    import tempfile
+
+    from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+    from orientdb_neo4j_importer_plugin_spark.cdc.apply import (
+        apply_patch_changes,
+    )
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="patch_hyp_")
+    table = SnapshotTable.create(
+        spark, f"{root}/t", schema, "k", num_buckets=2, key_columns=["k"]
+    )
+    seed = [(k, -3 + i, "I", f"seed_a_{k}", f"seed_b_{k}")
+            for i, k in enumerate(["k1", "k2", "k3"])]
+    rows = [
+        (k, lsn, op, a, b)
+        for lsn, (k, op, a, b, _grp) in enumerate(seq, start=1)
+    ]
+    apply_changes(
+        spark.createDataFrame(seed, SCHEMA), table, batch_id="seed", mode="mor"
+    )
+    for i, grp in enumerate(order):
+        batch = [r for r, (_, _, _, _, g) in zip(rows, seq) if g == grp]
+        if not batch:
+            continue
+        apply_patch_changes(
+            spark.createDataFrame(batch, SCHEMA),
+            table,
+            batch_id=f"b{i}",
+            mode="mor",
+        )
+    table.compact()
+    got = _state(table)
+    want = _fold([(k, lsn, op, a, b) for k, lsn, op, a, b in seed + rows])
+    assert got == want
