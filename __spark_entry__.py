@@ -597,6 +597,83 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_hist_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed quantile-sketch maintenance end-to-end
+    (lake/sketchview.StreamedHistView + SnapshotTable.changelog_delta):
+    an I/U/D feed derived from the events table lands in a snapshot table
+    across three commits; the view folds each window's pre-image changelog
+    into its (event_type, value) cell multiset — refresh after the insert
+    commit, then after updates+deletes, so the second refresh must
+    DECREMENT cells via pre-images (values change and rows vanish, moving
+    every group's min/max). The returned histogram must equal the DuckDB
+    twin computed directly from the LWW-resolved live state."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedHistView,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    base = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="cdc_hist_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "events"), schema, "event_id",
+        num_buckets=16, overwrite=True, key_columns=["event_id"],
+    )
+    state = StreamedHistView.create_state(spark, os.path.join(root, "hist"))
+    view = StreamedHistView(source, state)
+    ins = base.select(
+        F.col("event_id").alias("lsn"), F.lit("I").alias("op"),
+        "event_id", "event_type", "value",
+    )
+    # 7.25 is an exact binary fraction: value + 7.25 is the identical FP
+    # op in Spark and DuckDB, so the twin stays bit-exact with no rounding
+    upd = base.filter("event_id % 5 = 0").select(
+        (F.col("event_id") + F.lit(1_000_000_000)).alias("lsn"),
+        F.lit("U").alias("op"), "event_id", "event_type",
+        (F.col("value") + F.lit(7.25)).alias("value"),
+    )
+    dels = base.filter("event_id % 7 = 3").select(
+        (F.col("event_id") + F.lit(2_000_000_000)).alias("lsn"),
+        F.lit("D").alias("op"), "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    apply_changes(ins, source, batch_id="h1", mode="mor")
+    view.refresh()
+    apply_changes(upd, source, batch_id="h2", mode="mor")
+    apply_changes(dels, source, batch_id="h3", mode="mor")
+    view.refresh()
+    view.refresh()  # no new source version: committed no-op
+    return view.hist()
+
+
+CDC_HIST_VIEW_SQL = f"""
+WITH live AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0 THEN value + CAST(7.25 AS DOUBLE)
+              ELSE value END AS value
+  FROM events
+  WHERE event_id % 7 <> 3
+),
+{TP.value_quantiles_hist_sql("live")}
+"""
+
+
 def _mvj_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two join-view contract queries: transcripts
     (fact, from lineitem) + per-conversation metadata (changing dimension,
@@ -774,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "cdc_tsrange_scan": cdc_tsrange_scan,
+        "cdc_hist_view": cdc_hist_view,
         "cdc_patch_state": cdc_patch_state,
         "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
@@ -1036,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
+        "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),

@@ -263,6 +263,7 @@ def main() -> None:
         "events_error_window_join",
         "docs_vocab_topk",
         "cdc_patch_state",
+        "cdc_hist_view",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

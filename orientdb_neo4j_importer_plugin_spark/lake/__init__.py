@@ -3,10 +3,12 @@
 # so the name must already be bound when materialize loads.
 from .table import CommitConflictError, ConcurrentCommitError, SnapshotTable
 from .materialize import IncrementalView
+from .sketchview import StreamedHistView
 
 __all__ = [
     "CommitConflictError",
     "ConcurrentCommitError",
     "IncrementalView",
     "SnapshotTable",
+    "StreamedHistView",
 ]

@@ -1,0 +1,250 @@
+"""Streamed maintenance of the histogram-CDF quantile sketch
+(`operators.temporal.value_quantiles_hist`) as an incrementally-updated
+state table — the sketch-family analogue of `materialize.IncrementalView`.
+
+Why not maintain the bin cells directly? The sketch's bins are defined by
+the group's global (min, max), so a single out-of-range insert — or any
+delete — invalidates every cell. The smallest DELETE-ALGEBRAIC sufficient
+statistic is the exact value MULTISET: per (group, value) a count, which
+
+  * merges under inserts (+1) and deletes (-1) — a commutative group, so
+    maintenance is one map-side-combinable aggregate per refresh,
+  * is O(distinct values) state, not O(rows) — bounded for measurement /
+    monetary columns and shardable by value hash when not,
+  * reproduces the batch sketch BIT-identically: the sketch is a pure
+    function of the multiset (`temporal.hist_from_cells`).
+
+Deletes require PRE-IMAGES — the consumer must learn the value that
+vanished — which is exactly why Delta Lake's CDF emits
+`update_preimage`/`delete` rows with old payloads. The source side here is
+`SnapshotTable.changelog_delta` (same diff join as `changelog()`, old
+payload kept instead of discarded).
+
+Exactly-once composes the same way as IncrementalView: the refresh's
+source-version range is its ledger batch tag and the watermark
+(`hist_source_version`) rides target lineage, committed atomically with
+the state delta — kill-and-resume replays are committed no-ops.
+
+Cost per refresh at 10^10 rows/day: changelog_delta is O(that window's
+changed data) (bucket-pruned candidates), the delta aggregate is one
+combinable shuffle of O(distinct changed values), and the state MERGE
+touches only those cells' buckets. Reading the histogram costs
+O(distinct values) — never a source scan.
+
+Reference analogue: the plugin's import summary keeps running counters
+updated per record (``ONeo4jImporterCounters.java``); this maintains a
+full distribution sketch, not just counts, under the same
+keep-it-current-as-data-flows contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.temporal import HIST_BINS, hist_from_cells
+from .table import SnapshotTable, bucket_expr_for
+
+
+def cells_schema(group_col: str) -> StructType:
+    """State-table schema: one row per (group, value) cell. `cell_id` is
+    the routing key (xxhash64 of group+value — high-cardinality, uniform,
+    so the state table never skews); the real identity is the full
+    (cell_id, group, value) key, which keeps a hash collision two distinct
+    rows instead of silent corruption."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField(group_col, StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+
+class StreamedHistView:
+    """Maintains `state` = per-(group, value) live-row counts of `source`,
+    from which `hist()` reads the quantile sketch bit-identically to
+    `value_quantiles_hist` over the source's live rows."""
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        state: SnapshotTable,
+        group_col: str = "event_type",
+        value_col: str = "value",
+        bins: int = HIST_BINS,
+    ):
+        expected = [f.name for f in cells_schema(group_col).fields]
+        got = state.current().schema.names
+        if list(got) != expected:
+            raise ValueError(
+                f"state table schema {list(got)} != expected {expected} "
+                "(create it with StreamedHistView.create_state)"
+            )
+        self.source = source
+        self.state = state
+        self.group_col = group_col
+        self.value_col = value_col
+        self.bins = bins
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        group_col: str = "event_type",
+        num_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            cells_schema(group_col),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id", group_col, "value"],
+            overwrite=overwrite,
+        )
+
+    def last_refreshed_version(self) -> int:
+        """Source version covered by the newest refresh (0 = never);
+        rides state lineage so it survives restarts and is committed
+        atomically with the cell deltas."""
+        for entry in reversed(self.state.current().lineage):
+            v = entry.get("hist_source_version")
+            if v is not None:
+                return int(v)
+        return 0
+
+    def refresh(self, mode: str = "mor") -> dict[str, Any]:
+        """Fold the source's commits in (watermark, current] into the cell
+        counts: pre-image rows decrement, post-image/insert rows increment,
+        cells reaching zero are deleted. One combinable aggregate over the
+        window's changed rows + a bucket-pruned MERGE of the touched cells."""
+        from ..cdc.apply import apply_changes
+
+        from_v = self.last_refreshed_version()
+        snap = self.source.current()
+        if snap.version <= from_v:
+            return {
+                "source_version": from_v,
+                "cells_changed": 0,
+                "skipped": True,
+            }
+        changes, cand = self.source._changelog_delta_with_cache(
+            from_v, snap.version
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        delta = (
+            changes.filter(F.col(self.value_col).isNotNull())
+            .select(
+                F.col(self.group_col).alias("g"),
+                F.col(self.value_col).cast("double").alias("v"),
+                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+            )
+            .groupBy("g", "v")
+            .agg(F.sum("w").cast("long").alias("d"))
+            # an update that kept the value (or changed another column)
+            # cancels its own pre/post pair here — no state touch at all
+            .filter(F.col("d") != 0)
+            .withColumn("cell_id", F.xxhash64(F.col("g"), F.col("v")))
+            .persist()
+        )
+        try:
+            st_snap = self.state.current()
+            touched = [
+                r.b
+                for r in delta.select(bucket_expr_for(st_snap).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
+                "cell_id",
+                F.col(self.group_col).alias("g"),
+                F.col("value").alias("v"),
+                F.col("cnt").alias("__old"),
+            )
+            on = ["cell_id", "g", "v"]
+            # prune current cells to the delta's keys first (broadcast
+            # semi), so the read-modify-write joins two delta-sized frames
+            cur = cur.join(
+                F.broadcast(delta.select(*on)), on=on, how="left_semi"
+            )
+            new_cnt = F.coalesce(F.col("__old"), F.lit(0)) + F.col("d")
+            events = delta.join(cur, on=on, how="left").select(
+                F.lit(snap.version).cast("long").alias("lsn"),
+                F.when(new_cnt == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("cell_id"),
+                F.col("g").alias(self.group_col),
+                F.col("v").alias("value"),
+                F.when(new_cnt != 0, new_cnt).cast("long").alias("cnt"),
+            )
+            res = apply_changes(
+                events,
+                self.state,
+                batch_id=f"hist-{from_v}-{snap.version}",
+                mode=mode,
+                lineage_extra={"hist_source_version": snap.version},
+                stats_via_observation=False,
+            )
+        finally:
+            delta.unpersist(blocking=False)
+            cand.unpersist(blocking=False)
+        return {
+            "source_version": snap.version,
+            "cells_changed": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def hist(self) -> DataFrame:
+        """The quantile sketch read off the maintained cells — identical
+        rows to `value_quantiles_hist(source live rows)` (tested exact)."""
+        cells = self.state.read().select(
+            F.col(self.group_col).alias("event_type"), "value", "cnt"
+        )
+        return hist_from_cells(cells, self.bins)
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "mor",
+        available_now: bool = True,
+    ):
+        """Continuous maintenance: the file-level `lake_cdf` feed is the
+        wake-up signal (offsets = source versions, checkpointed by Spark);
+        each trigger calls `refresh()`, which re-reads its own watermark
+        from state lineage — duplicate triggers and checkpoint replays are
+        ledger no-ops, a missed trigger is absorbed by the next (same
+        trigger contract as IncrementalView.stream rowlevel=False)."""
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.state.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        stream = (
+            spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.last_refreshed_version())
+            .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

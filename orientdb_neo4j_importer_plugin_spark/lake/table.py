@@ -1243,15 +1243,15 @@ class SnapshotTable:
         df, _cand = self._changelog_with_cache(from_version, to_version)
         return df
 
-    def _changelog_with_cache(
+    def _diff_states(
         self, from_version: int, to_version: int | None = None
-    ) -> tuple[DataFrame, DataFrame]:
-        """changelog() plus an explicit handle to its persisted
-        candidate-keys frame, so a caller that fully consumes the result
-        can release the cache promptly instead of waiting for eviction.
-        Returning the handle (rather than stashing it on self) keeps
-        interleaved changelog calls from unpersisting each other's frames.
-        """
+    ) -> tuple[DataFrame, DataFrame, list[str], DataFrame, "Snapshot", "Snapshot"]:
+        """Shared planning step of `changelog()` and `changelog_delta()`:
+        candidate keys from the file-level diff, then BOTH snapshots' raw
+        LWW states bucket-pruned and semi-joined down to the candidates.
+        Returns (old_state, new_state, keys, cand, old_snap, new_snap);
+        `cand` is persisted — the caller must unpersist it once every job
+        reading the derived frames has run."""
         old_snap = self.snapshot_at(from_version)
         new_snap = (
             self.current() if to_version is None else self.snapshot_at(to_version)
@@ -1298,8 +1298,27 @@ class SnapshotTable:
             state = self.read_buckets(touched, snapshot=snap, raw=True)
             return state.join(F.broadcast(cand), on=keys, how="left_semi")
 
-        old_state = pruned_state(old_snap)
-        new_state = pruned_state(new_snap)
+        return (
+            pruned_state(old_snap),
+            pruned_state(new_snap),
+            keys,
+            cand,
+            old_snap,
+            new_snap,
+        )
+
+    def _changelog_with_cache(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """changelog() plus an explicit handle to its persisted
+        candidate-keys frame, so a caller that fully consumes the result
+        can release the cache promptly instead of waiting for eviction.
+        Returning the handle (rather than stashing it on self) keeps
+        interleaved changelog calls from unpersisting each other's frames.
+        """
+        old_state, new_state, keys, cand, _, _ = self._diff_states(
+            from_version, to_version
+        )
         payload = [
             c
             for c in new_state.columns
@@ -1346,6 +1365,91 @@ class SnapshotTable:
             )
         )
         return df, cand
+
+    def changelog_delta(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed WITH PRE-IMAGES (Delta Lake CDF's
+        `_change_type` row shape): per changed key, `insert` /
+        `update_postimage` rows carry the NEW payload and `delete` /
+        `update_preimage` rows carry the OLD payload — an update emits
+        both rows. Pre-images are what make ALGEBRAIC maintenance of
+        mergeable sketches possible downstream (a histogram cell can be
+        decremented only if the consumer learns the value that vanished);
+        `changelog()`'s compact I/U/D-with-new-payload shape cannot
+        express that, which is exactly why Delta CDF emits pre-images.
+
+        Same cost shape as `changelog()`: the diff join already reads the
+        old state for LWW comparison — this merely stops discarding its
+        payload. Old rows are projected into the NEW snapshot's payload
+        schema (columns added by evolution read as null in pre-images)."""
+        df, _cand = self._changelog_delta_with_cache(from_version, to_version)
+        return df
+
+    def _changelog_delta_with_cache(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """`changelog_delta()` plus the persisted candidate-keys handle
+        (same contract as `_changelog_with_cache`)."""
+        old_state, new_state, keys, cand, _, new_snap = self._diff_states(
+            from_version, to_version
+        )
+        payload = [
+            c
+            for c in new_state.columns
+            if c not in keys and c not in META_COLS
+        ]
+        new_fields = {f.name: f.dataType for f in new_snap.schema.fields}
+        old_cols = set(old_state.columns)
+        o = old_state.select(
+            *keys,
+            F.col(LSN_COL).alias("__o_lsn"),
+            F.col(DELETED_COL).alias("__o_del"),
+            *[
+                (
+                    F.col(c) if c in old_cols
+                    else F.lit(None).cast(new_fields[c])
+                ).alias(f"__o_{c}")
+                for c in payload
+            ],
+        )
+        n = new_state.select(
+            *keys,
+            *payload,
+            F.col(LSN_COL).alias("__n_lsn"),
+            F.col(DELETED_COL).alias("__n_del"),
+        )
+        j = n.join(o, on=keys, how="full_outer")
+        old_live = F.col("__o_lsn").isNotNull() & ~F.coalesce(
+            F.col("__o_del"), F.lit(False)
+        )
+        new_live = F.col("__n_lsn").isNotNull() & ~F.coalesce(
+            F.col("__n_del"), F.lit(False)
+        )
+        op = (
+            F.when(~old_live & new_live, F.lit("I"))
+            .when(old_live & ~new_live, F.lit("D"))
+            .when(
+                old_live & new_live & (F.col("__o_lsn") != F.col("__n_lsn")),
+                F.lit("U"),
+            )
+        )
+        base = j.withColumn("op", op).filter(F.col("op").isNotNull())
+        post = base.filter(F.col("op").isin("I", "U")).select(
+            *keys,
+            F.when(F.col("op") == "I", F.lit("insert"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+            *payload,
+        )
+        pre = base.filter(F.col("op").isin("D", "U")).select(
+            *keys,
+            F.when(F.col("op") == "D", F.lit("delete"))
+            .otherwise(F.lit("update_preimage"))
+            .alias("_change_type"),
+            *[F.col(f"__o_{c}").alias(c) for c in payload],
+        )
+        return post.unionByName(pre), cand
 
     def iter_changelogs(self, from_version: int, to_version: int | None = None):
         """Yield ``(version, changelog DataFrame)`` for every committed

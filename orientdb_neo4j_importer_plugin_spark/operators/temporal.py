@@ -273,8 +273,6 @@ def value_quantiles_hist(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
     (tested); the cells are trivially mergeable across partitions/days.
     Columns: event_type, n, p25, p50, p90.
     """
-    from pyspark.sql.window import Window as W
-
     stats = events.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
@@ -302,6 +300,58 @@ def value_quantiles_hist(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
         .groupBy("event_type", "lo", "hi", "n", "bin")
         .agg(F.count("*").alias("cnt"))
     )
+    return _hist_read(binned, bins)
+
+
+def hist_from_cells(cells: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """`value_quantiles_hist` computed from a WEIGHTED value multiset —
+    rows (event_type, value, cnt) with cnt = how many source rows carry
+    that exact value. Bit-identical to the row form: the sketch is a pure
+    function of the value multiset, a bin is a function of the value
+    alone, and the counts are exact longs either way (sum of cell counts
+    == row count; min/max over distinct values == min/max over rows).
+
+    This is the read side of `lake.sketchview.StreamedHistView`: the
+    multiset is the smallest DELETE-ALGEBRAIC sufficient statistic for
+    the sketch (bin cells alone cannot survive a min/max-widening insert
+    or any delete), so a streamed maintainer keeps cells and reads the
+    histogram through here. Cost is O(distinct values), never O(rows)."""
+    cells = cells.filter(F.col("value").isNotNull())
+    stats = cells.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum("cnt").alias("n"),
+    )
+    binned = (
+        cells.select("event_type", "value", "cnt")
+        .join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * bins
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .groupBy("event_type", "lo", "hi", "n", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _hist_read(binned, bins)
+
+
+def _hist_read(binned: DataFrame, bins: int) -> DataFrame:
+    """Quantile read-off shared by the row and cells forms: cumulative
+    histogram + within-bin rank interpolation over a frame of per-bin
+    counts (event_type, lo, hi, n, bin, cnt)."""
+    from pyspark.sql.window import Window as W
+
     wcum = (
         W.partitionBy("event_type")
         .orderBy("bin")
@@ -389,11 +439,18 @@ def _hist_q_sql(q: float, name: str) -> tuple[str, str]:
 
 _Q_PARTS = [_hist_q_sql(0.25, "p25"), _hist_q_sql(0.5, "p50"), _hist_q_sql(0.9, "p90")]
 
-VALUE_QUANTILES_HIST_SQL = f"""
-WITH stats AS (
+
+def value_quantiles_hist_sql(relation: str = "events") -> str:
+    """The DuckDB twin of `value_quantiles_hist`, parameterized over the
+    input relation so callers can point it at a CTE (e.g. a replayed CDC
+    live state). Returns the CTE list + final SELECT WITHOUT the leading
+    `WITH`, so a caller can prepend its own CTEs:
+    ``f"WITH live AS (...), {value_quantiles_hist_sql('live')}"``."""
+    return f"""
+stats AS (
   SELECT event_type, min(value) AS lo, max(value) AS hi,
          count(value) AS n
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
+  FROM {relation} WHERE value IS NOT NULL GROUP BY event_type
 ),
 counts AS (
   SELECT e.event_type, s.lo, s.hi, s.n,
@@ -403,7 +460,7 @@ counts AS (
                    AS INT)
          END AS bin,
          count(*) AS cnt
-  FROM events e JOIN stats s USING (event_type)
+  FROM {relation} e JOIN stats s USING (event_type)
   WHERE e.value IS NOT NULL
   GROUP BY e.event_type, s.lo, s.hi, s.n, 5
 ),
@@ -421,5 +478,7 @@ ranked AS (
 )
 SELECT event_type, n,{",".join(p[1] for p in _Q_PARTS)}
 FROM ranked
-ORDER BY event_type
-"""
+ORDER BY event_type"""
+
+
+VALUE_QUANTILES_HIST_SQL = "WITH " + value_quantiles_hist_sql("events")

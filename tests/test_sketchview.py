@@ -1,0 +1,194 @@
+"""Streamed histogram-sketch maintenance: the maintained cell table reads
+back a histogram EXACTLY equal to the batch recompute over source live
+rows — through inserts, value-changing updates, deletes, replays, and
+streaming kill-and-resume. Plus the changelog_delta pre-image contract it
+builds on."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.lake.sketchview import StreamedHistView
+from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+    value_quantiles_hist,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+TYPES = ["click", "purchase", "error"]
+
+
+def _feed(spark, n, lsn0=0, op="I", value_shift=0.0):
+    """Deterministic event batch: values collide across event_ids (cents
+    grid) so multiset counts > 1 are exercised."""
+    rows = [
+        Row(
+            lsn=lsn0 + i,
+            op=op,
+            event_id=i,
+            event_type=TYPES[i % 3],
+            value=None if i % 11 == 10 else round((i * 7 % 50) / 4 + value_shift, 2),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _setup(spark, tmp_path):
+    source = SnapshotTable.create(
+        spark,
+        str(tmp_path / "src"),
+        EVENTS_SCHEMA,
+        "event_id",
+        num_buckets=8,
+        key_columns=["event_id"],
+    )
+    state = StreamedHistView.create_state(
+        spark, str(tmp_path / "hist"), num_buckets=4
+    )
+    return source, StreamedHistView(source, state)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _expect(source):
+    return _rows(value_quantiles_hist(source.read()))
+
+
+def test_changelog_delta_preimages(spark, tmp_path):
+    source = SnapshotTable.create(
+        spark,
+        str(tmp_path / "t"),
+        EVENTS_SCHEMA,
+        "event_id",
+        num_buckets=4,
+        key_columns=["event_id"],
+    )
+    apply_changes(_feed(spark, 6), source, batch_id="b1", mode="mor")
+    v1 = source.current().version
+    # update id 0 (value change), delete id 1, insert id 100
+    batch = spark.createDataFrame(
+        [
+            Row(lsn=100, op="U", event_id=0, event_type="click", value=9.5),
+            Row(lsn=101, op="D", event_id=1, event_type=None, value=None),
+            Row(lsn=102, op="I", event_id=100, event_type="error", value=3.25),
+        ]
+    )
+    apply_changes(batch, source, batch_id="b2", mode="mor")
+    got = {
+        (r.event_id, r._change_type): (r.event_type, r.value)
+        for r in source.changelog_delta(v1).collect()
+    }
+    old0 = round((0 * 7 % 50) / 4, 2)
+    old1 = round((1 * 7 % 50) / 4, 2)
+    assert got[(0, "update_preimage")] == ("click", old0)
+    assert got[(0, "update_postimage")] == ("click", 9.5)
+    # delete carries the OLD payload — the pre-image a decrementing
+    # consumer needs (changelog() would emit nulls here)
+    assert got[(1, "delete")] == ("purchase", old1)
+    assert got[(100, "insert")] == ("error", 3.25)
+    assert len(got) == 4
+
+
+def test_hist_tracks_source_through_iud(spark, tmp_path):
+    source, view = _setup(spark, tmp_path)
+    apply_changes(_feed(spark, 60), source, batch_id="b1", mode="mor")
+    r1 = view.refresh()
+    assert not r1["skipped"] and r1["cells_changed"] > 0
+    assert _rows(view.hist()) == _expect(source)
+
+    # value-changing updates + deletes, including the current max values
+    # (bin boundaries move — a cells-only sketch could not survive this)
+    upd = spark.createDataFrame(
+        [
+            Row(lsn=1000 + i, op="U", event_id=i, event_type=TYPES[i % 3],
+                value=round(i * 1.31 + 50, 2))
+            for i in range(0, 20, 2)
+        ]
+        + [
+            Row(lsn=2000 + i, op="D", event_id=i, event_type=None, value=None)
+            for i in range(1, 20, 2)
+        ]
+    )
+    apply_changes(upd, source, batch_id="b2", mode="mor")
+    view.refresh()
+    assert _rows(view.hist()) == _expect(source)
+
+    # replayed refresh with no new source version: committed no-op
+    r3 = view.refresh()
+    assert r3["skipped"]
+    assert _rows(view.hist()) == _expect(source)
+
+    # cell-count invariant: sum(cnt) == live rows with a value
+    total = view.state.read().agg(F.sum("cnt")).first()[0]
+    assert total == source.read().filter(F.col("value").isNotNull()).count()
+
+
+def test_update_same_value_touches_no_cells(spark, tmp_path):
+    source, view = _setup(spark, tmp_path)
+    apply_changes(_feed(spark, 12), source, batch_id="b1", mode="mor")
+    view.refresh()
+    # re-write every row with the SAME value: pre/post pairs cancel
+    apply_changes(
+        _feed(spark, 12, lsn0=500, op="U"), source, batch_id="b2", mode="mor"
+    )
+    r = view.refresh()
+    assert not r["skipped"] and r["cells_changed"] == 0
+    assert _rows(view.hist()) == _expect(source)
+
+
+def test_streamed_kill_and_resume(spark, tmp_path):
+    source, view = _setup(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    apply_changes(_feed(spark, 40), source, batch_id="s1", mode="mor")
+    apply_changes(
+        _feed(spark, 40, lsn0=100, op="U", value_shift=2.0),
+        source,
+        batch_id="s2",
+        mode="mor",
+    )
+    q = view.stream(ckpt)
+    q.awaitTermination(120)
+    assert _rows(view.hist()) == _expect(source)
+    wm = view.last_refreshed_version()
+
+    # "kill": the query is gone; new commits land while it's down
+    deletes = spark.createDataFrame(
+        [(900 + i, "D", i) for i in range(0, 40, 5)],
+        "lsn long, op string, event_id long",
+    ).select(
+        "lsn",
+        "op",
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    apply_changes(deletes, source, batch_id="s3", mode="mor")
+    # resume from the same checkpoint: picks up only the new versions
+    q2 = view.stream(ckpt)
+    q2.awaitTermination(120)
+    assert view.last_refreshed_version() > wm
+    assert _rows(view.hist()) == _expect(source)
+
+    # a third drain with nothing new leaves state untouched (ledger no-op)
+    v = view.state.current().version
+    q3 = view.stream(ckpt)
+    q3.awaitTermination(120)
+    assert view.state.current().version == v
+    assert _rows(view.hist()) == _expect(source)
