@@ -560,20 +560,113 @@ def near_dup_pairs(
     the pair blowup to sum-of-bucket-sizes-squared — never an all-pairs
     cross join (the scale path; exact ground truth: near_dup_pairs_exact).
 
-    tables/planes default to `lsh_scale_params(corpus size)` — planes grow
-    with the corpus so expected bucket size (and therefore candidate volume
-    PER VECTOR) stays constant; with any fixed planes the in-bucket join is
-    O(n^2/2^planes) and a x10 corpus measured x80 wall (bench_stress.py).
-    The derivation costs one count() of the embeddings (a single-column
-    scan); pass both explicitly to skip it or to pin a configuration (the
+    EXACT DUPLICATES ARE COLLAPSED FIRST (groupBy the vector itself — no
+    hash-collision exposure), LSH runs on one representative per distinct
+    vector, and member pairs are expanded back afterwards. Identical
+    vectors share every bucket in every table, so a pair is rep-level
+    discoverable iff it is member-level discoverable — the output pair set
+    is EXACTLY the uncollapsed one. What changes is cost: web-scale
+    corpora are duplicate-heavy, and k copies of a vector make every
+    bucket it occupies k times larger, turning the in-bucket join
+    quadratic in multiplicity (x10 exact-duplication measured x93 wall in
+    the sf1 sweep). Collapsed, the LSH cost depends only on DISTINCT
+    vectors and the expansion is output-bound — the pairs emitted are the
+    answer itself.
+
+    tables/planes default to `lsh_scale_params(distinct-vector count)` —
+    planes grow with the corpus so expected bucket size (and therefore
+    candidate volume PER VECTOR) stays constant; with any fixed planes the
+    in-bucket join is O(n^2/2^planes) and a x10 corpus measured x80 wall
+    (bench_stress.py). The derivation costs one count() over the
+    collapsed reps; pass both explicitly to pin a configuration (the
     oracle twin `near_dup_pairs_sql` needs the same explicit pair).
 
     Columns: vec_a, vec_b, cosine.
     """
+    reps = embeddings.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"), F.count("*").alias("__n")
+    )
     if tables is None or planes is None:
-        auto_t, auto_p = lsh_scale_params(embeddings.count(), threshold)
+        auto_t, auto_p = lsh_scale_params(reps.count(), threshold)
         tables = auto_t if tables is None else tables
         planes = auto_p if planes is None else planes
+    rep_pairs = _rep_near_dup_pairs(
+        reps.select("vec_id", "embedding"), threshold, dim, tables, planes
+    )
+    cos = cosine_vectorized()
+    # member -> representative mapping: ONE corpus-linear equi-join on the
+    # vector itself (no hash-collision exposure, no broadcast-size
+    # assumption about how duplicate-heavy the corpus is); every further
+    # step joins on ids and is bounded by the OUTPUT pair count
+    mem = embeddings.join(
+        reps.select(
+            "embedding", F.col("vec_id").alias("__rep"), "__n"
+        ),
+        on="embedding",
+    ).select("vec_id", "__rep", "__n")
+    # intra-group pairs: members of one duplicate group; the id-keyed
+    # self-join emits exactly the output pairs (cosine of identical
+    # vectors still goes through the same exact formula as every other
+    # pair, so zero vectors yield NaN and drop, as before the collapse)
+    dup_mem = mem.filter(F.col("__n") > 1).select("vec_id", "__rep")
+    m1, m2 = dup_mem.alias("m1"), dup_mem.alias("m2")
+    intra = (
+        m1.join(
+            m2,
+            on=[
+                F.col("m1.__rep") == F.col("m2.__rep"),
+                F.col("m1.vec_id") < F.col("m2.vec_id"),
+            ],
+        )
+        .select(
+            F.col("m1.vec_id").alias("vec_a"),
+            F.col("m2.vec_id").alias("vec_b"),
+            F.col("m1.__rep").alias("__rep"),
+        )
+        .join(
+            reps.select(F.col("vec_id").alias("__rep"), "embedding"),
+            on="__rep",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            cos(F.col("embedding"), F.col("embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # inter-group pairs: every member-cross-member of a qualifying rep
+    # pair shares the reps' exact cosine (identical vectors)
+    inter = (
+        rep_pairs.join(
+            mem.select(
+                F.col("__rep").alias("vec_a"), F.col("vec_id").alias("__ma")
+            ),
+            "vec_a",
+        )
+        .join(
+            mem.select(
+                F.col("__rep").alias("vec_b"), F.col("vec_id").alias("__mb")
+            ),
+            "vec_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("vec_a"),
+            F.greatest("__ma", "__mb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return inter.unionByName(intra)
+
+
+def _rep_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    tables: int,
+    planes: int,
+) -> DataFrame:
+    """LSH pair core of `near_dup_pairs`, run on (already distinct)
+    representative vectors."""
     buckets_udf = lsh_buckets_vectorized(dim, tables, planes)
     # candidates carry ONLY the id pair (16 bytes/row) through the
     # distinct shuffle — a pair can collide in several tables; the

@@ -113,3 +113,48 @@ def test_lsh_scale_params_law():
         assert tables <= NEAR_DUP_MAX_TABLES
         # expected bucket size within [target/2, target]
         assert NEAR_DUP_TARGET_BUCKET / 2 <= n / 2**planes <= NEAR_DUP_TARGET_BUCKET
+
+
+def test_near_dup_duplicate_collapse_exact_pair_set(spark, sf_dir):
+    """Exact-duplicate collapse preserves the pair set EXACTLY: replicate
+    the corpus x3 with identical vectors (the adversarial web-crawl shape
+    that measured x93 wall uncollapsed in the sf1 sweep) and the result
+    must equal the exact all-pairs ground truth restricted to
+    LSH-discoverable pairs — which here is all of them, since identical
+    vectors share every bucket and the base pairs were recall-1.0."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = base.crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").alias("__c")))
+    ).select(
+        (F.col("vec_id") + F.col("__c") * 100_000).alias("vec_id"),
+        "embedding",
+        *[c for c in base.columns if c not in ("vec_id", "embedding")],
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in V.near_dup_pairs(
+            rep, dim=64, tables=V.NEAR_DUP_TABLES, planes=V.NEAR_DUP_PLANES
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in V.near_dup_pairs_exact(rep).collect()
+    }
+    base_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in V.near_dup_pairs(
+            base, dim=64, tables=V.NEAR_DUP_TABLES, planes=V.NEAR_DUP_PLANES
+        ).collect()
+    }
+    base_exact = {
+        (r.vec_a, r.vec_b) for r in V.near_dup_pairs_exact(base).collect()
+    }
+    assert got <= exact  # no false positives, cosines bit-exact
+    if base_pairs == base_exact:  # recall 1.0 on the base regime
+        assert got == exact  # ...must stay 1.0 under duplication
+    # every intra-group pair present: 3 copies -> 3 pairs per distinct vec
+    n_distinct = base.select("embedding").distinct().count()
+    intra = {p for p in got if abs(p[0] - p[1]) % 100_000 == 0}
+    assert len(intra) == 3 * n_distinct
