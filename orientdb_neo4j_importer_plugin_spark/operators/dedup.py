@@ -174,6 +174,15 @@ def minhash_lsh_pairs(
     Band buckets larger than `max_band_size` (degenerate/boilerplate bands)
     are dropped before the self-join — a bucket of b docs makes b^2/2
     candidate rows, so the cap bounds the quadratic path.
+
+    ORDERING CONTRACT at web scale: run EXACT dedup first (the
+    content-hash stage `training_pipeline` leads with). A cohort of > cap
+    byte-identical documents shares every band, hits the cap, and its
+    pairs are dropped as boilerplate — exact duplicates are the exact
+    dedup stage's job (one linear shuffle there vs a quadratic bucket
+    here; same reasoning as similarity.near_dup_pairs' representative
+    collapse, where identical EMBEDDINGS are collapsed inside the
+    operator because no upstream exact stage exists for vectors).
     """
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
