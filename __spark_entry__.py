@@ -597,16 +597,12 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
-def cdc_hist_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streamed quantile-sketch maintenance end-to-end
-    (lake/sketchview.StreamedHistView + SnapshotTable.changelog_delta):
-    an I/U/D feed derived from the events table lands in a snapshot table
-    across three commits; the view folds each window's pre-image changelog
-    into its (event_type, value) cell multiset — refresh after the insert
-    commit, then after updates+deletes, so the second refresh must
-    DECREMENT cells via pre-images (values change and rows vanish, moving
-    every group's min/max). The returned histogram must equal the DuckDB
-    twin computed directly from the LWW-resolved live state."""
+def _hist_setup(spark: SparkSession, sf_dir: str):
+    """Shared fixture of the two hist-view contract queries: an events
+    snapshot table, an empty cell-state table wired into a
+    StreamedHistView, and the deterministic I/U/D feed thirds derived
+    from the events parquet. Returns (source, view, ins, upd, dels,
+    root)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -653,12 +649,54 @@ def cdc_hist_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("double").alias("value"),
     )
+    return source, view, ins, upd, dels, root
+
+
+def cdc_hist_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed quantile-sketch maintenance end-to-end
+    (lake/sketchview.StreamedHistView + SnapshotTable.changelog_delta):
+    an I/U/D feed derived from the events table lands in a snapshot table
+    across three commits; the view folds each window's pre-image changelog
+    into its (event_type, value) cell multiset — refresh after the insert
+    commit, then after updates+deletes, so the second refresh must
+    DECREMENT cells via pre-images (values change and rows vanish, moving
+    every group's min/max). The returned histogram must equal the DuckDB
+    twin computed directly from the LWW-resolved live state."""
+    source, view, ins, upd, dels, _root = _hist_setup(spark, sf_dir)
     apply_changes(ins, source, batch_id="h1", mode="mor")
     view.refresh()
     apply_changes(upd, source, batch_id="h2", mode="mor")
     apply_changes(dels, source, batch_id="h3", mode="mor")
     view.refresh()
     view.refresh()  # no new source version: committed no-op
+    return view.hist()
+
+
+def cdc_hist_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sketch as `cdc_hist_view`, but maintained by the
+    CHECKPOINTED streaming path (StreamedHistView.stream): the source's
+    lake_cdf feed wakes the maintainer, each trigger folds the pre-image
+    changelog window, and the stream is killed and resumed from its
+    checkpoint between commit waves — the update+delete wave lands while
+    the maintainer is down and must be absorbed on resume. Identical
+    oracle (CDC_HIST_VIEW_SQL): the end state must not depend on which
+    maintenance path ran, nor on where the kill fell."""
+    source, view, ins, upd, dels, root = _hist_setup(spark, sf_dir)
+    ckpt = os.path.join(root, "ckpt")
+
+    def wave() -> None:
+        q = view.stream(ckpt)
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise RuntimeError("streamed hist wave did not drain")
+
+    apply_changes(ins, source, batch_id="h1", mode="mor")
+    wave()
+    # maintainer down: updates + deletes commit, then a checkpoint RESUME
+    apply_changes(upd, source, batch_id="h2", mode="mor")
+    apply_changes(dels, source, batch_id="h3", mode="mor")
+    wave()
     return view.hist()
 
 
@@ -852,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
+        "cdc_hist_view_stream": cdc_hist_view_stream,
         "cdc_patch_state": cdc_patch_state,
         "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
@@ -1115,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
+        "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
