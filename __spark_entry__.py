@@ -712,6 +712,45 @@ WITH live AS (
 """
 
 
+def cdc_cms_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second streamed sketch (lake/sketchview.StreamedCmsView):
+    count-min cells of event_type frequency maintained incrementally over
+    the same I/U/D feed as cdc_hist_view — CMS counters are delete-
+    algebraic, so the delete wave DECREMENTS cells via pre-images (the
+    update wave keeps event_type, so its pre/post pairs must cancel to
+    zero state touches). Probe estimates against the maintained cells
+    must equal the DuckDB twin's fresh sketch over the resolved live
+    state."""
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedCmsView,
+    )
+
+    source, _hist, ins, upd, dels, root = _hist_setup(spark, sf_dir)
+    state = StreamedCmsView.create_state(spark, os.path.join(root, "cms"))
+    view = StreamedCmsView(source, state, value_col="event_type")
+    apply_changes(ins, source, batch_id="h1", mode="mor")
+    view.refresh()
+    apply_changes(upd, source, batch_id="h2", mode="mor")
+    apply_changes(dels, source, batch_id="h3", mode="mor")
+    view.refresh()
+    probes = (
+        _read(spark, sf_dir, "events")
+        .select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+    )
+    return view.estimate(probes, F.col("event_type"))
+
+
+CDC_CMS_VIEW_SQL = SK.cms_estimate_sql(
+    "(SELECT event_type FROM events WHERE event_id % 7 <> 3) live",
+    "event_type",
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL",
+    ["event_type"],
+    "event_type",
+)
+
+
 def _mvj_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two join-view contract queries: transcripts
     (fact, from lineitem) + per-conversation metadata (changing dimension,
@@ -891,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
+        "cdc_cms_view": cdc_cms_view,
         "cdc_patch_state": cdc_patch_state,
         "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
@@ -1155,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,
+        "cdc_cms_view": CDC_CMS_VIEW_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),

@@ -3,12 +3,13 @@
 # so the name must already be bound when materialize loads.
 from .table import CommitConflictError, ConcurrentCommitError, SnapshotTable
 from .materialize import IncrementalView
-from .sketchview import StreamedHistView
+from .sketchview import StreamedCmsView, StreamedHistView
 
 __all__ = [
     "CommitConflictError",
     "ConcurrentCommitError",
     "IncrementalView",
     "SnapshotTable",
+    "StreamedCmsView",
     "StreamedHistView",
 ]

@@ -52,6 +52,12 @@ from pyspark.sql.types import (
 )
 
 from ..operators.temporal import HIST_BINS, hist_from_cells
+from ..operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    _cms_addresses,
+    cms_estimate_from_cells,
+)
 from .table import SnapshotTable, bucket_expr_for
 
 
@@ -228,6 +234,207 @@ class StreamedHistView:
         from state lineage — duplicate triggers and checkpoint replays are
         ledger no-ops, a missed trigger is absorbed by the next (same
         trigger contract as IncrementalView.stream rowlevel=False)."""
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.state.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        stream = (
+            spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.last_refreshed_version())
+            .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def cms_cells_schema() -> StructType:
+    """CMS state-table schema: one row per non-zero sketch counter.
+    `cell_id` = r * (width + 1) + c (the +1 stride reserves a per-row
+    sentinel slot for the null-hash cell so it cannot collide with the
+    next row's column 0)."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField("r", LongType(), True),
+            StructField("c", LongType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+
+class StreamedCmsView:
+    """Incrementally-maintained count-min sketch of `value_col`'s
+    frequency distribution over the live rows of `source` — the second
+    member of the streamed-sketch family (same maintenance contract as
+    `StreamedHistView`; see the module docstring).
+
+    CMS counters are a commutative group under insert(+1)/delete(-1), so
+    unlike the histogram no multiset detour is needed: the cells ARE the
+    delete-algebraic sufficient statistic. Each changed row touches
+    exactly `depth` cells; a refresh is one combinable aggregate over the
+    window's pre-image changelog plus a bucket-pruned MERGE of the (at
+    most depth x width) touched cells. `estimate()` reads probes against
+    the maintained cells bit-identically to a fresh `cms_build` over the
+    live rows (counters are exact longs)."""
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        state: SnapshotTable,
+        value_col: str,
+        depth: int = CMS_DEPTH,
+        width: int = CMS_WIDTH,
+    ):
+        expected = [f.name for f in cms_cells_schema().fields]
+        got = state.current().schema.names
+        if list(got) != expected:
+            raise ValueError(
+                f"state table schema {list(got)} != expected {expected} "
+                "(create it with StreamedCmsView.create_state)"
+            )
+        self.source = source
+        self.state = state
+        self.value_col = value_col
+        self.depth = depth
+        self.width = width
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 4,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            cms_cells_schema(),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id"],
+            overwrite=overwrite,
+        )
+
+    def last_refreshed_version(self) -> int:
+        for entry in reversed(self.state.current().lineage):
+            v = entry.get("cms_source_version")
+            if v is not None:
+                return int(v)
+        return 0
+
+    def refresh(self, mode: str = "mor") -> dict[str, Any]:
+        from ..cdc.apply import apply_changes
+
+        from_v = self.last_refreshed_version()
+        snap = self.source.current()
+        if snap.version <= from_v:
+            return {
+                "source_version": from_v,
+                "cells_changed": 0,
+                "skipped": True,
+            }
+        changes, cand = self.source._changelog_delta_with_cache(
+            from_v, snap.version
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        addr = F.explode(
+            _cms_addresses(F.col(self.value_col), self.depth, self.width)
+        )
+        delta = (
+            changes.select(
+                addr.alias("__cell"),
+                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+            )
+            .select(
+                F.col("__cell.__cms_r").cast("long").alias("r"),
+                F.col("__cell.__cms_c").cast("long").alias("c"),
+                "w",
+            )
+            .groupBy("r", "c")
+            .agg(F.sum("w").cast("long").alias("d"))
+            .filter(F.col("d") != 0)
+            .withColumn(
+                "cell_id",
+                F.col("r") * (self.width + 1)
+                + F.coalesce(F.col("c"), F.lit(self.width)),
+            )
+            .persist()
+        )
+        try:
+            st_snap = self.state.current()
+            touched = [
+                row.b
+                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
+                "cell_id", F.col("cnt").alias("__old")
+            )
+            cur = cur.join(
+                F.broadcast(delta.select("cell_id")),
+                on="cell_id",
+                how="left_semi",
+            )
+            new_cnt = F.coalesce(F.col("__old"), F.lit(0)) + F.col("d")
+            events = delta.join(cur, on="cell_id", how="left").select(
+                F.lit(snap.version).cast("long").alias("lsn"),
+                F.when(new_cnt == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("cell_id"),
+                F.col("r"),
+                F.col("c"),
+                F.when(new_cnt != 0, new_cnt).cast("long").alias("cnt"),
+            )
+            res = apply_changes(
+                events,
+                self.state,
+                batch_id=f"cms-{from_v}-{snap.version}",
+                mode=mode,
+                lineage_extra={"cms_source_version": snap.version},
+                stats_via_observation=False,
+            )
+        finally:
+            delta.unpersist(blocking=False)
+            cand.unpersist(blocking=False)
+        return {
+            "source_version": snap.version,
+            "cells_changed": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def cells(self) -> DataFrame:
+        """Maintained sketch cells (r, c, cnt) — same shape `cms_build`
+        emits over the live rows."""
+        return self.state.read().select("r", "c", "cnt")
+
+    def estimate(self, probes: DataFrame, probe_value) -> DataFrame:
+        """Estimated frequency of each probe row's value against the
+        maintained cells — bit-identical to `cms_estimate` over the
+        source's live rows (tested exact)."""
+        return cms_estimate_from_cells(
+            self.cells(), probes, probe_value, self.depth, self.width
+        )
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "mor",
+        available_now: bool = True,
+    ):
+        """Continuous maintenance off the source's `lake_cdf` wake-up feed
+        (same trigger contract as StreamedHistView.stream)."""
         from ..streaming.cdf_source import LakeCdfDataSource
 
         spark = self.state.spark

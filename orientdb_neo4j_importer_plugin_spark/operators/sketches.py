@@ -297,7 +297,24 @@ def cms_estimate(
     rows of the addressed cell. Returns probes' columns + cms_est (0 for a
     value hashing to never-written cells). The sketch side is tiny and
     broadcast; probes can be arbitrarily large."""
-    sketch = cms_build(df, value, depth, width).select(
+    return cms_estimate_from_cells(
+        cms_build(df, value, depth, width), probes, probe_value, depth, width
+    )
+
+
+def cms_estimate_from_cells(
+    cells: DataFrame,
+    probes: DataFrame,
+    probe_value: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """`cms_estimate`'s probe side over PRE-BUILT sketch cells (r, c, cnt)
+    — the read path of `lake.sketchview.StreamedCmsView`, whose cells are
+    maintained incrementally instead of recomputed per query. Counter
+    cells are exact longs, so estimates from maintained cells are
+    bit-identical to a fresh `cms_build` over the same rows."""
+    sketch = cells.select(
         F.col("r").alias(_CMS_R),
         F.col("c").alias(_CMS_C),
         F.col("cnt").alias(_CMS_CNT),

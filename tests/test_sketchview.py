@@ -192,3 +192,124 @@ def test_streamed_kill_and_resume(spark, tmp_path):
     q3.awaitTermination(120)
     assert view.state.current().version == v
     assert _rows(view.hist()) == _expect(source)
+
+
+def _cms_expect(source, spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    probes = (
+        source.read()
+        .select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+    )
+    return _rows(
+        cms_estimate(
+            source.read(), F.col("event_type"), probes, F.col("event_type")
+        )
+    )
+
+
+def test_cms_view_tracks_source_through_iud(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedCmsView,
+    )
+
+    source = SnapshotTable.create(
+        spark,
+        str(tmp_path / "src"),
+        EVENTS_SCHEMA,
+        "event_id",
+        num_buckets=8,
+        key_columns=["event_id"],
+    )
+    state = StreamedCmsView.create_state(spark, str(tmp_path / "cms"))
+    view = StreamedCmsView(source, state, value_col="event_type")
+
+    def got():
+        probes = (
+            source.read()
+            .select("event_type")
+            .filter(F.col("event_type").isNotNull())
+            .distinct()
+        )
+        return _rows(view.estimate(probes, F.col("event_type")))
+
+    apply_changes(_feed(spark, 60), source, batch_id="b1", mode="mor")
+    r1 = view.refresh()
+    assert not r1["skipped"] and r1["cells_changed"] > 0
+    assert got() == _cms_expect(source, spark)
+
+    # deletes decrement counters; updates that keep event_type cancel
+    batch = spark.createDataFrame(
+        [(900 + i, "D", i) for i in range(0, 60, 4)],
+        "lsn long, op string, event_id long",
+    ).select(
+        "lsn", "op", "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    apply_changes(batch, source, batch_id="b2", mode="mor")
+    view.refresh()
+    assert got() == _cms_expect(source, spark)
+
+    # counter invariant: every sketch row's total == live row count
+    # (null event_type rows land in the sentinel cell, same as cms_build
+    # hashing them — the probe comparison above already covers non-null)
+    per_row = {
+        r.r: r.total
+        for r in view.cells().groupBy("r").agg(F.sum("cnt").alias("total")).collect()
+    }
+    live = source.read().count()
+    assert all(v == live for v in per_row.values())
+
+    # replay with no new version: committed no-op
+    r3 = view.refresh()
+    assert r3["skipped"]
+
+
+def test_cms_view_streamed_resume(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedCmsView,
+    )
+
+    source = SnapshotTable.create(
+        spark,
+        str(tmp_path / "src"),
+        EVENTS_SCHEMA,
+        "event_id",
+        num_buckets=8,
+        key_columns=["event_id"],
+    )
+    state = StreamedCmsView.create_state(spark, str(tmp_path / "cms"))
+    view = StreamedCmsView(source, state, value_col="event_type")
+    ckpt = str(tmp_path / "ckpt")
+    apply_changes(_feed(spark, 30), source, batch_id="s1", mode="mor")
+    q = view.stream(ckpt)
+    q.awaitTermination(120)
+    assert got_equal(view, source)
+    wm = view.last_refreshed_version()
+    apply_changes(
+        _feed(spark, 30, lsn0=500, op="U", value_shift=1.0),
+        source,
+        batch_id="s2",
+        mode="mor",
+    )
+    q2 = view.stream(ckpt)
+    q2.awaitTermination(120)
+    assert view.last_refreshed_version() > wm
+    assert got_equal(view, source)
+
+
+def got_equal(view, source):
+    probes = (
+        source.read()
+        .select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+    )
+    return _rows(view.estimate(probes, F.col("event_type"))) == _cms_expect(
+        source, source.spark
+    )
