@@ -48,6 +48,9 @@ EMB_TOPK = 5
 # static constants, so the contract passes them explicitly on both sides).
 LSH_TOPK_TABLES, LSH_TOPK_PLANES = 12, 3  # lsh_scale_params fixed point n<=1024
 LSH_MULTI_TABLES, LSH_MULTI_PLANES = 8, 4  # measured recall-1.0 explicit point
+# Context budget for the transcripts_truncate_budget contract row: ~3 of the
+# feed's ~8-token turns survive, so both keep and drop paths are exercised.
+TRUNCATE_BUDGET_TOKENS = 24
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -942,6 +945,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_training_examples": lambda s, d: TR.training_examples(
             _replayed_state(s, d)
         ),
+        "transcripts_sft_pairs": lambda s, d: TR.sft_pairs(_replayed_state(s, d)),
+        "transcripts_truncate_budget": lambda s, d: TR.truncate_to_budget(
+            _replayed_state(s, d), max_tokens=TRUNCATE_BUDGET_TOKENS
+        ),
+        "transcripts_merge_roles": lambda s, d: TR.merge_consecutive_roles(
+            _replayed_state(s, d)
+        ),
+        "transcripts_template_groups": lambda s, d: TR.conversation_template_groups(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -1201,6 +1214,14 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),
         "transcripts_render": TR.render_conversations_sql(_STATE_CTE),
         "transcripts_training_examples": TR.training_examples_sql(_STATE_CTE),
+        "transcripts_sft_pairs": TR.sft_pairs_sql(_STATE_CTE),
+        "transcripts_truncate_budget": TR.truncate_to_budget_sql(
+            _STATE_CTE, max_tokens=TRUNCATE_BUDGET_TOKENS
+        ),
+        "transcripts_merge_roles": TR.merge_consecutive_roles_sql(_STATE_CTE),
+        "transcripts_template_groups": TR.conversation_template_groups_sql(
+            _STATE_CTE
+        ),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_session_window": S.session_window_agg_sql(),

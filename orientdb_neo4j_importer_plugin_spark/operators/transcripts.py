@@ -5,7 +5,7 @@ quality gates a training-data consumer needs are *structural*: turn
 continuity, role alternation, event-time ordering, and a renderable
 chat transcript).
 
-Both operators consume the LWW-replayed state (one row per live
+All operators consume the LWW-replayed state (one row per live
 (conv_id, turn_idx)) and group by conversation:
 
 * ``conversation_integrity`` — per-conversation structural counters used
@@ -14,9 +14,19 @@ Both operators consume the LWW-replayed state (one row per live
 * ``render_conversations`` — deterministic chat-template render: ordered
   turns concatenated "role: text", with a whitespace token estimate —
   the export step that feeds sequence packing (sampling.pack_documents).
+* ``training_examples`` — whole-conversation SFT examples with per-turn
+  loss masks and loss-bearing token counts.
+* ``sft_pairs`` — per-assistant-turn (prompt, completion) pair export.
+* ``truncate_to_budget`` — context-window fitting: longest turn-suffix
+  under a token budget, rendered.
+* ``merge_consecutive_roles`` — gaps-and-islands repair of adjacent
+  same-role turns (the fix for ``n_role_repeats``).
+* ``conversation_template_groups`` — template-level conversation dedup
+  (canonicalized-render hash groups).
 
-Scale shape: each is ONE shuffle on conv_id (the window sort and the
-grouped aggregate share the partitioning; Spark plans a single exchange).
+Scale shape: each is ONE shuffle on conv_id (windows and the grouped
+aggregate share the partitioning; Spark plans a single exchange);
+template dedup adds one bounded (hash, conv_id) shuffle.
 Conversations are bounded (thousands of turns at most), so per-group
 state never approaches executor memory, and there are no joins.
 
@@ -147,6 +157,345 @@ SELECT conv_id,
 FROM lines
 GROUP BY conv_id
 ORDER BY conv_id
+"""
+
+
+def _ws_tokens(col):
+    """Whitespace token count (the packing estimator's unit) — same
+    expression family as functions/hashes.tokens_sql."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda x: F.length(x) > 0)).cast(
+        "long"
+    )
+
+
+def _ws_tokens_sql(expr: str) -> str:
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array({expr}, '\\s+'), "
+        "x -> len(x) > 0)) AS BIGINT)"
+    )
+
+
+def sft_pairs(state: DataFrame, sep: str = "\n") -> DataFrame:
+    """Prompt/completion pair extraction — one training pair per assistant
+    turn: prompt = ordered "role: text" render of every PRIOR turn,
+    completion = the assistant turn's own text. The standard SFT export
+    when a trainer wants per-turn examples instead of whole-conversation
+    loss masks (`training_examples` is the masked-whole-conversation
+    sibling).
+
+    Columns: conv_id, turn_idx, prompt ('' for a conversation-opening
+    assistant turn), completion, n_prompt_tokens, n_completion_tokens.
+
+    Scale shape: ONE shuffle on conv_id; the prefix render is a running
+    window over each conversation (bounded group size), and array_sort on
+    (turn_idx, line) structs keeps the concat order-deterministic however
+    the window buffers rows. No join; output is at most one row per turn.
+    """
+    line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    turns = state.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.col("text"), F.lit("")).alias("completion"),
+        F.struct(F.col("turn_idx"), line.alias("line")).alias("t"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("t").over(w)), lambda s: s.getField("line")
+        ),
+        sep,
+    )
+    return (
+        turns.withColumn("prompt", F.coalesce(prompt, F.lit("")))
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prompt",
+            "completion",
+            _ws_tokens(F.col("prompt")).alias("n_prompt_tokens"),
+            _ws_tokens(F.col("completion")).alias("n_completion_tokens"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def sft_pairs_sql(state_cte: str, sep: str = "\n") -> str:
+    """DuckDB twin: windowed string_agg over the UNBOUNDED PRECEDING..1
+    PRECEDING frame reproduces the prior-turns render."""
+    sep_lit = sep.replace("\n", "\\n")
+    return f"""
+{state_cte},
+lines AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(text, '') AS completion,
+         role || ': ' || coalesce(text, '') AS line
+  FROM state
+),
+pr AS (
+  SELECT conv_id, turn_idx, role, completion,
+         coalesce(string_agg(line, e'{sep_lit}') OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS prompt
+  FROM lines
+)
+SELECT conv_id, turn_idx, prompt, completion,
+       {_ws_tokens_sql('prompt')} AS n_prompt_tokens,
+       {_ws_tokens_sql('completion')} AS n_completion_tokens
+FROM pr WHERE role = 'assistant'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def truncate_to_budget(
+    state: DataFrame, max_tokens: int, sep: str = "\n"
+) -> DataFrame:
+    """Context-window fitting at TURN boundaries: keep the longest suffix
+    of each conversation whose cumulative whitespace-token count fits
+    `max_tokens` (most-recent turns win — the standard chat-context
+    truncation rule), then render the kept turns. A conversation whose
+    final turn alone exceeds the budget yields no row.
+
+    Columns: conv_id, n_turns_kept, n_turns_dropped, first_kept_turn,
+    text, n_tokens.
+
+    Scale shape: ONE shuffle on conv_id shared by the suffix-sum window
+    and the grouped render; per-group state is bounded by conversation
+    length. No join.
+    """
+    line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    turns = state.select(
+        "conv_id",
+        "turn_idx",
+        F.struct(F.col("turn_idx"), line.alias("line")).alias("t"),
+        _ws_tokens(line).alias("tok"),
+    )
+    w_suffix = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_conv = Window.partitionBy("conv_id")
+    kept = (
+        turns.withColumn("suffix_tokens", F.sum("tok").over(w_suffix))
+        .withColumn("n_total", F.count("*").over(w_conv))
+        .filter(F.col("suffix_tokens") <= max_tokens)
+    )
+    return (
+        kept.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns_kept"),
+            (F.max("n_total") - F.count("*")).cast("long").alias("n_turns_dropped"),
+            F.min("turn_idx").cast("long").alias("first_kept_turn"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda s: s.getField("line")
+                ),
+                sep,
+            ).alias("text"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def truncate_to_budget_sql(state_cte: str, max_tokens: int, sep: str = "\n") -> str:
+    """DuckDB twin: suffix token sum via ORDER BY turn_idx DESC running
+    window, then group-render the surviving turns."""
+    sep_lit = sep.replace("\n", "\\n")
+    return f"""
+{state_cte},
+lines AS (
+  SELECT conv_id, turn_idx,
+         role || ': ' || coalesce(text, '') AS line,
+         {_ws_tokens_sql("role || ': ' || coalesce(text, '')")} AS tok
+  FROM state
+),
+suff AS (
+  SELECT *,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix_tokens,
+         count(*) OVER (PARTITION BY conv_id) AS n_total
+  FROM lines
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns_kept,
+       CAST(max(n_total) - count(*) AS BIGINT) AS n_turns_dropped,
+       CAST(min(turn_idx) AS BIGINT) AS first_kept_turn,
+       string_agg(line, e'{sep_lit}' ORDER BY turn_idx) AS text,
+       CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM suff WHERE suffix_tokens <= {max_tokens}
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
+def merge_consecutive_roles(state: DataFrame, sep: str = " ") -> DataFrame:
+    """Transcript repair: merge runs of ADJACENT same-role turns into one
+    turn (gaps-and-islands on turn order) — the canonical fix for the
+    `n_role_repeats` defect `conversation_integrity` counts, applied
+    before rendering/export so chat templates that require strict role
+    alternation don't reject the conversation.
+
+    Island id = row_number over the conversation minus row_number within
+    (conversation, role): constant exactly across a run of equal roles.
+
+    Columns: conv_id, turn_idx (first turn of the run), role, text
+    (run texts joined by `sep`, turn order), n_merged, ts (run minimum).
+
+    Scale shape: both row_numbers and the grouped merge share ONE
+    conv_id-clustered shuffle; no join.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wr = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    runs = state.withColumn(
+        "grp", F.row_number().over(w) - F.row_number().over(wr)
+    ).select(
+        "conv_id",
+        "role",
+        "grp",
+        "turn_idx",
+        "ts",
+        F.struct(
+            F.col("turn_idx"),
+            F.coalesce(F.col("text"), F.lit("")).alias("body"),
+        ).alias("t"),
+    )
+    return (
+        runs.groupBy("conv_id", "role", "grp")
+        .agg(
+            F.min("turn_idx").cast("long").alias("turn_idx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda s: s.getField("body")
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_merged"),
+            F.min("ts").alias("ts"),
+        )
+        .select("conv_id", "turn_idx", "role", "text", "n_merged", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def merge_consecutive_roles_sql(state_cte: str, sep: str = " ") -> str:
+    """DuckDB twin: identical islands arithmetic (unique (conv_id,
+    turn_idx) makes both row_numbers deterministic)."""
+    sep_lit = sep.replace("\n", "\\n")
+    return f"""
+{state_cte},
+runs AS (
+  SELECT conv_id, role, turn_idx, ts, coalesce(text, '') AS body,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx)
+           AS grp
+  FROM state
+)
+SELECT conv_id,
+       CAST(min(turn_idx) AS BIGINT) AS turn_idx,
+       role,
+       string_agg(body, e'{sep_lit}' ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       min(ts) AS ts
+FROM runs
+GROUP BY conv_id, role, grp
+ORDER BY conv_id, turn_idx
+"""
+
+
+def conversation_template_groups(state: DataFrame, sep: str = "\n") -> DataFrame:
+    """Conversation-level template dedup: two conversations are template
+    duplicates when their renders are identical AFTER canonicalization
+    (lowercase, digit runs stripped, whitespace collapsed) — the
+    transcript analogue of the documents family's exact dedup, catching
+    form-letter/boilerplate conversations that differ only in numbers.
+
+    Columns (duplicate groups only, n_convs >= 2): tmpl_hash (portable
+    md5-derived 60-bit hash of the canonical render), n_convs,
+    keep_conv_id (min — the deterministic survivor). Group members are
+    NOT materialized as a list column: a boilerplate template class can
+    hold millions of conversations at scale, and per-group state must
+    stay bounded (join back on tmpl_hash to enumerate members).
+
+    Scale shape: per-conversation render is one conv_id shuffle; the
+    group stage shuffles ONE (hash, conv_id) row per conversation —
+    corpus text never moves twice. Same two-stage shape as
+    dedup.exact_dup_groups.
+    """
+    from orientdb_neo4j_importer_plugin_spark.functions.hashes import h64
+
+    canon_line = F.concat_ws(
+        ": ",
+        F.col("role"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), "[0-9]+", ""
+                ),
+                r"\s+",
+                " ",
+            )
+        ),
+    )
+    packed = state.select(
+        "conv_id", F.struct(F.col("turn_idx"), canon_line.alias("line")).alias("t")
+    )
+    rendered = packed.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("t")), lambda s: s.getField("line")
+            ),
+            sep,
+        ).alias("canon_text")
+    )
+    return (
+        rendered.select("conv_id", h64(F.col("canon_text")).alias("tmpl_hash"))
+        .groupBy("tmpl_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("conv_id").alias("keep_conv_id"),
+        )
+        .filter(F.col("n_convs") >= 2)
+        .orderBy("keep_conv_id")
+    )
+
+
+def conversation_template_groups_sql(state_cte: str, sep: str = "\n") -> str:
+    """DuckDB twin: same canonicalization regexes, md5-derived hash
+    (functions/hashes.h64_sql), string_agg ORDER BY conv_id."""
+    from orientdb_neo4j_importer_plugin_spark.functions.hashes import h64_sql
+
+    sep_lit = sep.replace("\n", "\\n")
+    canon = (
+        "role || ': ' || trim(regexp_replace(regexp_replace("
+        "lower(coalesce(text, '')), '[0-9]+', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+{state_cte},
+lines AS (
+  SELECT conv_id, turn_idx, {canon} AS line FROM state
+),
+rendered AS (
+  SELECT conv_id,
+         string_agg(line, e'{sep_lit}' ORDER BY turn_idx) AS canon_text
+  FROM lines GROUP BY conv_id
+),
+tmpl_hashed AS (
+  SELECT conv_id, {h64_sql('canon_text')} AS tmpl_hash FROM rendered
+)
+SELECT tmpl_hash,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS keep_conv_id
+FROM tmpl_hashed
+GROUP BY tmpl_hash
+HAVING count(*) >= 2
+ORDER BY keep_conv_id
 """
 
 

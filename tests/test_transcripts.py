@@ -107,3 +107,101 @@ def test_training_examples_mask_semantics(spark):
     assert c1["n_loss_tokens"] == 7
     assert c1["text"].split("\n")[0] == "user: hello there friend"
     assert rows["c2"]["loss_mask"] == "0"
+
+
+def test_sft_pairs_prompt_is_prior_turns(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 0, "assistant", "opener", None, 0),  # empty prompt
+            ("c1", 1, "user", "question one", None, 1),
+            ("c1", 2, "assistant", "answer one", None, 2),
+            ("c1", 3, "user", "question two", None, 3),
+            ("c1", 4, "assistant", None, None, 4),  # null text -> ''
+        ],
+    )
+    rows = {r["turn_idx"]: r for r in TR.sft_pairs(df).collect()}
+    assert sorted(rows) == [0, 2, 4]  # one pair per assistant turn
+    assert rows[0]["prompt"] == "" and rows[0]["n_prompt_tokens"] == 0
+    assert rows[0]["completion"] == "opener"
+    assert rows[2]["prompt"] == "assistant: opener\nuser: question one"
+    assert rows[2]["completion"] == "answer one"
+    assert rows[2]["n_prompt_tokens"] == 5 and rows[2]["n_completion_tokens"] == 2
+    assert rows[4]["prompt"].endswith("user: question two")
+    assert rows[4]["completion"] == "" and rows[4]["n_completion_tokens"] == 0
+    # plan-shape independence: same pairs from a repartitioned input
+    again = {r["turn_idx"]: r for r in TR.sft_pairs(df.repartition(5)).collect()}
+    assert again[2]["prompt"] == rows[2]["prompt"]
+
+
+def test_truncate_to_budget_keeps_recent_suffix(spark):
+    df = _state(
+        spark,
+        [
+            # per-line tokens: "user: one two three" = 4
+            ("c1", 0, "user", "one two three", None, 0),
+            ("c1", 1, "assistant", "four five six", None, 1),
+            ("c1", 2, "user", "seven eight", None, 2),  # 3 tokens
+            # c2: single turn bigger than the budget -> no row
+            ("c2", 0, "user", "a b c d e f g h i j", None, 0),
+        ],
+    )
+    out = {r["conv_id"]: r for r in TR.truncate_to_budget(df, max_tokens=7).collect()}
+    assert "c2" not in out  # final turn alone exceeds the budget
+    c1 = out["c1"]
+    # suffix sums from the end: turn2=3, +turn1=7, +turn0=11 -> keep turns 1,2
+    assert c1["n_turns_kept"] == 2 and c1["n_turns_dropped"] == 1
+    assert c1["first_kept_turn"] == 1
+    assert c1["text"] == "assistant: four five six\nuser: seven eight"
+    assert c1["n_tokens"] == 7
+    # a generous budget keeps everything
+    full = {r["conv_id"]: r for r in TR.truncate_to_budget(df, max_tokens=99).collect()}
+    assert full["c1"]["n_turns_kept"] == 3 and full["c1"]["n_turns_dropped"] == 0
+    assert full["c2"]["n_turns_kept"] == 1
+
+
+def test_merge_consecutive_roles_islands(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 0, "user", "a", None, 3),
+            ("c1", 1, "user", "b", None, 1),  # run of 2 users; min ts wins
+            ("c1", 2, "assistant", "c", None, 2),
+            ("c1", 3, "user", "d", None, 4),  # same role again, NOT adjacent
+            ("c1", 4, "user", None, None, 5),  # null text joins as ''
+        ],
+    )
+    rows = TR.merge_consecutive_roles(df).collect()
+    assert [(r["turn_idx"], r["role"], r["text"], r["n_merged"]) for r in rows] == [
+        (0, "user", "a b", 2),
+        (2, "assistant", "c", 1),
+        (3, "user", "d ", 2),
+    ]
+    assert rows[0]["ts"] == TS + datetime.timedelta(minutes=1)  # run-min ts
+    # merged output has no adjacent same-role turns left
+    integ = TR.conversation_integrity(
+        TR.merge_consecutive_roles(df).selectExpr(
+            "conv_id", "cast(turn_idx as int) turn_idx", "role", "text",
+            "cast(null as string) tool", "ts",
+        )
+    ).collect()[0]
+    assert integ["n_role_repeats"] == 0
+
+
+def test_template_groups_digit_insensitive(spark):
+    df = _state(
+        spark,
+        [
+            # c1 and c3 differ only in numbers/case/spacing -> same template
+            ("c1", 0, "user", "order 123 placed", None, 0),
+            ("c1", 1, "assistant", "shipping 4 items", None, 1),
+            ("c3", 0, "user", "ORDER 999   placed", None, 0),
+            ("c3", 1, "assistant", "Shipping 71 items", None, 1),
+            # c2: different wording -> its own (singleton) template
+            ("c2", 0, "user", "hello", None, 0),
+        ],
+    )
+    groups = TR.conversation_template_groups(df).collect()
+    assert len(groups) == 1  # singletons suppressed
+    g = groups[0]
+    assert g["n_convs"] == 2 and g["keep_conv_id"] == "c1"
