@@ -1948,14 +1948,34 @@ class SnapshotTable:
         bucket_ids: list[int] | None = None,
         max_recomputes: int = 2,
         max_file_rows: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> Snapshot:
         """Fold delta files into base files (Iceberg rewrite_data_files /
         minor-compaction analogue). Defaults to every bucket with deltas.
+
+        `cluster_by` overrides the rewrite sort order (default: primary
+        key). Iceberg sort-order-on-rewrite analogue: when the dominant
+        read is a NON-key range scan (time windows over `ts`) and event
+        time does not correlate with the key, key-clustered files all
+        span the full ts range and `read_colrange` can skip nothing —
+        clustering by the scan column instead gives each file a tight,
+        disjoint range, so in-bucket file skipping bites. Trade-off: a
+        bucket's point lookups then scan all of that bucket's base files
+        (key bounds widen), which is why it is opt-in per table workload.
 
         Maintenance loses races by design: if a concurrent writer lands a
         delta in a bucket mid-compaction, the rewrite is recomputed from the
         new snapshot (bounded), never committed stale."""
         want = bucket_ids
+        if cluster_by:
+            snap0 = self.current()
+            known = {f.name for f in snap0.schema.fields}
+            bad = [c for c in cluster_by if c not in known]
+            if bad:
+                raise ValueError(
+                    f"cluster_by columns {bad} not in table schema "
+                    f"(have {sorted(known)})"
+                )
         for _ in range(max_recomputes + 1):
             snap = self.current()
             ids = (
@@ -1975,7 +1995,7 @@ class SnapshotTable:
             # Iceberg sort-order-on-rewrite analogue.
             merged = merged.repartition(
                 max(len(ids), 1), F.col(BUCKET_COL)
-            ).sortWithinPartitions(BUCKET_COL, *snap.keys)
+            ).sortWithinPartitions(BUCKET_COL, *(cluster_by or snap.keys))
             try:
                 return self.commit_bucket_rewrite(
                     merged,
@@ -2001,6 +2021,7 @@ class SnapshotTable:
         expire_keep_last: int | None = None,
         orphans_older_than_sec: float | None = None,
         tombstone_below_lsn: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """One maintenance pass — the background loop a real deployment
         schedules between (or alongside) ingest batches:
@@ -2020,6 +2041,10 @@ class SnapshotTable:
            materializing version v reads snapshots v-1, v),
         4. optionally EXPIRE old snapshots and VACUUM orphan files.
 
+        `cluster_by` is forwarded to compaction (sort-order-on-rewrite;
+        see `compact`) so a deployment whose hot reads are time windows
+        keeps its base files ts-clustered on the same schedule.
+
         Each step is the existing idempotent primitive; the method only
         sequences them safely. Returns a per-step summary dict."""
         summary: dict[str, Any] = {}
@@ -2028,7 +2053,9 @@ class SnapshotTable:
             int(b) for b, fs in snap.deltas.items() if len(fs) >= compact_if_deltas
         ]
         if backlog:
-            self.compact(sorted(backlog), max_file_rows=max_file_rows)
+            self.compact(
+                sorted(backlog), max_file_rows=max_file_rows, cluster_by=cluster_by
+            )
         summary["compacted_buckets"] = sorted(backlog)
         if tombstone_below_lsn is not None:
             v_before = self.current().version

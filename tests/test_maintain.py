@@ -258,3 +258,89 @@ def test_maintain_sequences_tombstone_vacuum(spark, tmp_path):
     assert table.current().version == v
     # replay invariant: the vacuumed-away delete batch is still in the ledger
     assert table.is_batch_committed("del")
+
+
+def _scrambled_ts_table(spark, tmp_path, name, n=200):
+    """ts DEcorrelated from the key (conversations updated at arbitrary
+    times): key-clustered compaction gives every file ~full-range ts
+    bounds, so colrange pruning needs cluster_by."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / name), schema, "user_id",
+        num_buckets=4, key_columns=["user_id"],
+    )
+    events = spark.range(n).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,cast(id * 37 % 200 as int),0,0)"
+        ).alias("ts"),
+    )
+    apply_changes(events, table, batch_id="all", mode="mor")
+    return table
+
+
+def test_compact_cluster_by_enables_ts_pruning(spark, tmp_path):
+    """Sort-order-on-rewrite: with ts decorrelated from the key,
+    key-clustered files span the whole ts range (colrange skips ~nothing)
+    while cluster_by=["ts"] files carry tight disjoint bounds (colrange
+    skips most files). Results identical either way."""
+    key_t = _scrambled_ts_table(spark, tmp_path, "bykey")
+    ts_t = _scrambled_ts_table(spark, tmp_path, "byts")
+    key_t.compact(max_file_rows=10)
+    ts_t.compact(max_file_rows=10, cluster_by=["ts"])
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    got_key = {tuple(r) for r in key_t.read_colrange("ts", lo, hi).collect()}
+    got_ts = {tuple(r) for r in ts_t.read_colrange("ts", lo, hi).collect()}
+    want = {
+        tuple(r)
+        for r in key_t.read()
+        .filter("ts between timestamp'2024-01-02' and timestamp'2024-01-03'")
+        .collect()
+    }
+    assert got_key == want and got_ts == want and want
+    n_key = len(key_t.read_colrange("ts", lo, hi).inputFiles())
+    n_ts = len(ts_t.read_colrange("ts", lo, hi).inputFiles())
+    total = len(ts_t.current().base_files(None))
+    # the band covers 25/200 hours -> ts-clustered scan should touch a
+    # small fraction; key-clustered scan cannot skip (every file spans
+    # nearly the full range)
+    assert n_ts < n_key, (n_ts, n_key)
+    assert n_ts <= total // 2, (n_ts, total)
+
+
+def test_maintain_forwards_cluster_by(spark, tmp_path):
+    table = _scrambled_ts_table(spark, tmp_path, "viam")
+    table.maintain(compact_if_deltas=1, max_file_rows=10, cluster_by=["ts"],
+                   changelog=False)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    df = table.read_colrange("ts", lo, hi)
+    total = len(table.current().base_files(None))
+    assert len(df.inputFiles()) <= total // 2
+    assert df.count() == 25  # hours 24..48 step-37 scramble hits 25 ids
+
+
+def test_compact_cluster_by_rejects_unknown_column(spark, tmp_path):
+    table = _scrambled_ts_table(spark, tmp_path, "badcol", n=20)
+    try:
+        table.compact(cluster_by=["not_a_col"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
