@@ -23,6 +23,7 @@ from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes
 from orientdb_neo4j_importer_plugin_spark.feedgen import feed_from_tpch
 from orientdb_neo4j_importer_plugin_spark.functions.hashes import (
     h64_sql,
+    tokens_sql,
 )
 from orientdb_neo4j_importer_plugin_spark.functions import normalize as N
 from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
@@ -51,6 +52,7 @@ LSH_MULTI_TABLES, LSH_MULTI_PLANES = 8, 4  # measured recall-1.0 explicit point
 # Context budget for the transcripts_truncate_budget contract row: ~3 of the
 # feed's ~8-token turns survive, so both keep and drop paths are exercised.
 TRUNCATE_BUDGET_TOKENS = 24
+VOCAB_VIEW_K = 100  # vocabulary-head size for the cdc_vocab_view row
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -754,6 +756,55 @@ CDC_CMS_VIEW_SQL = SK.cms_estimate_sql(
 )
 
 
+def cdc_vocab_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third streamed sketch (lake/sketchview.StreamedVocabView):
+    per-token (occurrences, containing-rows) counters of the LIVE
+    transcript corpus, maintained incrementally over the standard I/U/D
+    feed — vocabulary drift monitoring without corpus rescans. The
+    update wave rewrites text ("rev 0" -> "rev 1": old tokens decrement
+    via pre-images, new tokens increment) and the delete wave removes
+    whole rows' token counts. The returned top-k head must equal the
+    DuckDB twin's fresh vocabulary over the LWW-resolved live state —
+    count desc / token asc is a total order, so the cut is deterministic
+    in both engines."""
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedVocabView,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_vocab_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    state = StreamedVocabView.create_state(spark, os.path.join(root, "vocab"))
+    view = StreamedVocabView(source, state)
+    apply_changes(feed.filter("op = 'I'"), source, batch_id="v1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter("op <> 'I'"), source, batch_id="v2", mode="mor")
+    view.refresh()
+    view.refresh()  # no new source version: committed no-op
+    return view.topk(VOCAB_VIEW_K)
+
+
+CDC_VOCAB_VIEW_SQL = f"""
+{_STATE_CTE},
+vv_toks AS (
+  SELECT conv_id, turn_idx, unnest({tokens_sql("text")}) AS token
+  FROM state WHERE text IS NOT NULL
+),
+vv_per_row AS (
+  SELECT token, conv_id, turn_idx, count(*) AS c
+  FROM vv_toks GROUP BY token, conv_id, turn_idx
+)
+SELECT token,
+       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM vv_per_row GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT {VOCAB_VIEW_K}
+"""
+
+
 def _mvj_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two join-view contract queries: transcripts
     (fact, from lineitem) + per-conversation metadata (changing dimension,
@@ -934,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
         "cdc_cms_view": cdc_cms_view,
+        "cdc_vocab_view": cdc_vocab_view,
         "cdc_patch_state": cdc_patch_state,
         "cdc_patch_apply": cdc_patch_apply,
         "transcripts_integrity": lambda s, d: TR.conversation_integrity(
@@ -1209,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,
         "cdc_cms_view": CDC_CMS_VIEW_SQL,
+        "cdc_vocab_view": CDC_VOCAB_VIEW_SQL,
         "cdc_patch_state": CDC_PATCH_STATE_SQL,
         "cdc_patch_apply": CDC_PATCH_STATE_SQL,
         "transcripts_integrity": TR.conversation_integrity_sql(_STATE_CTE),

@@ -257,6 +257,7 @@ def main() -> None:
         "cdc_incremental_view_join",
         "events_value_quantiles_hist",
         "transcripts_training_examples",
+        "transcripts_sft_pairs",
         "docs_repetition_signals",
         "docs_decontaminate",
         "docs_dup_components",

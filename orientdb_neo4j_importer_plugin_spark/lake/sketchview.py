@@ -455,3 +455,220 @@ class StreamedCmsView:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def vocab_cells_schema() -> StructType:
+    """Vocabulary state-table schema: one row per live token. `occ` =
+    total occurrences across live rows, `docs` = live rows containing the
+    token — the two counters `repetition.vocab_topk` ranks on, each a
+    commutative group under insert/delete."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField("token", StringType(), True),
+            StructField("occ", LongType(), True),
+            StructField("docs", LongType(), True),
+        ]
+    )
+
+
+class StreamedVocabView:
+    """Incrementally-maintained corpus vocabulary over the live rows of
+    `source` (a table with a text payload column) — the third member of
+    the streamed-sketch family (same maintenance contract as
+    `StreamedHistView`; see the module docstring). The training-data use
+    is vocabulary drift monitoring: the token head of a continuously-
+    ingested transcript corpus stays current without corpus rescans.
+
+    Sufficient statistic per token: (total occurrences, containing-row
+    count). Both are delete-algebraic given pre-images — a vanished or
+    rewritten row contributes its OLD text's token counts with weight -1,
+    the post-image with +1, and an update that kept the text cancels to
+    zero state touches. `topk(k)` reads back bit-identically to
+    `repetition.vocab_topk` over the source's live rows (tested exact):
+    the vocabulary head is a pure function of the maintained counters.
+
+    Cost per refresh: one explode + two combinable aggregates over the
+    window's changed rows (never the corpus), then a bucket-pruned MERGE
+    of O(changed tokens) cells. State is O(live vocabulary), sharded by
+    token hash — natural-language vocabularies grow sublinearly in corpus
+    size (Heaps' law), so the state table stays far smaller than the
+    corpus it summarizes."""
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        state: SnapshotTable,
+        text_col: str = "text",
+    ):
+        expected = [f.name for f in vocab_cells_schema().fields]
+        got = state.current().schema.names
+        if list(got) != expected:
+            raise ValueError(
+                f"state table schema {list(got)} != expected {expected} "
+                "(create it with StreamedVocabView.create_state)"
+            )
+        self.source = source
+        self.state = state
+        self.text_col = text_col
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            vocab_cells_schema(),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id", "token"],
+            overwrite=overwrite,
+        )
+
+    def last_refreshed_version(self) -> int:
+        for entry in reversed(self.state.current().lineage):
+            v = entry.get("vocab_source_version")
+            if v is not None:
+                return int(v)
+        return 0
+
+    def refresh(self, mode: str = "mor") -> dict[str, Any]:
+        """Fold the source's commits in (watermark, current] into the
+        token counters. Two-level aggregate mirroring `vocab_topk`'s
+        shape: per (token, image) occurrence counts first — an image is
+        one side of one changed row, identified by the source key columns
+        plus `_change_type` — then per-token (occ_delta, docs_delta)."""
+        from ..cdc.apply import apply_changes
+        from ..functions.hashes import tokens
+
+        from_v = self.last_refreshed_version()
+        snap = self.source.current()
+        if snap.version <= from_v:
+            return {
+                "source_version": from_v,
+                "cells_changed": 0,
+                "skipped": True,
+            }
+        changes, cand = self.source._changelog_delta_with_cache(
+            from_v, snap.version
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        keys = self.source.current().keys
+        per_img = (
+            changes.filter(F.col(self.text_col).isNotNull())
+            .select(
+                *keys,
+                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+                F.explode(tokens(F.col(self.text_col))).alias("token"),
+            )
+            .groupBy("token", "w", *keys)
+            .agg(F.count("*").alias("c"))
+        )
+        delta = (
+            per_img.groupBy("token")
+            .agg(
+                F.sum(F.col("w") * F.col("c")).cast("long").alias("d_occ"),
+                F.sum("w").cast("long").alias("d_docs"),
+            )
+            # an update that kept the text cancels its own pre/post pair
+            .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
+            .withColumn("cell_id", F.xxhash64(F.col("token")))
+            .persist()
+        )
+        try:
+            st_snap = self.state.current()
+            touched = [
+                row.b
+                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            on = ["cell_id", "token"]
+            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
+                "cell_id",
+                "token",
+                F.col("occ").alias("__old_occ"),
+                F.col("docs").alias("__old_docs"),
+            )
+            cur = cur.join(
+                F.broadcast(delta.select(*on)), on=on, how="left_semi"
+            )
+            new_occ = F.coalesce(F.col("__old_occ"), F.lit(0)) + F.col("d_occ")
+            new_docs = F.coalesce(F.col("__old_docs"), F.lit(0)) + F.col(
+                "d_docs"
+            )
+            events = delta.join(cur, on=on, how="left").select(
+                F.lit(snap.version).cast("long").alias("lsn"),
+                F.when(new_occ == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("cell_id"),
+                F.col("token"),
+                F.when(new_occ != 0, new_occ).cast("long").alias("occ"),
+                F.when(new_occ != 0, new_docs).cast("long").alias("docs"),
+            )
+            res = apply_changes(
+                events,
+                self.state,
+                batch_id=f"vocab-{from_v}-{snap.version}",
+                mode=mode,
+                lineage_extra={"vocab_source_version": snap.version},
+                stats_via_observation=False,
+            )
+        finally:
+            delta.unpersist(blocking=False)
+            cand.unpersist(blocking=False)
+        return {
+            "source_version": snap.version,
+            "cells_changed": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def topk(self, k: int = 50) -> DataFrame:
+        """The vocabulary head off the maintained counters — identical
+        rows to `vocab_topk(live rows)` (count desc, token asc: a total
+        order, so the cut is deterministic in both engines)."""
+        return (
+            self.state.read()
+            .select(
+                "token",
+                F.col("occ").alias("n_occurrences"),
+                F.col("docs").alias("n_docs"),
+            )
+            .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            .limit(k)
+        )
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "mor",
+        available_now: bool = True,
+    ):
+        """Continuous maintenance off the source's `lake_cdf` wake-up feed
+        (same trigger contract as StreamedHistView.stream)."""
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.state.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        stream = (
+            spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.last_refreshed_version())
+            .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

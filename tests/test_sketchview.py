@@ -313,3 +313,126 @@ def got_equal(view, source):
     return _rows(view.estimate(probes, F.col("event_type"))) == _cms_expect(
         source, source.spark
     )
+
+
+# ---------------------------------------------------------------------------
+# StreamedVocabView (third family member: per-token corpus counters)
+# ---------------------------------------------------------------------------
+
+TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+PHRASES = [
+    "the cat sat on the mat",
+    "the dog ran",
+    "cat and dog and cat",
+    None,  # null text contributes nothing
+    "mat mat mat",
+]
+
+
+def _text_feed(spark, n, lsn0=0, op="I", rev=""):
+    rows = [
+        Row(
+            lsn=lsn0 + i,
+            op=op,
+            doc_id=i,
+            text=(PHRASES[i % 5] + rev) if PHRASES[i % 5] is not None else None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _vocab_setup(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedVocabView,
+    )
+
+    source = SnapshotTable.create(
+        spark, str(tmp_path / "vsrc"), TEXT_SCHEMA, "doc_id",
+        num_buckets=8, key_columns=["doc_id"],
+    )
+    state = StreamedVocabView.create_state(
+        spark, str(tmp_path / "vstate"), num_buckets=4
+    )
+    return source, StreamedVocabView(source, state)
+
+
+def _vocab_expect(source, k=1000):
+    """Batch recompute over live rows via the existing corpus operator."""
+    from orientdb_neo4j_importer_plugin_spark.operators.repetition import (
+        vocab_topk,
+    )
+
+    live = source.read().filter("text is not null")
+    return [
+        tuple(r)
+        for r in vocab_topk(live, k=k).collect()
+    ]
+
+
+def test_vocab_view_tracks_source_through_iud(spark, tmp_path):
+    source, view = _vocab_setup(spark, tmp_path)
+    apply_changes(_text_feed(spark, 40), source, batch_id="i", mode="mor")
+    r1 = view.refresh()
+    assert r1["cells_changed"] > 0 and not r1["skipped"]
+    assert [tuple(r) for r in view.topk(1000).collect()] == _vocab_expect(source)
+
+    # updates REWRITE text (old tokens decrement, ' rev' token appears)
+    upd = _text_feed(spark, 40, lsn0=1000, op="U", rev=" rev")
+    apply_changes(upd.filter("doc_id % 2 = 0"), source, batch_id="u", mode="mor")
+    # deletes remove whole rows' counts
+    dels = spark.createDataFrame(
+        [(2000 + i, "D", i, None) for i in range(0, 40, 7)],
+        "lsn long, op string, doc_id long, text string",
+    )
+    apply_changes(dels, source, batch_id="d", mode="mor")
+    view.refresh()
+    assert [tuple(r) for r in view.topk(1000).collect()] == _vocab_expect(source)
+    # replay: no new source version -> committed no-op
+    r3 = view.refresh()
+    assert r3["skipped"] and r3["cells_changed"] == 0
+
+
+def test_vocab_view_update_same_text_touches_no_cells(spark, tmp_path):
+    source, view = _vocab_setup(spark, tmp_path)
+    apply_changes(_text_feed(spark, 20), source, batch_id="i", mode="mor")
+    view.refresh()
+    # same text re-asserted at higher lsn: pre/post token counts cancel
+    apply_changes(
+        _text_feed(spark, 20, lsn0=500, op="U"), source, batch_id="u", mode="mor"
+    )
+    r = view.refresh()
+    assert r["cells_changed"] == 0 and not r["skipped"]
+    assert [tuple(r) for r in view.topk(1000).collect()] == _vocab_expect(source)
+
+
+def test_vocab_view_streamed_kill_and_resume(spark, tmp_path):
+    source, view = _vocab_setup(spark, tmp_path)
+    ckpt = str(tmp_path / "vckpt")
+
+    def wave():
+        q = view.stream(ckpt)
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise AssertionError("vocab stream did not drain")
+
+    apply_changes(_text_feed(spark, 30), source, batch_id="i", mode="mor")
+    wave()
+    # maintainer down: an update+delete wave lands, then checkpoint resume
+    apply_changes(
+        _text_feed(spark, 30, lsn0=1000, op="U", rev=" extra").filter(
+            "doc_id % 3 = 0"
+        ),
+        source,
+        batch_id="u",
+        mode="mor",
+    )
+    wave()
+    assert [tuple(r) for r in view.topk(1000).collect()] == _vocab_expect(source)
