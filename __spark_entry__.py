@@ -1007,6 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_template_groups": lambda s, d: TR.conversation_template_groups(
             _replayed_state(s, d)
         ),
+        "transcripts_export_pipeline": lambda s, d: TR.export_pipeline(
+            _replayed_state(s, d), max_tokens=TRUNCATE_BUDGET_TOKENS
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -1274,6 +1277,9 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_merge_roles": TR.merge_consecutive_roles_sql(_STATE_CTE),
         "transcripts_template_groups": TR.conversation_template_groups_sql(
             _STATE_CTE
+        ),
+        "transcripts_export_pipeline": TR.export_pipeline_sql(
+            _STATE_CTE, max_tokens=TRUNCATE_BUDGET_TOKENS
         ),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),

@@ -580,3 +580,97 @@ FROM toks
 GROUP BY conv_id
 ORDER BY conv_id
 """
+
+
+def export_pipeline(
+    state: DataFrame, max_tokens: int, sep: str = "\n"
+) -> DataFrame:
+    """Composed conversation-export pipeline — the transcripts-axis
+    sibling of `pipeline.training_pipeline`: structural integrity gate ->
+    adjacent-role repair -> context-budget truncation -> rendered
+    examples, as ONE declarative plan.
+
+    Stages (each reusing its standalone operator's logic):
+
+    1. GATE: keep conversations with no missing turns and no adjacent
+       same-role runs longer than the repair can normalize — here, the
+       `conversation_integrity` counters `n_missing == 0` (a gap means a
+       corrupt replay; role repeats are repairable, time inversions are
+       tolerated as source skew).
+    2. REPAIR: `merge_consecutive_roles` (islands merge), so chat
+       templates that require strict alternation accept the output.
+    3. FIT: `truncate_to_budget` over the repaired turns.
+
+    Scale shape: the integrity gate joins back on conv_id — the same
+    clustering every later stage needs, so the whole pipeline shares one
+    conv_id exchange lineage; no broadcast of per-conversation state is
+    required and group state stays bounded by conversation length.
+    """
+    gate = (
+        conversation_integrity(state)
+        .filter(F.col("n_missing") == 0)
+        .select("conv_id")
+    )
+    kept = state.join(gate, "conv_id")
+    repaired = merge_consecutive_roles(kept, sep=" ").select(
+        "conv_id", "turn_idx", "role", "text",
+        F.col("ts"),
+    )
+    return truncate_to_budget(repaired, max_tokens=max_tokens, sep=sep)
+
+
+def export_pipeline_sql(
+    state_cte: str, max_tokens: int, sep: str = "\n"
+) -> str:
+    """DuckDB twin: the same stage chain as one CTE pipeline (integrity
+    counters -> gate join -> islands merge -> suffix-sum truncation ->
+    grouped render)."""
+    sep_lit = sep.replace("\n", "\\n")
+    return f"""
+{state_cte},
+xp_stats AS (
+  SELECT conv_id,
+         max(turn_idx) - min(turn_idx) + 1 - count(*) AS n_missing
+  FROM state GROUP BY conv_id
+),
+xp_kept AS (
+  SELECT s.* FROM state s
+  JOIN xp_stats g ON s.conv_id = g.conv_id AND g.n_missing = 0
+),
+xp_runs AS (
+  SELECT conv_id, role, turn_idx, coalesce(text, '') AS body,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx)
+           AS grp
+  FROM xp_kept
+),
+xp_merged AS (
+  SELECT conv_id,
+         CAST(min(turn_idx) AS BIGINT) AS turn_idx,
+         role,
+         string_agg(body, ' ' ORDER BY turn_idx) AS text
+  FROM xp_runs GROUP BY conv_id, role, grp
+),
+xp_lines AS (
+  SELECT conv_id, turn_idx,
+         role || ': ' || coalesce(text, '') AS line,
+         {_ws_tokens_sql("role || ': ' || coalesce(text, '')")} AS tok
+  FROM xp_merged
+),
+xp_suff AS (
+  SELECT *,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix_tokens,
+         count(*) OVER (PARTITION BY conv_id) AS n_total
+  FROM xp_lines
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns_kept,
+       CAST(max(n_total) - count(*) AS BIGINT) AS n_turns_dropped,
+       CAST(min(turn_idx) AS BIGINT) AS first_kept_turn,
+       string_agg(line, e'{sep_lit}' ORDER BY turn_idx) AS text,
+       CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM xp_suff WHERE suffix_tokens <= {max_tokens}
+GROUP BY conv_id
+ORDER BY conv_id
+"""

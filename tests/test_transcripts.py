@@ -205,3 +205,32 @@ def test_template_groups_digit_insensitive(spark):
     assert len(groups) == 1  # singletons suppressed
     g = groups[0]
     assert g["n_convs"] == 2 and g["keep_conv_id"] == "c1"
+
+
+def test_export_pipeline_gate_repair_fit(spark):
+    df = _state(
+        spark,
+        [
+            # cA: turn 1 missing -> gated out entirely
+            ("cA", 0, "user", "hi", None, 0),
+            ("cA", 2, "assistant", "yo", None, 1),
+            # cB: adjacent user turns merge, then budget keeps the suffix
+            ("cB", 0, "user", "alpha beta", None, 0),
+            ("cB", 1, "user", "gamma", None, 1),
+            ("cB", 2, "assistant", "delta epsilon zeta", None, 2),
+        ],
+    )
+    out = {r["conv_id"]: r for r in TR.export_pipeline(df, max_tokens=4).collect()}
+    assert "cA" not in out  # integrity gate
+    b = out["cB"]
+    # after merge: turn0 "user: alpha beta gamma" (4 tok),
+    #              turn2 "assistant: delta epsilon zeta" (4 tok)
+    # budget 4 keeps only the final merged turn
+    assert b["n_turns_kept"] == 1 and b["n_turns_dropped"] == 1
+    assert b["text"] == "assistant: delta epsilon zeta"
+    # generous budget keeps both merged turns
+    full = {r["conv_id"]: r for r in TR.export_pipeline(df, max_tokens=99).collect()}
+    assert full["cB"]["n_turns_kept"] == 2
+    assert full["cB"]["text"] == (
+        "user: alpha beta gamma\nassistant: delta epsilon zeta"
+    )
