@@ -1010,6 +1010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_export_pipeline": lambda s, d: TR.export_pipeline(
             _replayed_state(s, d), max_tokens=TRUNCATE_BUDGET_TOKENS
         ),
+        "transcripts_tool_transitions": lambda s, d: TR.tool_transitions(
+            _replayed_state(s, d)
+        ),
+        "transcripts_tool_usage": lambda s, d: TR.tool_usage_stats(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -1281,6 +1287,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_export_pipeline": TR.export_pipeline_sql(
             _STATE_CTE, max_tokens=TRUNCATE_BUDGET_TOKENS
         ),
+        "transcripts_tool_transitions": TR.tool_transitions_sql(_STATE_CTE),
+        "transcripts_tool_usage": TR.tool_usage_stats_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_session_window": S.session_window_agg_sql(),

@@ -674,3 +674,115 @@ FROM xp_suff WHERE suffix_tokens <= {max_tokens}
 GROUP BY conv_id
 ORDER BY conv_id
 """
+
+
+def tool_transitions(state: DataFrame) -> DataFrame:
+    """Tool-call transition mining over agent transcripts: within each
+    conversation, order the tool-bearing turns by turn_idx and count the
+    (from_tool -> to_tool) adjacencies across the corpus — the Markov
+    view of agent workflows ("which tool follows which"). A conversation's
+    first tool call is counted as a transition from the virtual
+    ``<start>`` marker, so per-tool entry-point frequency falls out of the
+    same table.
+
+    Columns: from_tool, to_tool, n_transitions, n_convs (distinct
+    conversations exhibiting the transition).
+
+    Reference analogue: the importer's per-relationship-type counters
+    (``ONeo4jImporterStatistics.java:30-63``) generalized from type counts
+    to type *adjacency* counts.
+
+    Scale shape: the lag window clusters on conv_id (the table's
+    partition key — the exchange is shared with every other
+    conversation-level operator in a composed plan); the transition count
+    is an algebraic groupBy. n_convs is an exact distinct (Spark expands
+    to a two-phase agg, map-side partials on both) — at 100 TB the
+    distinct stays keyed on (from,to,conv) which salting never needs
+    because tool vocabularies are small and conversations bounded.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        state.filter(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias("from_tool"),
+            F.col("tool").alias("to_tool"),
+        )
+    )
+    return (
+        pairs.groupBy("from_tool", "to_tool")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .orderBy("from_tool", "to_tool")
+    )
+
+
+def tool_transitions_sql(state_cte: str) -> str:
+    """DuckDB twin. `state_cte` must define ``state`` with columns
+    (conv_id, turn_idx, tool)."""
+    return f"""
+{state_cte},
+tt_pairs AS (
+  SELECT conv_id,
+         coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS from_tool,
+         tool AS to_tool
+  FROM state WHERE tool IS NOT NULL
+)
+SELECT from_tool, to_tool,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM tt_pairs
+GROUP BY from_tool, to_tool
+ORDER BY from_tool, to_tool
+"""
+
+
+def tool_usage_stats(state: DataFrame) -> DataFrame:
+    """Per-tool usage profile over agent transcripts: call volume, spread
+    across conversations, output size (whitespace tokens of the tool
+    turns' text — same estimator unit as the packing/truncation family),
+    and the turn-position envelope (min/max turn_idx at which the tool
+    appears — early-turn tools are routers, late-turn tools are
+    finishers). All counters exact integers, so the cross-engine hash is
+    stable.
+
+    Columns: tool, n_calls, n_convs, n_tokens, min_turn_idx, max_turn_idx.
+
+    Scale shape: ONE algebraic groupBy on the tool vocabulary (tiny
+    cardinality -> map-side combine collapses it before the exchange);
+    the distinct-conversation count is the only expansion and stays keyed
+    on (tool, conv_id).
+    """
+    calls = state.filter(F.col("tool").isNotNull())
+    return (
+        calls.groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum(_ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_tokens"),
+            F.min("turn_idx").cast("long").alias("min_turn_idx"),
+            F.max("turn_idx").cast("long").alias("max_turn_idx"),
+        )
+        .orderBy("tool")
+    )
+
+
+def tool_usage_stats_sql(state_cte: str) -> str:
+    """DuckDB twin (same token regex as _ws_tokens_sql)."""
+    return f"""
+{state_cte}
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum({_ws_tokens_sql("coalesce(text, '')")}) AS BIGINT) AS n_tokens,
+       CAST(min(turn_idx) AS BIGINT) AS min_turn_idx,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx
+FROM state WHERE tool IS NOT NULL
+GROUP BY tool
+ORDER BY tool
+"""

@@ -234,3 +234,64 @@ def test_export_pipeline_gate_repair_fit(spark):
     assert full["cB"]["text"] == (
         "user: alpha beta gamma\nassistant: delta epsilon zeta"
     )
+
+
+def test_tool_transitions_counts_and_start_marker(spark):
+    df = _state(
+        spark,
+        [
+            # c1: search -> calc -> search  (start->search, search->calc, calc->search)
+            ("c1", 0, "user", "q", None, 0),
+            ("c1", 1, "tool", "r1", "search", 1),
+            ("c1", 2, "tool", "r2", "calc", 2),
+            ("c1", 4, "tool", "r3", "search", 3),
+            # c2: search -> calc             (start->search, search->calc)
+            ("c2", 0, "tool", "a", "search", 0),
+            ("c2", 1, "tool", "b", "calc", 1),
+        ],
+    )
+    rows = {
+        (r["from_tool"], r["to_tool"]): (r["n_transitions"], r["n_convs"])
+        for r in TR.tool_transitions(df).collect()
+    }
+    assert rows == {
+        ("<start>", "search"): (2, 2),
+        ("search", "calc"): (2, 2),
+        ("calc", "search"): (1, 1),
+    }
+
+
+def test_tool_transitions_ignores_non_tool_turns_between_calls(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 0, "tool", "x", "a", 0),
+            ("c1", 1, "assistant", "chat", None, 1),
+            ("c1", 2, "tool", "y", "b", 2),
+        ],
+    )
+    rows = {
+        (r["from_tool"], r["to_tool"]): r["n_transitions"]
+        for r in TR.tool_transitions(df).collect()
+    }
+    # the assistant turn in between does not break the a->b adjacency
+    assert rows == {("<start>", "a"): 1, ("a", "b"): 1}
+
+
+def test_tool_usage_stats(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 1, "tool", "one two", "search", 0),
+            ("c1", 3, "tool", "three", "search", 1),
+            ("c2", 0, "tool", None, "calc", 0),
+            ("c2", 2, "user", "not a tool turn", None, 1),
+        ],
+    )
+    rows = {r["tool"]: r for r in TR.tool_usage_stats(df).collect()}
+    assert set(rows) == {"search", "calc"}
+    s = rows["search"]
+    assert (s["n_calls"], s["n_convs"], s["n_tokens"]) == (2, 1, 3)
+    assert (s["min_turn_idx"], s["max_turn_idx"]) == (1, 3)
+    c = rows["calc"]
+    assert (c["n_calls"], c["n_convs"], c["n_tokens"]) == (1, 1, 0)
