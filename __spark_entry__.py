@@ -209,6 +209,72 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def cdc_changelog_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog as before/after row images (the Debezium-envelope diff a
+    cascade replica consumes): same two-batch build as cdc_changelog, then
+    SnapshotTable.changelog_envelope(v1) flattened to (op, before.text,
+    after.text, winning lsn). The oracle recomputes both LWW states in SQL
+    and joins the pre/post images independently."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_env_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="e1", mode="mor")
+    v1 = table.current().version
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="e2", mode="mor")
+    env = table.changelog_envelope(v1)
+    return env.select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        F.col("before.text").alias("b_text"),
+        F.col("after.text").alias("a_text"),
+        "lsn",
+    ).orderBy("conv_id", "turn_idx")
+
+
+CDC_CHANGELOG_ENVELOPE_SQL = f"""
+{_FEED_SQL},
+s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+    WHERE (op = 'I' AND turn_idx % 5 <> 0) OR (op <> 'I' AND turn_idx % 2 = 0)
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT coalesce(s2.conv_id, s1.conv_id) AS conv_id,
+         coalesce(s2.turn_idx, s1.turn_idx) AS turn_idx,
+         CASE WHEN (s1.lsn IS NULL OR s1.op = 'D') AND s2.op <> 'D' THEN 'I'
+              WHEN s1.op <> 'D' AND (s2.lsn IS NULL OR s2.op = 'D') THEN 'D'
+              WHEN s1.op <> 'D' AND s2.op <> 'D' AND s1.lsn <> s2.lsn THEN 'U'
+         END AS chg,
+         CASE WHEN s1.lsn IS NOT NULL AND s1.op <> 'D' THEN s1.text END AS b_text,
+         s2.text AS s2_text, s2.lsn AS s2_lsn
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+)
+SELECT conv_id, turn_idx, chg AS op,
+       b_text,
+       CASE WHEN chg <> 'D' THEN s2_text END AS a_text,
+       s2_lsn AS lsn
+FROM d WHERE chg IS NOT NULL
+ORDER BY conv_id, turn_idx
+"""
+
+
 def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consume the table's change feed through the `lake_cdf` Python Data
     Source (spark.read.format, same planner as the readStream tail) and
@@ -975,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
+        "cdc_changelog_envelope": cdc_changelog_envelope,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
@@ -1260,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": CDC_REPLAY_SQL,
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
+        "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,

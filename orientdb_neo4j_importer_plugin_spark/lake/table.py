@@ -1451,6 +1451,104 @@ class SnapshotTable:
         )
         return post.unionByName(pre), cand
 
+    def changelog_envelope(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed as BEFORE/AFTER row images — the shape a
+        downstream replicator needs (Debezium envelope / Iceberg
+        changelog-view with both images): per changed key one row with
+        ``op`` I/U/D, a ``before`` struct (null unless the key was live at
+        from_version), an ``after`` struct (null for D), the winning
+        ``lsn`` in the new state (the tombstone's lsn for D — monotone per
+        key, so a cascade target's LWW resolves identically), and the
+        key's ``bucket`` under the new snapshot's layout (the
+        source-partition hint for the wire envelope).
+
+        Both images carry the full row shape (keys + payload) in the NEW
+        snapshot's schema; columns added by evolution read as null in
+        pre-images. `sources.debezium.to_debezium` maps this onto the
+        Debezium wire shape and `from_debezium` closes the loop — applying
+        the round-trip to a second table reproduces the source state
+        exactly (tests/test_debezium.py cascade test).
+
+        Same cost shape as `changelog()`/`changelog_delta()`: candidates
+        from the file-level diff, both states bucket-pruned, O(changed
+        data + touched buckets). The candidate frame stays persisted for
+        the DataFrame's lifetime (same note as `changelog()`).
+        """
+        df, _cand = self._changelog_envelope_with_cache(from_version, to_version)
+        return df
+
+    def _changelog_envelope_with_cache(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """`changelog_envelope()` plus the persisted candidate-keys handle
+        (same contract as `_changelog_with_cache`)."""
+        old_state, new_state, keys, cand, _, new_snap = self._diff_states(
+            from_version, to_version
+        )
+        payload = [
+            c
+            for c in new_state.columns
+            if c not in keys and c not in META_COLS
+        ]
+        new_fields = {f.name: f.dataType for f in new_snap.schema.fields}
+        old_cols = set(old_state.columns)
+        o = old_state.select(
+            *keys,
+            F.col(LSN_COL).alias("__o_lsn"),
+            F.col(DELETED_COL).alias("__o_del"),
+            *[
+                (
+                    F.col(c) if c in old_cols
+                    else F.lit(None).cast(new_fields[c])
+                ).alias(f"__o_{c}")
+                for c in payload
+            ],
+        )
+        n = new_state.select(
+            *keys,
+            *payload,
+            F.col(LSN_COL).alias("__n_lsn"),
+            F.col(DELETED_COL).alias("__n_del"),
+        )
+        j = n.join(o, on=keys, how="full_outer")
+        old_live = F.col("__o_lsn").isNotNull() & ~F.coalesce(
+            F.col("__o_del"), F.lit(False)
+        )
+        new_live = F.col("__n_lsn").isNotNull() & ~F.coalesce(
+            F.col("__n_del"), F.lit(False)
+        )
+        op = (
+            F.when(~old_live & new_live, F.lit("I"))
+            .when(old_live & ~new_live, F.lit("D"))
+            .when(
+                old_live & new_live & (F.col("__o_lsn") != F.col("__n_lsn")),
+                F.lit("U"),
+            )
+        )
+        before = F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"__o_{c}").alias(c) for c in payload],
+        )
+        after = F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(c).alias(c) for c in payload],
+        )
+        df = (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                *keys,
+                "op",
+                F.when(old_live, before).alias("before"),
+                F.when(F.col("op") != "D", after).alias("after"),
+                F.coalesce(F.col("__n_lsn"), F.col("__o_lsn")).alias("lsn"),
+                bucket_expr_for(new_snap).alias("bucket"),
+            )
+        )
+        return df, cand
+
     def iter_changelogs(self, from_version: int, to_version: int | None = None):
         """Yield ``(version, changelog DataFrame)`` for every committed
         version in (from_version, to_version] — the pull-based CDC tail a

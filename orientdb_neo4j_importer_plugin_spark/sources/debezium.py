@@ -94,3 +94,106 @@ def from_debezium(
             expr = F.col(f"after.{f.name}")
         cols.append(expr.cast(f.dataType).alias(f.name))
     return envelopes.select(*cols)
+
+
+def to_debezium(
+    changes: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Map a `SnapshotTable.changelog_envelope()` diff onto the Debezium
+    wire shape — the OUTBOUND half of this adapter, turning the lake into
+    a change-event *producer* so a downstream cluster can subscribe to the
+    table the same way this engine subscribes to its upstream (cascade
+    replication). I/U/D map to c/u/d; `source.lsn` carries the winning
+    row lsn (monotone per key — the cascade target's LWW resolves
+    identically to the source's), `source.partition` the key's bucket,
+    and `ts_ms` the event-time millis from the row's `ts_col` field
+    (after-image first, before-image for deletes; null when the payload
+    has no such field).
+
+    Reference analogue: the importer only CONSUMES (Neo4j -> OrientDB,
+    ``ONeo4jImporterVerticesAndEdgesMigrator.java:183-190``); the produce
+    side is what a continuous pipeline needs to fan the applied state out
+    to further consumers without re-reading the upstream WAL.
+
+    Pure column expressions — envelope construction never leaves the JVM.
+    """
+    out_op = F.element_at(
+        F.create_map(
+            F.lit("I"), F.lit("c"), F.lit("U"), F.lit("u"), F.lit("D"), F.lit("d")
+        ),
+        F.col("op"),
+    )
+    after_fields = changes.schema["after"].dataType.names
+    if ts_col in after_fields:
+        ts_ms = F.unix_millis(
+            F.coalesce(F.col(f"after.{ts_col}"), F.col(f"before.{ts_col}"))
+        )
+    else:
+        ts_ms = F.lit(None).cast(LongType())
+    return changes.select(
+        F.col("before"),
+        F.col("after"),
+        out_op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            F.col("bucket").cast(LongType()).alias("partition"),
+        ).alias("source"),
+    )
+
+
+def export_changelog_feed(
+    table,
+    out_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    ts_col: str = "ts",
+) -> None:
+    """Publish a version range of a SnapshotTable's changelog as a
+    JSON-lines Debezium feed directory — the durable hand-off between a
+    source lake and downstream replicas (each file is an immutable chunk,
+    the same WAL-directory contract `sources.feed` consumes). One pass
+    over O(changed data); writer parallelism follows the diff's
+    partitioning."""
+    env = to_debezium(
+        table.changelog_envelope(from_version, to_version), ts_col=ts_col
+    )
+    env.write.mode("append").json(out_dir)
+
+
+def read_debezium_feed(
+    spark,
+    feed_dir: str,
+    payload: StructType = TRANSCRIPTS,
+) -> DataFrame:
+    """Read a JSON Debezium feed directory (as written by
+    `export_changelog_feed` or an external producer) with the explicit
+    envelope schema — no inference scan — ready for `from_debezium`."""
+    return spark.read.schema(debezium_envelope_schema(payload)).json(feed_dir)
+
+
+def replicate_changelog(
+    src,
+    dst,
+    from_version: int,
+    to_version: int | None = None,
+    batch_id: str | None = None,
+    mode: str = "cow",
+):
+    """Cascade replication: apply a source table's changelog (as the
+    round-tripped Debezium envelope stream) onto a target SnapshotTable in
+    ONE idempotent exactly-once batch. Because `changelog_envelope`
+    collapses the range to net per-key changes carrying the source's
+    winning lsns, the target's LWW reduces to the identical state no
+    matter how ranges are sliced or re-applied — replaying the same
+    (batch_id, range) is a ledger no-op.
+
+    Returns the `ApplyResult` counters."""
+    from ..cdc.apply import apply_changes
+
+    to_v = src.current().version if to_version is None else to_version
+    env = to_debezium(src.changelog_envelope(from_version, to_v))
+    events = from_debezium(env, payload=dst.current().schema)
+    bid = batch_id or f"replicate-{from_version}-{to_v}"
+    return apply_changes(events, dst, batch_id=bid, mode=mode)
