@@ -209,6 +209,42 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def cdc_mirror_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous cascade replication: apply the feed to a primary table in
+    two MOR batches, and converge a DIFFERENTLY-BUCKETED replica by tailing
+    the primary's commit log through streaming.MirrorRunner — run once
+    mid-history and once after head, so the second run is a checkpoint
+    resume/catch-up, not a fresh sync. Returns the replica's final state;
+    the oracle is the same independent LWW reduction as cdc_replay_state
+    (the replica must equal what the feed alone dictates)."""
+    from orientdb_neo4j_importer_plugin_spark.streaming import MirrorRunner
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mirror_")
+    src = SnapshotTable.create(
+        spark, os.path.join(root, "primary"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    dst = SnapshotTable.create(
+        spark, os.path.join(root, "replica"), TRANSCRIPTS, "conv_id",
+        num_buckets=8, overwrite=True,
+    )
+    ckpt = os.path.join(root, "ckpt")
+    apply_changes(feed.filter(_CHLOG_B1), src, batch_id="m1", mode="mor")
+    MirrorRunner(spark, src, dst, checkpoint_dir=ckpt, mode="mor").run_to_completion(
+        timeout_sec=600
+    )
+    apply_changes(feed.filter(_CHLOG_B2), src, batch_id="m2", mode="mor")
+    MirrorRunner(
+        spark, src, dst, checkpoint_dir=ckpt, mode="mor", compact_every=1
+    ).run_to_completion(timeout_sec=600)
+    return (
+        dst.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
 def cdc_changelog_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog as before/after row images (the Debezium-envelope diff a
     cascade replica consumes): same two-batch build as cdc_changelog, then
@@ -1042,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_envelope": cdc_changelog_envelope,
+        "cdc_mirror_stream": cdc_mirror_stream,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
@@ -1328,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
+        "cdc_mirror_stream": CDC_REPLAY_SQL,
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,
