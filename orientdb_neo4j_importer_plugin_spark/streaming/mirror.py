@@ -79,17 +79,86 @@ class MirrorRunner(CdcStreamRunner):
         self.source = source
         self.starting_version = starting_version
 
-    def _source(self) -> DataFrame:
-        self.spark.dataSource.register(LakeCdfDataSource)
-        df = (
-            self.spark.readStream.format("lake_cdf")
-            .option("path", self.source.root)
-            .option("startingVersion", self.starting_version)
-            .load()
-        )
+    @staticmethod
+    def _to_events(df: DataFrame) -> DataFrame:
         payload = [
             c for c in df.columns if c not in (VERSION_COL, LSN_OUT_COL, "op")
         ]
         return df.select(
             F.col(LSN_OUT_COL).alias("lsn"), F.col("op"), *payload
         )
+
+    def _source(self) -> DataFrame:
+        self.spark.dataSource.register(LakeCdfDataSource)
+        return self._to_events(
+            self.spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.starting_version)
+            .load()
+        )
+
+    # -- bounded catch-up ----------------------------------------------------
+
+    def _mirror_position(self) -> int:
+        """Highest source version already applied to the replica, from the
+        replica's own commit lineage (`mirror_source_version`, recorded by
+        catch_up); `starting_version` when none is found. Lineage keeps the
+        most recent 1000 batch entries — a suffix, so the max survives
+        pruning; if the replica's history was truncated further the resync
+        restarts earlier and the idempotent apply absorbs the overlap."""
+        pos = self.starting_version
+        for lin in self.table.current().lineage:
+            v = lin.get("mirror_source_version")
+            if v is not None and int(v) > pos:
+                pos = int(v)
+        return pos
+
+    def catch_up(self, window: int = 8) -> list:
+        """Drain source -> replica in BOUNDED version windows via batch
+        ``lake_cdf`` reads — the rate-limited path for a replica resuming
+        far behind head (Delta's maxFilesPerTrigger analogue; the Python
+        Data Source streaming API has no read-limit hook, so an
+        arbitrarily old checkpoint would otherwise plan one giant
+        micro-batch). Each window is one exactly-once apply keyed
+        ``{prefix}-v{from}-{to}`` with the window's end version recorded in
+        replica lineage; re-running any window is a ledger no-op, and the
+        next catch_up resumes from the lineage position — no streaming
+        checkpoint involved, so `catch_up` and `start()` can be mixed
+        (overlap between the two is absorbed by idempotence).
+
+        Returns the per-window ApplyResult list."""
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        from ..cdc.apply import apply_changes
+
+        self.spark.dataSource.register(LakeCdfDataSource)
+        out = []
+        pos = self._mirror_position()
+        head = self.source.current().version
+        while pos < head:
+            to_v = min(pos + window, head)
+            batch = self._to_events(
+                self.spark.read.format("lake_cdf")
+                .option("path", self.source.root)
+                .option("fromVersion", pos)
+                .option("toVersion", to_v)
+                .load()
+            )
+            res = apply_changes(
+                batch,
+                self.table,
+                batch_id=f"{self.batch_id_prefix}-v{pos}-{to_v}",
+                mode=self.mode,
+                lineage_extra={"mirror_source_version": to_v},
+            )
+            self.metrics.record(res)
+            out.append(res)
+            if not res.skipped_replay and self.compact_every > 0:
+                self._batches_since_compact += 1
+                if self._batches_since_compact >= self.compact_every:
+                    self.table.compact()
+                    self._batches_since_compact = 0
+            pos = to_v
+            # head may have advanced while draining; chase it
+            head = self.source.current().version
+        return out

@@ -82,3 +82,30 @@ def test_mirror_cow_source_converges(spark, tmp_path, tables):
     apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b")
     _mirror(spark, src, dst, tmp_path).run_to_completion(timeout_sec=120)
     assert _state(dst) == _state(src)
+
+
+def test_mirror_catchup_bounded_windows(spark, tmp_path, tables):
+    feed, src, dst = tables
+    for i in range(4):
+        apply_changes(
+            feed.filter(f"pmod(lsn, 4) = {i}"), src, batch_id=f"b{i}", mode="mor"
+        )
+    m = _mirror(spark, src, dst, tmp_path, mode="mor")
+    results = m.catch_up(window=1)
+    # one bounded apply per source version, replica converged
+    assert len(results) == src.current().version
+    assert _state(dst) == _state(src)
+
+    # resume position comes from replica lineage: nothing to do at head
+    assert _mirror(spark, src, dst, tmp_path).catch_up(window=2) == []
+
+    # source advances; a fresh runner resumes from the recorded position
+    extra = feed.filter("pmod(lsn, 4) = 1")
+    apply_changes(extra, src, batch_id="b5", mode="mor")  # replayed slice: no-op
+    apply_changes(
+        feed.filter("pmod(lsn, 2) = 0").limit(0), src, batch_id="b6", mode="mor"
+    )  # empty commit window must not wedge the loop
+    m3 = _mirror(spark, src, dst, tmp_path, mode="mor")
+    m3.catch_up(window=2)
+    assert _state(dst) == _state(src)
+    assert m3._mirror_position() == src.current().version
