@@ -90,11 +90,50 @@ class MirrorRunner(CdcStreamRunner):
 
     def _source(self) -> DataFrame:
         self.spark.dataSource.register(LakeCdfDataSource)
-        return self._to_events(
+        # keep _commit_version through to the batch handler: it records the
+        # replication position in replica lineage (dropped before apply so
+        # it never enters the replica's schema)
+        return (
             self.spark.readStream.format("lake_cdf")
             .option("path", self.source.root)
             .option("startingVersion", self.starting_version)
             .load()
+        )
+
+    def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..cdc.apply import apply_changes
+
+        # source-version watermark: one tiny max-agg per micro-batch (the
+        # same per-batch version probe materialize's stream runs). Recorded
+        # in replica lineage so lag() and catch_up() resume work no matter
+        # which path applied a given range.
+        vmax = batch.agg(F.max(VERSION_COL)).first()[0]
+        res = apply_changes(
+            self._to_events(batch),
+            self.table,
+            batch_id=f"{self.batch_id_prefix}-{batch_id}",
+            mode=self.mode,
+            stats_via_observation=False,
+            lineage_extra=(
+                {"mirror_source_version": int(vmax)} if vmax is not None else None
+            ),
+        )
+        self.metrics.record(res)
+        if not res.skipped_replay and self.compact_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_every:
+                self.table.compact()
+                self._batches_since_compact = 0
+        from .runner import _write_status
+
+        _write_status(self.status_path, self.metrics)
+
+    def lag(self) -> int:
+        """Replication lag in source commits: source head minus the highest
+        source version recorded as applied to the replica (0 = caught up).
+        Driver-side metadata only — no Spark job."""
+        return max(
+            0, self.source.current().version - self._mirror_position()
         )
 
     # -- bounded catch-up ----------------------------------------------------

@@ -109,3 +109,46 @@ def test_mirror_catchup_bounded_windows(spark, tmp_path, tables):
     m3.catch_up(window=2)
     assert _state(dst) == _state(src)
     assert m3._mirror_position() == src.current().version
+
+
+def test_mirror_propagates_schema_evolution(spark, tmp_path):
+    # v1 rows first; `tool` column appears mid-feed (v2_from_lsn) — the
+    # replica must evolve on the next mirror pass like any CDC consumer
+    feed = gen_feed(
+        spark, n_convs=6, turns_per_conv=5, updates_per_key=2,
+        delete_every=4, v2_from_lsn=60,
+    ).persist()
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(feed.filter("lsn < 60").drop("tool"), src, batch_id="v1", mode="mor")
+    _mirror(spark, src, dst, tmp_path).run_to_completion(timeout_sec=120)
+    assert "tool" not in dst.current().schema.fieldNames()
+
+    apply_changes(feed.filter("lsn >= 60"), src, batch_id="v2", mode="mor")
+    # new runner = stream restart; the cdf source re-pins the evolved schema
+    _mirror(spark, src, dst, tmp_path).run_to_completion(timeout_sec=120)
+    assert "tool" in dst.current().schema.fieldNames()
+    out = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = [tuple(r) for r in src.read().orderBy("conv_id", "turn_idx").select(*out).collect()]
+    b = [tuple(r) for r in dst.read().orderBy("conv_id", "turn_idx").select(*out).collect()]
+    assert a == b
+    feed.unpersist()
+
+
+def test_mirror_lag_metric(spark, tmp_path, tables):
+    feed, src, dst = tables
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), src, batch_id="a", mode="mor")
+    m = _mirror(spark, src, dst, tmp_path, mode="mor")
+    assert m.lag() == src.current().version  # nothing mirrored yet
+    m.run_to_completion(timeout_sec=120)
+    assert m.lag() == 0  # streamed path records the position too
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b", mode="mor")
+    assert m.lag() == 1
+    m2 = _mirror(spark, src, dst, tmp_path, mode="mor")
+    m2.catch_up(window=4)
+    assert m2.lag() == 0
+    assert _state(dst) == _state(src)
