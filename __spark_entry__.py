@@ -271,7 +271,11 @@ def cdc_changelog_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
-CDC_CHANGELOG_ENVELOPE_SQL = f"""
+# envelope diff as a reusable CTE (`env`): the final LWW states of the two
+# deterministic batch halves, full-outer joined into (op, before-text,
+# after-text, winning lsn) rows — consumed by the envelope contract row and
+# by the conversation-churn aggregate over it
+_ENV_CTE = f"""
 {_FEED_SQL},
 s1 AS (
   SELECT * FROM (
@@ -301,14 +305,38 @@ d AS (
          s2.text AS s2_text, s2.lsn AS s2_lsn
   FROM s1 FULL OUTER JOIN s2
     ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
-)
-SELECT conv_id, turn_idx, chg AS op,
-       b_text,
-       CASE WHEN chg <> 'D' THEN s2_text END AS a_text,
-       s2_lsn AS lsn
-FROM d WHERE chg IS NOT NULL
+),
+env AS (
+  SELECT conv_id, turn_idx, chg AS op,
+         b_text,
+         CASE WHEN chg <> 'D' THEN s2_text END AS a_text,
+         s2_lsn AS lsn
+  FROM d WHERE chg IS NOT NULL
+)"""
+
+CDC_CHANGELOG_ENVELOPE_SQL = f"""
+{_ENV_CTE}
+SELECT conv_id, turn_idx, op, b_text, a_text, lsn
+FROM env
 ORDER BY conv_id, turn_idx
 """
+
+
+def cdc_conv_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation churn between two snapshots: the same envelope diff
+    as cdc_changelog_envelope, reduced by transcripts.conversation_churn
+    (new/dropped/rewritten turn counts + token movement). The oracle
+    aggregates the independently recomputed env CTE."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_churn_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="h1", mode="mor")
+    v1 = table.current().version
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="h2", mode="mor")
+    return TR.conversation_churn(table.changelog_envelope(v1))
 
 
 def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": cdc_changelog,
         "cdc_changelog_envelope": cdc_changelog_envelope,
         "cdc_mirror_stream": cdc_mirror_stream,
+        "cdc_conv_churn": cdc_conv_churn,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
@@ -1366,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog": CDC_CHANGELOG_SQL,
         "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
         "cdc_mirror_stream": CDC_REPLAY_SQL,
+        "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,

@@ -786,3 +786,55 @@ FROM state WHERE tool IS NOT NULL
 GROUP BY tool
 ORDER BY tool
 """
+
+
+def conversation_churn(envelope: DataFrame) -> DataFrame:
+    """Per-conversation churn between two table snapshots, computed over a
+    `SnapshotTable.changelog_envelope` diff (op + before/after images):
+    how many turns appeared / vanished / were rewritten, and the token
+    movement (whitespace tokens, the same estimator unit as the packing
+    family). The training-data view of CDC: which conversations changed
+    enough since the last export to re-render, and by how much.
+
+    Columns: conv_id, n_new_turns, n_dropped_turns, n_rewritten_turns,
+    tokens_before, tokens_after, tokens_delta (all exact BIGINTs).
+
+    Scale shape: input is O(changed data) by the envelope's construction;
+    ONE algebraic groupBy on conv_id — the same clustering the envelope's
+    diff join already produced, so no second exchange in a composed plan.
+    """
+    tb = _ws_tokens(F.coalesce(F.col("before.text"), F.lit("")))
+    ta = _ws_tokens(F.coalesce(F.col("after.text"), F.lit("")))
+    return (
+        envelope.groupBy("conv_id")
+        .agg(
+            F.sum((F.col("op") == "I").cast("long")).alias("n_new_turns"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_dropped_turns"),
+            F.sum((F.col("op") == "U").cast("long")).alias("n_rewritten_turns"),
+            F.sum(tb).alias("tokens_before"),
+            F.sum(ta).alias("tokens_after"),
+            F.sum(ta - tb).alias("tokens_delta"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def conversation_churn_sql(env_cte: str) -> str:
+    """DuckDB twin. `env_cte` must define ``env`` with columns
+    (conv_id, op, b_text, a_text) — op in I/U/D, b_text/a_text the
+    before/after turn texts (null when that image is absent)."""
+    tb = _ws_tokens_sql("coalesce(b_text, '')")
+    ta = _ws_tokens_sql("coalesce(a_text, '')")
+    return f"""
+{env_cte}
+SELECT conv_id,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_new_turns,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_turns,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten_turns,
+       CAST(sum({tb}) AS BIGINT) AS tokens_before,
+       CAST(sum({ta}) AS BIGINT) AS tokens_after,
+       CAST(sum({ta} - {tb}) AS BIGINT) AS tokens_delta
+FROM env
+GROUP BY conv_id
+ORDER BY conv_id
+"""

@@ -295,3 +295,34 @@ def test_tool_usage_stats(spark):
     assert (s["min_turn_idx"], s["max_turn_idx"]) == (1, 3)
     c = rows["calc"]
     assert (c["n_calls"], c["n_convs"], c["n_tokens"]) == (1, 1, 0)
+
+
+def test_conversation_churn(spark):
+    import pyspark.sql.functions as F
+
+    rows = [
+        # conv a: one insert (2 tokens), one rewrite 3 -> 1 tokens
+        ("a", 0, "I", None, "hi there"),
+        ("a", 1, "U", "one two three", "one"),
+        # conv b: one delete (2 tokens gone)
+        ("b", 5, "D", "bye now", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, op string, bt string, at string"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        F.when(
+            F.col("bt").isNotNull(), F.struct(F.col("bt").alias("text"))
+        ).alias("before"),
+        F.when(
+            F.col("at").isNotNull(), F.struct(F.col("at").alias("text"))
+        ).alias("after"),
+    )
+    out = {r["conv_id"]: r for r in TR.conversation_churn(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_new_turns"], a["n_dropped_turns"], a["n_rewritten_turns"]) == (1, 0, 1)
+    assert (a["tokens_before"], a["tokens_after"], a["tokens_delta"]) == (3, 3, 0)
+    assert (b["n_new_turns"], b["n_dropped_turns"], b["n_rewritten_turns"]) == (0, 1, 0)
+    assert (b["tokens_before"], b["tokens_after"], b["tokens_delta"]) == (2, 0, -2)
