@@ -150,6 +150,31 @@ def bench_cdc_stream(spark, sf_dir: str, n_chunks: int = 8) -> tuple[float, int]
     return time.perf_counter() - t0, n_events
 
 
+def bench_mirror(spark, src_table) -> float:
+    """Full cascade-replication wall: stream the source's commit log into a
+    fresh differently-bucketed replica (MirrorRunner availableNow drain,
+    MOR applies). Work is O(source data committed), so the number is
+    comparable to cdc_stream_mor's per-batch fixed-cost shape."""
+    import tempfile
+
+    from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+    from orientdb_neo4j_importer_plugin_spark.streaming import MirrorRunner
+
+    d = tempfile.mkdtemp(prefix="bench_mirror_")
+    replica = SnapshotTable.create(
+        spark, f"{d}/replica", src_table.current().schema,
+        src_table.current().partition_key, num_buckets=8,
+    )
+    runner = MirrorRunner(
+        spark, src_table, replica, checkpoint_dir=f"{d}/ckpt", mode="mor"
+    )
+    t0 = time.perf_counter()
+    runner.run_to_completion(timeout_sec=1200)
+    sec = time.perf_counter() - t0
+    assert runner.lag() == 0, "mirror did not reach source head"
+    return sec
+
+
 def bench_ann_quality(spark, sf_dir: str, k: int = 5, dim: int = 64) -> dict:
     """Recall of the approximate similarity paths vs exact ground truth —
     the tuning evidence for `planes` (VERDICT r01 item 9). Driver-side sets
@@ -265,6 +290,13 @@ def main() -> None:
         "docs_vocab_topk",
         "cdc_patch_state",
         "cdc_hist_view",
+        # round 4 continuation: envelope diff, churn aggregate over it,
+        # agent tool-flow analytics (table build happens at construction,
+        # like cdc_changelog; the timed run executes the diff/agg itself)
+        "cdc_changelog_envelope",
+        "cdc_conv_churn",
+        "transcripts_tool_transitions",
+        "transcripts_tool_usage",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
@@ -283,6 +315,7 @@ def main() -> None:
     times["cdc_apply_mor"] = round(mor_sec, 3)
     times["cdc_apply_mor_hotkey"] = round(skew_sec, 3)
     times["cdc_cdf_scan"] = round(bench_cdf_scan(spark, mor_table), 3)
+    times["cdc_mirror_sync"] = round(bench_mirror(spark, mor_table), 3)
     t0 = time.perf_counter()
     mor_table.materialize_changelog()  # row-level change files, all versions
     times["cdc_cdf_materialize"] = round(time.perf_counter() - t0, 3)
