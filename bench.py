@@ -163,7 +163,8 @@ def bench_mirror(spark, src_table) -> float:
     d = tempfile.mkdtemp(prefix="bench_mirror_")
     replica = SnapshotTable.create(
         spark, f"{d}/replica", src_table.current().schema,
-        src_table.current().partition_key, num_buckets=8,
+        src_table.current().partition_key,
+        num_buckets=src_table.current().num_buckets,
     )
     runner = MirrorRunner(
         spark, src_table, replica, checkpoint_dir=f"{d}/ckpt", mode="mor"
