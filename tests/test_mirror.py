@@ -152,3 +152,41 @@ def test_mirror_lag_metric(spark, tmp_path, tables):
     m2.catch_up(window=4)
     assert m2.lag() == 0
     assert _state(dst) == _state(src)
+
+
+def test_mirror_cli_end_to_end(spark, tmp_path, tables):
+    """Drive the mirror CLI as a subprocess (streaming drain), then a
+    second windowed invocation after the source advances."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    feed, src, _ = tables
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), src, batch_id="a", mode="mor")
+    replica_root = str(tmp_path / "replica_cli")
+
+    def run(*extra):
+        out = subprocess.run(
+            [
+                _sys.executable, "-m",
+                "orientdb_neo4j_importer_plugin_spark.mirror_cli",
+                "--source", src.root,
+                "--replica", replica_root,
+                "--checkpoint", str(tmp_path / "cli_ckpt"),
+                "--master", "local[4]",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    m1 = run()
+    assert m1["replication_lag"] == 0
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b", mode="mor")
+    m2 = run("--window", "1")
+    assert m2["replication_lag"] == 0
+    replica = SnapshotTable.load(spark, replica_root)
+    assert [
+        tuple(r) for r in replica.read().orderBy("conv_id", "turn_idx").select(*OUT).collect()
+    ] == _state(src)
