@@ -141,7 +141,8 @@ class MirrorRunner(CdcStreamRunner):
     def _mirror_position(self) -> int:
         """Highest source version already applied to the replica, from the
         replica's own commit lineage (`mirror_source_version`, recorded by
-        catch_up); `starting_version` when none is found. Lineage keeps the
+        both the streamed and windowed paths); `starting_version` when none
+        is found. Lineage keeps the
         most recent 1000 batch entries — a suffix, so the max survives
         pruning; if the replica's history was truncated further the resync
         restarts earlier and the idempotent apply absorbs the overlap."""
