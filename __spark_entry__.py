@@ -667,6 +667,51 @@ ORDER BY conv_id
 """
 
 
+def cdc_incremental_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained TRAINING-EXPORT view: the chat render
+    (transcripts.render_conversations — ordered "role: text" concat +
+    token estimate) kept current from the source table's commit log in
+    O(changed conversations) per refresh, via the same IncrementalView
+    machinery as cdc_incremental_view. A turn update/delete re-renders
+    ONLY its conversation; the oracle recomputes every render from the
+    final LWW state from scratch."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.lake.materialize import (
+        IncrementalView,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mvr_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "src"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    view_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("n_turns", LongType(), True),
+            StructField("conv_text", StringType(), True),
+            StructField("n_tokens", LongType(), True),
+        ]
+    )
+    target = SnapshotTable.create(
+        spark, os.path.join(root, "render"), view_schema, "conv_id",
+        num_buckets=8, key_columns=["conv_id"], overwrite=True,
+    )
+    view = IncrementalView(source, target, "conv_id", TR.render_conversations)
+    apply_changes(feed.filter(_CHLOG_B1), source, batch_id="r1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter(_CHLOG_B2), source, batch_id="r2", mode="mor")
+    view.refresh()
+    return target.read().orderBy("conv_id")
+
+
 def cdc_keyrange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-pruned key-range read: apply the feed as out-of-order MOR
     batches, compact with max_file_rows so each bucket splits into tight
@@ -1108,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_envelope": cdc_changelog_envelope,
         "cdc_mirror_stream": cdc_mirror_stream,
         "cdc_conv_churn": cdc_conv_churn,
+        "cdc_incremental_render": cdc_incremental_render,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
         "cdc_incremental_view": cdc_incremental_view,
@@ -1396,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
         "cdc_mirror_stream": CDC_REPLAY_SQL,
         "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
+        "cdc_incremental_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,
         "cdc_incremental_view": CDC_MV_SQL,

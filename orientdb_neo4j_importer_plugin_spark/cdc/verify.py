@@ -132,3 +132,38 @@ def summarize(table: SnapshotTable) -> dict[str, Any]:
         else None,
         "delta_buckets": len(snap.deltas),
     }
+
+
+def verify_replica(
+    source: SnapshotTable, replica: SnapshotTable
+) -> VerificationReport:
+    """Deep-equality check of a mirrored replica against its source —
+    the reference's ``haveDocumentsSameContent`` ritual
+    (``OFunctionsHandler.java:65-109``) applied to cascade replication:
+    identical live-row multisets (full-row exceptAll both directions over
+    the shared column set) and identical counts. Layout-independent —
+    the tables may differ in bucket count, COW/MOR state, or compaction
+    history; only LWW-resolved content is compared.
+
+    Returns the same `VerificationReport` shape as `verify_replay`, so
+    operational tooling can gate promotion of a replica on `report.ok`.
+    """
+    cols = [
+        f.name
+        for f in source.current().schema.fields
+        if f.name in set(replica.current().schema.fieldNames())
+    ]
+    s = source.read().select(*cols)
+    r = replica.read().select(*cols)
+    n_s = s.count()
+    n_r = r.count()
+    missing = s.exceptAll(r).count()
+    extra = r.exceptAll(s).count()
+    return VerificationReport(
+        row_count_match=(n_s == n_r),
+        content_match=(missing == 0 and extra == 0),
+        table_rows=n_r,
+        expected_rows=n_s,
+        missing_rows=missing,
+        extra_rows=extra,
+    )

@@ -190,3 +190,28 @@ def test_mirror_cli_end_to_end(spark, tmp_path, tables):
     assert [
         tuple(r) for r in replica.read().orderBy("conv_id", "turn_idx").select(*OUT).collect()
     ] == _state(src)
+
+
+def test_verify_replica_report(spark, tmp_path, tables):
+    from orientdb_neo4j_importer_plugin_spark.cdc.verify import verify_replica
+
+    feed, src, dst = tables
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), src, batch_id="a", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b", mode="mor")
+    m = _mirror(spark, src, dst, tmp_path, mode="mor")
+    m.catch_up(window=1)
+    rep = verify_replica(src, dst)
+    assert rep.ok and rep.content_match and rep.missing_rows == 0
+
+    # poison the replica with one extra row: the report must catch it
+    import datetime
+
+    bad = spark.createDataFrame(
+        [(10**15, "I", "conv_bogus", 0, "user", "intruder",
+          datetime.datetime(2026, 1, 1))],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, ts timestamp",
+    )
+    apply_changes(bad, dst, batch_id="poison", mode="mor")
+    rep2 = verify_replica(src, dst)
+    assert not rep2.ok and rep2.extra_rows == 1
