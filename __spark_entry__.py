@@ -1195,6 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_usage": lambda s, d: TR.tool_usage_stats(
             _replayed_state(s, d)
         ),
+        "transcripts_tool_paths": lambda s, d: TR.tool_paths(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -1472,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "transcripts_tool_transitions": TR.tool_transitions_sql(_STATE_CTE),
         "transcripts_tool_usage": TR.tool_usage_stats_sql(_STATE_CTE),
+        "transcripts_tool_paths": TR.tool_paths_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_session_window": S.session_window_agg_sql(),

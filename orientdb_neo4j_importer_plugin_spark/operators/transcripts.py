@@ -848,3 +848,66 @@ FROM env
 GROUP BY conv_id
 ORDER BY conv_id
 """
+
+
+def tool_paths(state: DataFrame, max_steps: int = 16) -> DataFrame:
+    """Workflow mining over agent transcripts: each conversation's ordered
+    tool-call sequence collapsed to a path string ("a -> b -> c"), counted
+    across the corpus — which end-to-end tool workflows actually occur,
+    and how often. `path_len` is the FULL tool-call count; the rendered
+    path is bounded to the first `max_steps` calls so pathological
+    conversations cannot produce unbounded group keys (the same
+    bounded-state discipline as conversation_template_groups).
+
+    Columns: path, path_len, n_convs.
+
+    Scale shape: the per-conversation sequence is ONE algebraic
+    sort_array(collect_list) aggregate on the conv_id clustering (no
+    window), then a count over the path vocabulary — map-side combinable
+    at both levels; group state is bounded by max_steps.
+    """
+    calls = state.filter(F.col("tool").isNotNull())
+    per_conv = calls.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx"), F.col("tool")))
+        ).alias("seq")
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(F.col("seq"), lambda s: s.getField("tool")),
+            1,
+            max_steps,
+        ),
+        " -> ",
+    )
+    return (
+        per_conv.select(
+            path.alias("path"), F.size("seq").cast("long").alias("path_len")
+        )
+        .groupBy("path", "path_len")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+        .orderBy("path", "path_len")
+    )
+
+
+def tool_paths_sql(state_cte: str, max_steps: int = 16) -> str:
+    """DuckDB twin (row_number + filtered string_agg = the slice)."""
+    return f"""
+{state_cte},
+tp_ranked AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM state WHERE tool IS NOT NULL
+),
+tp_paths AS (
+  SELECT conv_id,
+         string_agg(CASE WHEN rn <= {max_steps} THEN tool END,
+                    ' -> ' ORDER BY rn) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM tp_ranked GROUP BY conv_id
+)
+SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_convs
+FROM tp_paths
+GROUP BY path, path_len
+ORDER BY path, path_len
+"""

@@ -215,3 +215,24 @@ def test_verify_replica_report(spark, tmp_path, tables):
     apply_changes(bad, dst, batch_id="poison", mode="mor")
     rep2 = verify_replica(src, dst)
     assert not rep2.ok and rep2.extra_rows == 1
+
+
+def test_multi_hop_replication_chain(spark, tmp_path, tables):
+    """A -> B -> C: a replica is itself a valid mirror source (the commit
+    log is the same metadata either way), so cascade chains compose."""
+    from orientdb_neo4j_importer_plugin_spark.cdc.verify import verify_replica
+
+    feed, src, b = tables
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), src, batch_id="a", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b", mode="mor")
+    c = SnapshotTable.create(
+        spark, str(tmp_path / "c"), TRANSCRIPTS_V1, "conv_id", num_buckets=2
+    )
+    MirrorRunner(
+        spark, src, b, checkpoint_dir=str(tmp_path / "ck_ab"), mode="mor"
+    ).run_to_completion(timeout_sec=120)
+    MirrorRunner(
+        spark, b, c, checkpoint_dir=str(tmp_path / "ck_bc"), mode="mor"
+    ).run_to_completion(timeout_sec=120)
+    assert verify_replica(src, c).ok
+    assert _state(c) == _state(src)

@@ -326,3 +326,17 @@ def test_conversation_churn(spark):
     assert (a["tokens_before"], a["tokens_after"], a["tokens_delta"]) == (3, 3, 0)
     assert (b["n_new_turns"], b["n_dropped_turns"], b["n_rewritten_turns"]) == (0, 1, 0)
     assert (b["tokens_before"], b["tokens_after"], b["tokens_delta"]) == (2, 0, -2)
+
+
+def test_tool_paths_truncation_and_counts(spark):
+    rows = (
+        [("c1", i, "tool", "x", f"t{i % 2}", i) for i in range(5)]
+        + [("c2", i, "tool", "x", f"t{i % 2}", i) for i in range(5)]
+        + [("c3", 0, "tool", "x", "t9", 0), ("c3", 1, "user", "x", None, 1)]
+    )
+    df = _state(spark, rows)
+    out = {r["path"]: r for r in TR.tool_paths(df, max_steps=3).collect()}
+    # c1 and c2 share the same 5-call path, rendered truncated to 3 steps
+    assert out["t0 -> t1 -> t0"]["n_convs"] == 2
+    assert out["t0 -> t1 -> t0"]["path_len"] == 5  # full length, not truncated
+    assert out["t9"]["n_convs"] == 1 and out["t9"]["path_len"] == 1
