@@ -51,8 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--schema", choices=["v1", "v2", "infer"], default="v2",
                    help="event schema version (v1 lacks the tool column; "
                         "'infer' samples a jsonl feed)")
-    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
-                   help="feed file format (jsonl supports --schema infer)")
+    p.add_argument("--format", choices=["parquet", "jsonl", "debezium"],
+                   default="parquet",
+                   help="feed file format (jsonl supports --schema infer; "
+                        "debezium = JSON-lines change-event envelopes)")
     p.add_argument("--status-path", default=None, help="status JSON path")
     p.add_argument("--once", action="store_true", default=True,
                    help="process available data then exit (availableNow)")

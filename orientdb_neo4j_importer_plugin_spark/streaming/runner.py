@@ -150,8 +150,14 @@ class CdcStreamRunner:
         # committed batches — the sustained-throughput configuration.
         self.mode = mode
         self.compact_every = compact_every
-        # "parquet" (normal WAL) or "json"/"jsonl" (text WAL; pass
-        # event_schema=None to infer it from a bounded sample)
+        # "parquet" (normal WAL), "json"/"jsonl" (text WAL; pass
+        # event_schema=None to infer it from a bounded sample), or
+        # "debezium" (JSON-lines of Debezium envelopes — the shape real
+        # binlog/WAL tails arrive in; event_schema is then the PAYLOAD
+        # struct and the envelope flattens via sources.debezium, pure
+        # column expressions). Unmapped envelope ops (truncate/message)
+        # pass through with a NULL op so the quarantine path records them
+        # when enabled, rather than being silently dropped.
         self.feed_format = feed_format
         # divert poison records to the table's dead-letter side table instead
         # of failing the micro-batch (reference: Migrator:274-283,585-594)
@@ -194,6 +200,38 @@ class CdcStreamRunner:
             from ..sources.feed import infer_feed_schema
 
             schema = infer_feed_schema(self.spark, self.feed_dir)
+        if self.feed_format == "debezium":
+            # envelope tail: explicit wire schema (no inference scan),
+            # flattened to CHANGE_EVENT shape with pure column expressions.
+            # The payload struct is the event schema minus the CDC meta
+            # columns, so callers keep passing CHANGE_EVENT/_V1 uniformly.
+            from ..sources.debezium import (
+                debezium_envelope_schema,
+                from_debezium,
+            )
+
+            meta = {"lsn", "op", "source_part"}
+            payload = StructType(
+                [f for f in schema.fields if f.name not in meta]
+            )
+            reader = self.spark.readStream.schema(
+                debezium_envelope_schema(payload)
+            )
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            df = from_debezium(
+                reader.json(self.feed_dir),
+                payload,
+                on_unmapped="keep" if self.quarantine else "drop",
+            )
+            if self.stream_dedup_watermark:
+                df = df.withWatermark("ts", self.stream_dedup_watermark)
+                df = df.dropDuplicatesWithinWatermark(
+                    ["conv_id", "turn_idx", "lsn"]
+                )
+            return df
         reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)

@@ -169,3 +169,41 @@ def test_export_feed_to_json_and_replay(spark, tmp_path):
     )
     apply_changes(events, dst, batch_id="from-json")
     assert _state(dst) == _state(src)
+
+
+def test_stream_runner_tails_debezium_envelope_wal(spark, tmp_path):
+    """CdcStreamRunner(feed_format='debezium'): tail a JSON-lines WAL of
+    Debezium envelopes — the shape real binlog tails arrive in — and
+    converge to the same state as the direct flat apply."""
+    from orientdb_neo4j_importer_plugin_spark.streaming import CdcStreamRunner
+
+    feed = gen_feed(
+        spark, n_convs=5, turns_per_conv=5, updates_per_key=2, delete_every=4
+    ).persist()
+    wal = str(tmp_path / "dbz_wal")
+    to_envelopes(feed).write.mode("overwrite").json(wal)
+
+    direct = SnapshotTable.create(
+        spark, str(tmp_path / "direct"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(feed, direct, batch_id="all")
+
+    streamed = SnapshotTable.create(
+        spark, str(tmp_path / "streamed"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    from orientdb_neo4j_importer_plugin_spark.schema import CHANGE_EVENT_V1
+
+    runner = CdcStreamRunner(
+        spark, wal, streamed,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        event_schema=CHANGE_EVENT_V1,
+        feed_format="debezium",
+        mode="mor",
+    )
+    m = runner.run_to_completion(timeout_sec=300)
+    assert m.events_in == feed.count()
+    out = ["conv_id", "turn_idx", "role", "text", "ts"]
+    a = [tuple(r) for r in direct.read().orderBy(*out[:2]).select(*out).collect()]
+    b = [tuple(r) for r in streamed.read().orderBy(*out[:2]).select(*out).collect()]
+    assert a == b
+    feed.unpersist()
