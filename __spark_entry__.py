@@ -1198,6 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_paths": lambda s, d: TR.tool_paths(
             _replayed_state(s, d)
         ),
+        "transcripts_response_latency": lambda s, d: TR.response_latency_stats(
+            _replayed_state(s, d)
+        ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
         "events_session_window": lambda s, d: S.session_window_agg(
@@ -1476,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_tool_transitions": TR.tool_transitions_sql(_STATE_CTE),
         "transcripts_tool_usage": TR.tool_usage_stats_sql(_STATE_CTE),
         "transcripts_tool_paths": TR.tool_paths_sql(_STATE_CTE),
+        "transcripts_response_latency": TR.response_latency_stats_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_session_window": S.session_window_agg_sql(),

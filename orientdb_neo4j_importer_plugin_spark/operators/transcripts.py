@@ -911,3 +911,64 @@ FROM tp_paths
 GROUP BY path, path_len
 ORDER BY path, path_len
 """
+
+
+def response_latency_stats(state: DataFrame) -> DataFrame:
+    """Assistant responsiveness per conversation: for every adjacent
+    user -> assistant turn pair, the event-time gap in whole seconds —
+    the ops-side latency profile of an agent corpus (slow tools and stuck
+    sessions surface as max_latency outliers). Negative gaps (source
+    time inversions, counted by conversation_integrity) are kept as-is so
+    the numbers never silently hide a defect.
+
+    Columns: conv_id, n_exchanges, total_latency_s, min_latency_s,
+    max_latency_s (exact BIGINTs; conversations with no user->assistant
+    adjacency are absent).
+
+    Scale shape: one lag window on the shared conv_id clustering, one
+    algebraic groupBy — no joins, no distinct.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast(
+        "long"
+    )
+    pairs = state.select(
+        "conv_id",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        lat.alias("latency_s"),
+    ).filter((F.col("prev_role") == "user") & (F.col("role") == "assistant"))
+    return (
+        pairs.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exchanges"),
+            F.sum("latency_s").cast("long").alias("total_latency_s"),
+            F.min("latency_s").cast("long").alias("min_latency_s"),
+            F.max("latency_s").cast("long").alias("max_latency_s"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def response_latency_stats_sql(state_cte: str) -> str:
+    """DuckDB twin (epoch-second diff of adjacent turns)."""
+    return f"""
+{state_cte},
+rl_pairs AS (
+  SELECT conv_id,
+         role,
+         lag(role) OVER w AS prev_role,
+         CAST(epoch(ts) - epoch(lag(ts) OVER w) AS BIGINT) AS latency_s
+  FROM state
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_exchanges,
+       CAST(sum(latency_s) AS BIGINT) AS total_latency_s,
+       CAST(min(latency_s) AS BIGINT) AS min_latency_s,
+       CAST(max(latency_s) AS BIGINT) AS max_latency_s
+FROM rl_pairs
+WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY conv_id
+ORDER BY conv_id
+"""

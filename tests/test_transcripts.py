@@ -340,3 +340,24 @@ def test_tool_paths_truncation_and_counts(spark):
     assert out["t0 -> t1 -> t0"]["n_convs"] == 2
     assert out["t0 -> t1 -> t0"]["path_len"] == 5  # full length, not truncated
     assert out["t9"]["n_convs"] == 1 and out["t9"]["path_len"] == 1
+
+
+def test_response_latency_stats(spark):
+    df = _state(
+        spark,
+        [
+            ("c1", 0, "user", "q1", None, 0),
+            ("c1", 1, "assistant", "a1", None, 2),   # +2 min
+            ("c1", 2, "user", "q2", None, 3),
+            ("c1", 3, "assistant", "a2", None, 3),   # +0
+            ("c2", 0, "assistant", "unprompted", None, 0),  # no exchange
+            ("c3", 0, "user", "q", None, 5),
+            ("c3", 1, "assistant", "a", None, 4),    # inversion: -60s kept
+        ],
+    )
+    out = {r["conv_id"]: r for r in TR.response_latency_stats(df).collect()}
+    assert set(out) == {"c1", "c3"}
+    c1 = out["c1"]
+    assert (c1["n_exchanges"], c1["total_latency_s"]) == (2, 120)
+    assert (c1["min_latency_s"], c1["max_latency_s"]) == (0, 120)
+    assert out["c3"]["min_latency_s"] == -60
