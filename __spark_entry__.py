@@ -322,6 +322,31 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def cdc_key_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key write-hotness diagnostic over the raw change feed (the
+    input to skew-management decisions): event/op counts, turns touched,
+    lsn span per conversation. Oracle = the same rollup in SQL over the
+    independently derived feed CTE."""
+    from orientdb_neo4j_importer_plugin_spark.cdc.verify import key_hotness
+
+    return key_hotness(feed_from_tpch(spark, sf_dir))
+
+
+CDC_KEY_HOTNESS_SQL = f"""
+{_FEED_SQL}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns_touched,
+       CAST(max(lsn) - min(lsn) AS BIGINT) AS lsn_span
+FROM feed
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 def cdc_conv_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation churn between two snapshots: the same envelope diff
     as cdc_changelog_envelope, reduced by transcripts.conversation_churn
@@ -1153,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_envelope": cdc_changelog_envelope,
         "cdc_mirror_stream": cdc_mirror_stream,
         "cdc_conv_churn": cdc_conv_churn,
+        "cdc_key_hotness": cdc_key_hotness,
         "cdc_incremental_render": cdc_incremental_render,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
@@ -1448,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
         "cdc_mirror_stream": CDC_REPLAY_SQL,
         "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
+        "cdc_key_hotness": CDC_KEY_HOTNESS_SQL,
         "cdc_incremental_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,

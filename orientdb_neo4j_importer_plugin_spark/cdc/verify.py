@@ -167,3 +167,43 @@ def verify_replica(
         missing_rows=missing,
         extra_rows=extra,
     )
+
+
+def key_hotness(feed: DataFrame) -> DataFrame:
+    """Write-hotness profile of the raw change feed, per conversation:
+    how many events / of which ops hit each key, how many distinct turns
+    they touch, and the lsn span — the diagnostic that tells an operator
+    WHICH keys need the salted LWW variant (`lww_resolve_salted`) before
+    throughput collapses, rather than discovering skew from a straggler
+    task. The reference's per-type counters
+    (``ONeo4jImporterStatistics.java:30-63``) sliced per key instead of
+    globally.
+
+    Columns: conv_id, n_events, n_inserts, n_updates, n_deletes,
+    n_turns_touched, lsn_span (exact BIGINTs).
+
+    Scale shape: two-phase aggregate — per-(conv, turn) partials combine
+    map-side, then the per-conversation rollup; no distinct expand, no
+    window, no join. Runs on the feed BEFORE any apply, so it can gate
+    admission config per batch.
+    """
+    per_turn = feed.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("op") == "I").cast("long")).alias("i"),
+        F.sum((F.col("op") == "U").cast("long")).alias("u"),
+        F.sum((F.col("op") == "D").cast("long")).alias("d"),
+        F.min("lsn").alias("lo"),
+        F.max("lsn").alias("hi"),
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("i").cast("long").alias("n_inserts"),
+            F.sum("u").cast("long").alias("n_updates"),
+            F.sum("d").cast("long").alias("n_deletes"),
+            F.count("*").cast("long").alias("n_turns_touched"),
+            (F.max("hi") - F.min("lo")).cast("long").alias("lsn_span"),
+        )
+        .orderBy("conv_id")
+    )
