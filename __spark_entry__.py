@@ -322,6 +322,34 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def cdc_tool_usage_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed per-tool usage counters (fourth streamed-sketch member):
+    apply the feed in two MOR batches, refresh the delete-algebraic
+    (tool, conv) cell table after EACH, and read the per-tool rollup —
+    the oracle recomputes the same counters from the final LWW state from
+    scratch (min/max turn_idx deliberately absent: not delete-algebraic,
+    see lake/sketchview.StreamedToolUsageView)."""
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedToolUsageView,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tuv_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "src"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    state = StreamedToolUsageView.create_state(
+        spark, os.path.join(root, "cells"), num_buckets=8
+    )
+    view = StreamedToolUsageView(source, state)
+    apply_changes(feed.filter(_CHLOG_B1), source, batch_id="t1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter(_CHLOG_B2), source, batch_id="t2", mode="mor")
+    view.refresh()
+    return view.usage()
+
+
 def cdc_key_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key write-hotness diagnostic over the raw change feed (the
     input to skew-management decisions): event/op counts, turns touched,
@@ -550,6 +578,20 @@ state AS (
   SELECT conv_id, turn_idx, role, text, tool, ts
   FROM ranked WHERE rn = 1 AND op <> 'D'
 )"""
+
+
+CDC_TOOL_USAGE_VIEW_SQL = f"""
+{_STATE_CTE}
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(CAST(len(list_filter(regexp_split_to_array(
+           coalesce(text, ''), '\\s+'), x -> len(x) > 0)) AS BIGINT))
+         AS BIGINT) AS n_tokens
+FROM state WHERE tool IS NOT NULL
+GROUP BY tool
+ORDER BY tool
+"""
 
 
 def cdc_cdf_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mirror_stream": cdc_mirror_stream,
         "cdc_conv_churn": cdc_conv_churn,
         "cdc_key_hotness": cdc_key_hotness,
+        "cdc_tool_usage_view": cdc_tool_usage_view,
         "cdc_incremental_render": cdc_incremental_render,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
@@ -1475,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mirror_stream": CDC_REPLAY_SQL,
         "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
         "cdc_key_hotness": CDC_KEY_HOTNESS_SQL,
+        "cdc_tool_usage_view": CDC_TOOL_USAGE_VIEW_SQL,
         "cdc_incremental_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,

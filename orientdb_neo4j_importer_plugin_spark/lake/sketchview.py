@@ -672,3 +672,210 @@ class StreamedVocabView:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def tool_usage_cells_schema() -> StructType:
+    """Tool-usage state-table schema: one row per live (tool, conv_id)
+    incidence. `calls` / `tok` are the per-incidence call and token
+    counters — each a commutative group under insert/delete, which is
+    what makes the per-tool rollup (incl. the DISTINCT-conversation
+    count: live incidence rows per tool) exactly maintainable."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField("tool", StringType(), True),
+            StructField("conv_id", StringType(), True),
+            StructField("calls", LongType(), True),
+            StructField("tok", LongType(), True),
+        ]
+    )
+
+
+class StreamedToolUsageView:
+    """Incrementally-maintained per-tool usage counters over the live
+    rows of a transcripts `source` — the fourth member of the
+    streamed-sketch family (same maintenance contract as
+    `StreamedHistView`). The agent-ops use: tool-adoption dashboards over
+    a continuously-ingested corpus without rescans.
+
+    Sufficient statistic per (tool, conv_id): (call count, token count).
+    Both are delete-algebraic given pre-images — a retooled or deleted
+    turn contributes its OLD image with weight -1 and its new image with
+    +1, so a turn that switches tools decrements one cell and increments
+    another inside the same combinable aggregate. `usage()` reads back
+    the ALGEBRAIC columns of `transcripts.tool_usage_stats` (n_calls,
+    n_convs, n_tokens) bit-identically over live rows; the turn-position
+    envelope (min/max turn_idx) is deliberately absent — min/max are not
+    delete-algebraic, so a streamed view could only approximate them
+    (monotone under inserts, stale under deletes), which this family's
+    bit-identical contract forbids.
+
+    State is O(live (tool, conv) incidences) — bounded by conversations
+    times the tiny tool vocabulary, far smaller than the corpus."""
+
+    def __init__(self, source: SnapshotTable, state: SnapshotTable):
+        expected = [f.name for f in tool_usage_cells_schema().fields]
+        got = state.current().schema.names
+        if list(got) != expected:
+            raise ValueError(
+                f"state table schema {list(got)} != expected {expected} "
+                "(create it with StreamedToolUsageView.create_state)"
+            )
+        self.source = source
+        self.state = state
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            tool_usage_cells_schema(),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id", "tool", "conv_id"],
+            overwrite=overwrite,
+        )
+
+    def last_refreshed_version(self) -> int:
+        for entry in reversed(self.state.current().lineage):
+            v = entry.get("toolusage_source_version")
+            if v is not None:
+                return int(v)
+        return 0
+
+    def refresh(self, mode: str = "mor") -> dict[str, Any]:
+        """Fold the source's commits in (watermark, current] into the
+        (tool, conv) cells: signed per-image weights, one combinable
+        aggregate, bucket-pruned MERGE of O(changed cells)."""
+        from ..cdc.apply import apply_changes
+        from ..operators.transcripts import _ws_tokens
+
+        from_v = self.last_refreshed_version()
+        snap = self.source.current()
+        if snap.version <= from_v:
+            return {
+                "source_version": from_v,
+                "cells_changed": 0,
+                "skipped": True,
+            }
+        changes, cand = self.source._changelog_delta_with_cache(
+            from_v, snap.version
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        delta = (
+            changes.filter(F.col("tool").isNotNull())
+            .select(
+                "tool",
+                "conv_id",
+                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+                _ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t"),
+            )
+            .groupBy("tool", "conv_id")
+            .agg(
+                F.sum("w").cast("long").alias("d_calls"),
+                F.sum(F.col("w") * F.col("t")).cast("long").alias("d_tok"),
+            )
+            # an update that kept (tool, text) cancels its own pre/post pair
+            .filter((F.col("d_calls") != 0) | (F.col("d_tok") != 0))
+            .withColumn(
+                "cell_id",
+                F.xxhash64(F.concat_ws("|", F.col("tool"), F.col("conv_id"))),
+            )
+            .persist()
+        )
+        try:
+            st_snap = self.state.current()
+            touched = [
+                row.b
+                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            on = ["cell_id", "tool", "conv_id"]
+            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
+                *on,
+                F.col("calls").alias("__old_calls"),
+                F.col("tok").alias("__old_tok"),
+            )
+            cur = cur.join(
+                F.broadcast(delta.select(*on)), on=on, how="left_semi"
+            )
+            new_calls = F.coalesce(F.col("__old_calls"), F.lit(0)) + F.col(
+                "d_calls"
+            )
+            new_tok = F.coalesce(F.col("__old_tok"), F.lit(0)) + F.col("d_tok")
+            events = delta.join(cur, on=on, how="left").select(
+                F.lit(snap.version).cast("long").alias("lsn"),
+                F.when(new_calls == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                *[F.col(c) for c in on],
+                F.when(new_calls != 0, new_calls).cast("long").alias("calls"),
+                F.when(new_calls != 0, new_tok).cast("long").alias("tok"),
+            )
+            res = apply_changes(
+                events,
+                self.state,
+                batch_id=f"toolusage-{from_v}-{snap.version}",
+                mode=mode,
+                lineage_extra={"toolusage_source_version": snap.version},
+                stats_via_observation=False,
+            )
+        finally:
+            delta.unpersist(blocking=False)
+            cand.unpersist(blocking=False)
+        return {
+            "source_version": snap.version,
+            "cells_changed": res.keys_changed,
+            "skipped": res.skipped_replay,
+        }
+
+    def usage(self) -> DataFrame:
+        """Per-tool rollup off the maintained cells — identical rows to
+        the algebraic columns of `transcripts.tool_usage_stats` over the
+        source's live rows."""
+        return (
+            self.state.read()
+            .groupBy("tool")
+            .agg(
+                F.sum("calls").cast("long").alias("n_calls"),
+                F.count("*").cast("long").alias("n_convs"),
+                F.sum("tok").cast("long").alias("n_tokens"),
+            )
+            .orderBy("tool")
+        )
+
+    def stream(
+        self,
+        checkpoint_dir: str,
+        mode: str = "mor",
+        available_now: bool = True,
+    ):
+        """Continuous maintenance off the source's `lake_cdf` wake-up feed
+        (same trigger contract as StreamedHistView.stream)."""
+        from ..streaming.cdf_source import LakeCdfDataSource
+
+        spark = self.state.spark
+        spark.dataSource.register(LakeCdfDataSource)
+        stream = (
+            spark.readStream.format("lake_cdf")
+            .option("path", self.source.root)
+            .option("startingVersion", self.last_refreshed_version())
+            .load()
+        )
+
+        def on_batch(batch: DataFrame, batch_id: int) -> None:
+            self.refresh(mode=mode)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -436,3 +436,126 @@ def test_vocab_view_streamed_kill_and_resume(spark, tmp_path):
     )
     wave()
     assert [tuple(r) for r in view.topk(1000).collect()] == _vocab_expect(source)
+
+
+# StreamedToolUsageView (fourth family member: per-tool usage counters) ------
+
+
+def _tu_setup(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedToolUsageView,
+    )
+    from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
+
+    source = SnapshotTable.create(
+        spark, str(tmp_path / "tu_src"), TRANSCRIPTS, "conv_id", num_buckets=8
+    )
+    state = StreamedToolUsageView.create_state(
+        spark, str(tmp_path / "tu_state"), num_buckets=8
+    )
+    return source, StreamedToolUsageView(source, state)
+
+
+def _tu_feed(spark, n, lsn0=0, op="I", tool_mod=3, rev=""):
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (
+            lsn0 + i,
+            op,
+            f"conv_{i % 5}",
+            i // 5,
+            "tool",
+            f"out {i}{rev}",
+            (f"t{i % tool_mod}" if i % 4 != 0 else None),
+            ts,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def _tu_expect(source):
+    from orientdb_neo4j_importer_plugin_spark.operators import transcripts as TR
+
+    return [
+        (r["tool"], r["n_calls"], r["n_convs"], r["n_tokens"])
+        for r in TR.tool_usage_stats(source.read()).collect()
+    ]
+
+
+def _tu_got(view):
+    return [
+        (r["tool"], r["n_calls"], r["n_convs"], r["n_tokens"])
+        for r in view.usage().collect()
+    ]
+
+
+def test_tool_usage_view_tracks_source_through_iud(spark, tmp_path):
+    source, view = _tu_setup(spark, tmp_path)
+    apply_changes(_tu_feed(spark, 40), source, batch_id="i", mode="mor")
+    r1 = view.refresh()
+    assert r1["cells_changed"] > 0 and not r1["skipped"]
+    assert _tu_got(view) == _tu_expect(source)
+
+    # updates RETOOL half the turns (tool_mod changes t-assignment) and
+    # rewrite text; deletes remove whole turns
+    upd = _tu_feed(spark, 40, lsn0=1000, op="U", tool_mod=2, rev=" rev x")
+    apply_changes(upd.filter("pmod(lsn, 2) = 0"), source, batch_id="u", mode="mor")
+    import datetime
+
+    dels = spark.createDataFrame(
+        [
+            (2000 + i, "D", f"conv_{i % 5}", i // 5, None, None, None,
+             datetime.datetime(2026, 1, 1))
+            for i in range(0, 40, 7)
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    apply_changes(dels, source, batch_id="d", mode="mor")
+    view.refresh()
+    assert _tu_got(view) == _tu_expect(source)
+    r3 = view.refresh()
+    assert r3["skipped"] and r3["cells_changed"] == 0
+
+
+def test_tool_usage_view_same_image_touches_no_cells(spark, tmp_path):
+    source, view = _tu_setup(spark, tmp_path)
+    apply_changes(_tu_feed(spark, 20), source, batch_id="i", mode="mor")
+    view.refresh()
+    # same (tool, text) re-asserted at higher lsn: pre/post cancel
+    apply_changes(
+        _tu_feed(spark, 20, lsn0=500, op="U"), source, batch_id="u", mode="mor"
+    )
+    r = view.refresh()
+    assert r["cells_changed"] == 0 and not r["skipped"]
+    assert _tu_got(view) == _tu_expect(source)
+
+
+def test_tool_usage_view_streamed_kill_and_resume(spark, tmp_path):
+    source, view = _tu_setup(spark, tmp_path)
+    ckpt = str(tmp_path / "tuckpt")
+
+    def wave():
+        q = view.stream(ckpt)
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise AssertionError("tool-usage stream did not drain")
+
+    apply_changes(_tu_feed(spark, 30), source, batch_id="a", mode="mor")
+    wave()
+    assert _tu_got(view) == _tu_expect(source)
+    # source advances while the stream is down; a NEW stream resumes
+    apply_changes(
+        _tu_feed(spark, 30, lsn0=1000, op="U", tool_mod=2),
+        source, batch_id="b", mode="mor",
+    )
+    wave()
+    assert _tu_got(view) == _tu_expect(source)
