@@ -197,3 +197,76 @@ def replicate_changelog(
     events = from_debezium(env, payload=dst.current().schema)
     bid = batch_id or f"replicate-{from_version}-{to_v}"
     return apply_changes(events, dst, batch_id=bid, mode=mode)
+
+
+def snapshot_envelopes(
+    table,
+    snapshot_version: int | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Initial-snapshot export: the table's LIVE rows at a version as
+    Debezium read events (op='r', after-image only) — Debezium's
+    "snapshot phase", which together with the incremental envelope feed
+    gives a brand-new consumer the complete bootstrap-then-tail protocol
+    (`from_debezium` maps 'r' -> I, and each row carries its REAL winning
+    lsn, so increments that race the snapshot resolve by LWW exactly as
+    they did on the source — no "snapshot fence" coordination needed).
+
+    Reference analogue: the full node scan that seeds the one-shot import
+    (``ONeo4jImporterVerticesAndEdgesMigrator.java:183-190``), exposed as
+    a feed instead of a terminal copy.
+
+    One bucket-parallel scan of the snapshot; pure column expressions.
+    """
+    from ..lake.table import DELETED_COL, LSN_COL, bucket_expr_for
+
+    snap = (
+        table.current()
+        if snapshot_version is None
+        else table.snapshot_at(snapshot_version)
+    )
+    rows = table.read(snapshot=snap, raw=True).filter(
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    )
+    payload_cols = [f.name for f in snap.schema.fields]
+    after = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    if ts_col in payload_cols:
+        ts_ms = F.unix_millis(F.col(ts_col))
+    else:
+        ts_ms = F.lit(None).cast(LongType())
+    before_type = StructType(
+        [StructField(f.name, f.dataType, True) for f in snap.schema.fields]
+    )
+    return rows.select(
+        F.lit(None).cast(before_type).alias("before"),
+        after.alias("after"),
+        F.lit("r").alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(
+            F.col(LSN_COL).cast(LongType()).alias("lsn"),
+            bucket_expr_for(snap).cast(LongType()).alias("partition"),
+        ).alias("source"),
+    )
+
+
+def bootstrap_from_snapshot(
+    source,
+    target,
+    batch_id: str | None = None,
+    mode: str = "cow",
+):
+    """Seed a fresh consumer table from a source snapshot feed, then let
+    `replicate_changelog` / MirrorRunner carry the increments — the full
+    Debezium snapshot-then-stream bootstrap, in one exactly-once batch.
+    Returns (ApplyResult, snapshot_version): pass the version as the
+    mirror's `starting_version` (or replicate_changelog's from_version);
+    overlap either side of the boundary is absorbed by LWW idempotence.
+    """
+    from ..cdc.apply import apply_changes
+
+    snap_v = source.current().version
+    env = snapshot_envelopes(source, snapshot_version=snap_v)
+    events = from_debezium(env, payload=target.current().schema)
+    bid = batch_id or f"bootstrap-{snap_v}"
+    res = apply_changes(events, target, batch_id=bid, mode=mode)
+    return res, snap_v

@@ -207,3 +207,47 @@ def test_stream_runner_tails_debezium_envelope_wal(spark, tmp_path):
     b = [tuple(r) for r in streamed.read().orderBy(*out[:2]).select(*out).collect()]
     assert a == b
     feed.unpersist()
+
+
+def test_bootstrap_then_tail_protocol(spark, tmp_path):
+    """Debezium snapshot-then-stream: seed a new consumer from the
+    snapshot feed at v, tail increments from v — equality with the
+    source, including increments racing the boundary (LWW absorbs)."""
+    from orientdb_neo4j_importer_plugin_spark.sources.debezium import (
+        bootstrap_from_snapshot,
+        replicate_changelog,
+        snapshot_envelopes,
+    )
+
+    feed = gen_feed(
+        spark, n_convs=6, turns_per_conv=5, updates_per_key=2, delete_every=4
+    ).persist()
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(feed.filter("pmod(lsn, 3) = 0"), src, batch_id="s0", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 3) = 1"), src, batch_id="s1", mode="mor")
+
+    # snapshot feed has only live rows, all op='r', real lsns
+    env = snapshot_envelopes(src)
+    assert env.filter("op <> 'r'").count() == 0
+    assert env.filter("before is not null").count() == 0
+    assert env.filter("source.lsn is null").count() == 0
+
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    res, snap_v = bootstrap_from_snapshot(src, dst)
+    assert not res.skipped_replay and snap_v == src.current().version
+    assert _state(dst) == _state(src)
+
+    # source advances; tail increments from the bootstrap version
+    apply_changes(feed.filter("pmod(lsn, 3) = 2"), src, batch_id="s2", mode="mor")
+    replicate_changelog(src, dst, snap_v)
+    assert _state(dst) == _state(src)
+
+    # re-tailing an OVERLAPPING range (from before the bootstrap) is
+    # absorbed by LWW idempotence, not a divergence
+    replicate_changelog(src, dst, 0, batch_id="overlap")
+    assert _state(dst) == _state(src)
+    feed.unpersist()
