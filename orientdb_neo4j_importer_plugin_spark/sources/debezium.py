@@ -194,7 +194,10 @@ def replicate_changelog(
 
     to_v = src.current().version if to_version is None else to_version
     env = to_debezium(src.changelog_envelope(from_version, to_v))
-    events = from_debezium(env, payload=dst.current().schema)
+    # flatten with the SOURCE's schema at to_v: columns the source evolved
+    # must reach apply_changes so the target evolves too (projecting to the
+    # target's schema would silently drop them)
+    events = from_debezium(env, payload=src.snapshot_at(to_v).schema)
     bid = batch_id or f"replicate-{from_version}-{to_v}"
     return apply_changes(events, dst, batch_id=bid, mode=mode)
 
@@ -266,7 +269,8 @@ def bootstrap_from_snapshot(
 
     snap_v = source.current().version
     env = snapshot_envelopes(source, snapshot_version=snap_v)
-    events = from_debezium(env, payload=target.current().schema)
+    # source-side schema for the same evolution reason as replicate_changelog
+    events = from_debezium(env, payload=source.snapshot_at(snap_v).schema)
     bid = batch_id or f"bootstrap-{snap_v}"
     res = apply_changes(events, target, batch_id=bid, mode=mode)
     return res, snap_v

@@ -251,3 +251,36 @@ def test_bootstrap_then_tail_protocol(spark, tmp_path):
     replicate_changelog(src, dst, 0, batch_id="overlap")
     assert _state(dst) == _state(src)
     feed.unpersist()
+
+
+def test_envelope_replication_propagates_evolution(spark, tmp_path):
+    """Source evolves (tool column appears) AFTER the consumer
+    bootstrapped at v1: envelope replication must carry the new column
+    through (regression: projecting to the TARGET's schema dropped it)."""
+    from orientdb_neo4j_importer_plugin_spark.sources.debezium import (
+        bootstrap_from_snapshot,
+        replicate_changelog,
+    )
+
+    feed = gen_feed(
+        spark, n_convs=5, turns_per_conv=4, updates_per_key=1,
+        delete_every=6, v2_from_lsn=40,
+    ).persist()
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPTS_V1, "conv_id", num_buckets=8
+    )
+    apply_changes(feed.filter("lsn < 40").drop("tool"), src, batch_id="v1", mode="mor")
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    _, snap_v = bootstrap_from_snapshot(src, dst)
+    assert "tool" not in dst.current().schema.fieldNames()
+
+    apply_changes(feed.filter("lsn >= 40"), src, batch_id="v2", mode="mor")
+    replicate_changelog(src, dst, snap_v)
+    assert "tool" in dst.current().schema.fieldNames()
+    out = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = [tuple(r) for r in src.read().orderBy(*out[:2]).select(*out).collect()]
+    b = [tuple(r) for r in dst.read().orderBy(*out[:2]).select(*out).collect()]
+    assert a == b
+    feed.unpersist()
