@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window", type=int, default=None, metavar="N",
                    help="drain via bounded catch-up windows of N source "
                         "versions instead of the streaming tail")
+    p.add_argument("--bootstrap", action="store_true",
+                   help="seed a newly-created replica from the source's "
+                        "snapshot feed (O(live rows)) and tail only "
+                        "increments after it, instead of replaying the "
+                        "full commit history")
     p.add_argument("--overwrite", action="store_true",
                    help="drop an existing replica")
     p.add_argument("--status-path", default=None, help="status JSON path")
@@ -80,9 +85,22 @@ def main(argv: list[str] | None = None) -> int:
             overwrite=args.overwrite,
         )
         log.info("created replica %s", args.replica)
+    starting_version = 0
+    if args.bootstrap:
+        from .sources.debezium import bootstrap_from_snapshot
+
+        res, starting_version = bootstrap_from_snapshot(
+            source, replica, mode=args.mode
+        )
+        log.info(
+            "bootstrapped replica from snapshot v%d (%d rows upserted%s)",
+            starting_version, res.upserts,
+            ", replayed no-op" if res.skipped_replay else "",
+        )
     runner = MirrorRunner(
         spark, source, replica,
         checkpoint_dir=args.checkpoint,
+        starting_version=starting_version,
         status_path=args.status_path,
         mode=args.mode,
         compact_every=args.compact_every,

@@ -272,5 +272,11 @@ def bootstrap_from_snapshot(
     # source-side schema for the same evolution reason as replicate_changelog
     events = from_debezium(env, payload=source.snapshot_at(snap_v).schema)
     bid = batch_id or f"bootstrap-{snap_v}"
-    res = apply_changes(events, target, batch_id=bid, mode=mode)
+    # record the replication position durably: MirrorRunner.catch_up /
+    # lag() resume from replica lineage, so a bootstrap alone is a valid
+    # mirror starting state even before any incremental batch lands
+    res = apply_changes(
+        events, target, batch_id=bid, mode=mode,
+        lineage_extra={"mirror_source_version": snap_v},
+    )
     return res, snap_v

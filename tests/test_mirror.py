@@ -236,3 +236,41 @@ def test_multi_hop_replication_chain(spark, tmp_path, tables):
     ).run_to_completion(timeout_sec=120)
     assert verify_replica(src, c).ok
     assert _state(c) == _state(src)
+
+
+def test_mirror_cli_bootstrap_then_stream(spark, tmp_path, tables):
+    import json
+    import subprocess
+    import sys as _sys
+
+    feed, src, _ = tables
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), src, batch_id="a", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), src, batch_id="b", mode="mor")
+    replica_root = str(tmp_path / "replica_boot")
+    out = subprocess.run(
+        [
+            _sys.executable, "-m",
+            "orientdb_neo4j_importer_plugin_spark.mirror_cli",
+            "--source", src.root,
+            "--replica", replica_root,
+            "--checkpoint", str(tmp_path / "boot_ckpt"),
+            "--master", "local[4]",
+            "--mode", "mor",
+            "--bootstrap",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["replication_lag"] == 0
+    replica = SnapshotTable.load(spark, replica_root)
+    assert [
+        tuple(r)
+        for r in replica.read().orderBy("conv_id", "turn_idx").select(*OUT).collect()
+    ] == _state(src)
+    # the bootstrap position is durable: a fresh in-process runner sees it
+    r2 = MirrorRunner(
+        spark, src, replica, checkpoint_dir=str(tmp_path / "other_ckpt")
+    )
+    assert r2.lag() == 0
+    assert r2.catch_up(window=4) == []
