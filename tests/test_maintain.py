@@ -344,3 +344,51 @@ def test_compact_cluster_by_rejects_unknown_column(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_maintain_cli_end_to_end(spark, tmp_path):
+    """Drive the maintenance CLI as a subprocess over a MOR-backlogged
+    table: deltas fold, state unchanged, summary JSON printed."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+    from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+    feed = gen_feed(spark, n_convs=4, turns_per_conv=5, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "mt"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    for i in range(3):
+        apply_changes(
+            feed.filter(f"pmod(lsn, 3) = {i}"), table,
+            batch_id=f"m{i}", mode="mor",
+        )
+    before = [
+        tuple(r)
+        for r in table.read().orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "ts").collect()
+    ]
+    out = subprocess.run(
+        [
+            _sys.executable, "-m",
+            "orientdb_neo4j_importer_plugin_spark.maintain_cli",
+            "--table", table.root,
+            "--master", "local[4]",
+            "--compact-if-deltas", "1",
+            "--expire-keep", "50",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary.get("compacted_buckets") or summary.get("compact", summary)
+    t2 = SnapshotTable.load(spark, table.root)
+    assert not t2.current().deltas  # backlog folded
+    after = [
+        tuple(r)
+        for r in t2.read().orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "ts").collect()
+    ]
+    assert after == before
