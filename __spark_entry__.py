@@ -829,7 +829,7 @@ def cdc_tsrange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="t0", mode="mor")
     table.compact(max_file_rows=2000)
     return (
-        table.read_colrange("ts", "1994-03-01 00:00:00", "1994-09-30 00:00:00")
+        table.read_colrange("ts", "1996-03-01 00:00:00", "1996-09-30 00:00:00")
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
         .orderBy("conv_id", "turn_idx", "text")
     )
@@ -839,7 +839,7 @@ CDC_TSRANGE_SQL = f"""
 {_STATE_CTE}
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM state
-WHERE ts BETWEEN TIMESTAMP '1994-03-01 00:00:00' AND TIMESTAMP '1994-09-30 00:00:00'
+WHERE ts BETWEEN TIMESTAMP '1996-03-01 00:00:00' AND TIMESTAMP '1996-09-30 00:00:00'
 ORDER BY conv_id, turn_idx, text
 """
 
