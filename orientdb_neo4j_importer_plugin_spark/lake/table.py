@@ -1460,7 +1460,9 @@ class SnapshotTable:
         ``op`` I/U/D, a ``before`` struct (null unless the key was live at
         from_version), an ``after`` struct (null for D), the winning
         ``lsn`` in the new state (the tombstone's lsn for D — monotone per
-        key, so a cascade target's LWW resolves identically), and the
+        key, so a cascade target's LWW resolves identically; if the
+        tombstone was vacuumed before the range was read, a sentinel of
+        old-lsn + 1 that still strictly beats the replica's copy), and the
         key's ``bucket`` under the new snapshot's layout (the
         source-partition hint for the wire envelope).
 
@@ -1543,7 +1545,20 @@ class SnapshotTable:
                 "op",
                 F.when(old_live, before).alias("before"),
                 F.when(F.col("op") != "D", after).alias("after"),
-                F.coalesce(F.col("__n_lsn"), F.col("__o_lsn")).alias("lsn"),
+                # I/U always have __n_lsn. D normally carries the tombstone
+                # lsn, but when the tombstone was vacuumed out of the new
+                # snapshot (maintain(tombstone_below_lsn=...)) the key has
+                # no new-state row at all — falling back to the OLD live
+                # row's lsn would make a cascade target holding that row see
+                # an equal-lsn tie where the delete is not guaranteed to
+                # win. Emit old lsn + 1 instead: a lower bound on the real
+                # (vacuumed) tombstone lsn — vacuum only removes tombstones
+                # strictly above the row they shadow — so it strictly beats
+                # the replica's copy and stays <= any later real event.
+                F.coalesce(
+                    F.col("__n_lsn"),
+                    F.col("__o_lsn") + F.lit(1).cast("long"),
+                ).alias("lsn"),
                 bucket_expr_for(new_snap).alias("bucket"),
             )
         )

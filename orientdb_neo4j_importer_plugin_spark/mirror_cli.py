@@ -76,11 +76,19 @@ def main(argv: list[str] | None = None) -> int:
     source = SnapshotTable.load(spark, args.source)
     if SnapshotTable.exists(args.replica) and not args.overwrite:
         replica = SnapshotTable.load(spark, args.replica)
+        # LWW merges group on the key set; a replica keyed differently from
+        # its source would silently diverge despite converged applies
+        if list(replica.current().keys) != list(source.current().keys):
+            raise SystemExit(
+                f"replica key columns {replica.current().keys} != source "
+                f"key columns {source.current().keys}: refusing to mirror"
+            )
         log.info("loaded replica %s at v%d", args.replica, replica.current().version)
     else:
         replica = SnapshotTable.create(
             spark, args.replica, source.current().schema,
             source.current().partition_key,
+            key_columns=list(source.current().keys),
             num_buckets=args.num_buckets or source.current().num_buckets,
             overwrite=args.overwrite,
         )

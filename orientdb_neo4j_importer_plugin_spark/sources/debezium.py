@@ -59,11 +59,17 @@ def from_debezium(
     envelopes: DataFrame,
     payload: StructType = TRANSCRIPTS,
     on_unmapped: str = "drop",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Flatten a Debezium envelope stream/batch into CHANGE_EVENT shape.
 
     Deletes carry only `before` — keys are taken from `after` with a
-    `before` fallback so a delete still routes to its bucket.
+    `before` fallback so a delete still routes to its bucket. `keys` is the
+    TARGET TABLE's key set (default: the transcripts PK); a table keyed
+    differently must pass its own keys or delete envelopes flatten with
+    NULL key columns and mis-apply (`replicate_changelog` /
+    `bootstrap_from_snapshot` pass the source table's persisted keys
+    automatically).
 
     on_unmapped controls envelopes whose op isn't c/r/u/d (e.g. 't' truncate,
     'm' message): "drop" filters them out (the count is visible as the
@@ -73,6 +79,7 @@ def from_debezium(
     """
     if on_unmapped not in ("drop", "keep"):
         raise ValueError(f"on_unmapped must be 'drop' or 'keep', got {on_unmapped!r}")
+    key_set = set(KEY_COLUMNS if keys is None else keys)
     op = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in _OP_MAP.items() for x in kv]
@@ -87,7 +94,7 @@ def from_debezium(
         F.coalesce(F.col("source.partition"), F.lit(0)).cast("int").alias("source_part"),
     ]
     for f in payload.fields:
-        if f.name in KEY_COLUMNS:
+        if f.name in key_set:
             expr = F.coalesce(F.col(f"after.{f.name}"), F.col(f"before.{f.name}"))
         else:
             # payload comes from `after`; null for deletes by construction
@@ -197,7 +204,11 @@ def replicate_changelog(
     # flatten with the SOURCE's schema at to_v: columns the source evolved
     # must reach apply_changes so the target evolves too (projecting to the
     # target's schema would silently drop them)
-    events = from_debezium(env, payload=src.snapshot_at(to_v).schema)
+    events = from_debezium(
+        env,
+        payload=src.snapshot_at(to_v).schema,
+        keys=list(src.current().keys),
+    )
     bid = batch_id or f"replicate-{from_version}-{to_v}"
     return apply_changes(events, dst, batch_id=bid, mode=mode)
 
@@ -270,7 +281,11 @@ def bootstrap_from_snapshot(
     snap_v = source.current().version
     env = snapshot_envelopes(source, snapshot_version=snap_v)
     # source-side schema for the same evolution reason as replicate_changelog
-    events = from_debezium(env, payload=source.snapshot_at(snap_v).schema)
+    events = from_debezium(
+        env,
+        payload=source.snapshot_at(snap_v).schema,
+        keys=list(source.current().keys),
+    )
     bid = batch_id or f"bootstrap-{snap_v}"
     # record the replication position durably: MirrorRunner.catch_up /
     # lag() resume from replica lineage, so a bootstrap alone is a valid

@@ -291,39 +291,66 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         starting_version: int,
         payload_json: str,
         rowlevel: bool = False,
+        max_versions_per_trigger: int | None = None,
     ):
         self.root = root
         self.starting_version = starting_version
         self.payload_json = payload_json
         self.rowlevel = rowlevel
+        if max_versions_per_trigger is not None and max_versions_per_trigger < 1:
+            raise ValueError(
+                "maxVersionsPerTrigger must be >= 1, got "
+                f"{max_versions_per_trigger}"
+            )
+        self.max_versions_per_trigger = max_versions_per_trigger
         # rowlevel read horizon: highest version known contiguous-materialized
         # (monotone; re-checks start here, not at starting_version, so the
         # _DONE probe stays O(new versions) per trigger)
         self._rowlevel_watermark = starting_version
+        # admission-control position: highest version this reader has
+        # offered, planned, or committed. The Python DataSourceStreamReader
+        # API has no ReadLimit hook, so maxVersionsPerTrigger is implemented
+        # exactly like rowlevel's materialization horizon: latestOffset
+        # self-caps at min(head, position + N) (the reference's bounded sink
+        # batches, ONeo4jImporterVerticesAndEdgesMigrator.java:58-59,268-272,
+        # exist for the same reason — an unbounded catch-up transaction).
+        # The position also advances from partitions()/commit() so a resumed
+        # query re-learns the checkpointed offset from its first planned
+        # batch; the one uncovered case (restart whose FIRST call is
+        # latestOffset) makes the offer ramp restart from starting_version,
+        # which costs at most one empty batch + an idempotent re-cover of
+        # already-applied versions — never a correctness issue (LWW replays
+        # to the same state).
+        self._position = starting_version
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         cur = _read_pointer(self.root)
-        if not self.rowlevel:
-            return {"version": cur}
-        # rowlevel mode reads materialized changelog files, which a writer
-        # produces AFTER the commit itself (materialize_changelog). Offering
-        # the raw table pointer would make the next microbatch's
-        # partitions() throw for a committed-but-unmaterialized version and
-        # kill the stream — a crash race against every writer. Cap the
-        # offset at the highest CONTIGUOUS materialized version instead:
-        # the stream simply waits for the maintenance job to catch up.
-        # Contiguity matters — if v5 is materialized but v4 is not, the
-        # horizon stays at 3 (offsets ranges must be gap-free).
-        v = self._rowlevel_watermark
-        while v < cur and _changelog_files(self.root, v + 1) is not None:
-            v += 1
-        self._rowlevel_watermark = v
-        return {"version": v}
+        if self.rowlevel:
+            # rowlevel mode reads materialized changelog files, which a
+            # writer produces AFTER the commit itself
+            # (materialize_changelog). Offering the raw table pointer would
+            # make the next microbatch's partitions() throw for a
+            # committed-but-unmaterialized version and kill the stream — a
+            # crash race against every writer. Cap the offset at the highest
+            # CONTIGUOUS materialized version instead: the stream simply
+            # waits for the maintenance job to catch up. Contiguity
+            # matters — if v5 is materialized but v4 is not, the horizon
+            # stays at 3 (offsets ranges must be gap-free).
+            v = self._rowlevel_watermark
+            while v < cur and _changelog_files(self.root, v + 1) is not None:
+                v += 1
+            self._rowlevel_watermark = v
+            cur = v
+        if self.max_versions_per_trigger is not None:
+            cur = min(cur, self._position + self.max_versions_per_trigger)
+        self._position = max(self._position, cur)
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
+        self._position = max(self._position, start["version"], end["version"])
         plan = _plan_rowlevel_partitions if self.rowlevel else _plan_partitions
         parts = plan(
             self.root, start["version"], end["version"], self.payload_json
@@ -337,7 +364,10 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         return _read_partition_batches(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; data files are immutable
+        # offsets live in Spark's checkpoint; data files are immutable.
+        # Tracking the committed position here keeps the admission-control
+        # ramp anchored to real progress.
+        self._position = max(self._position, end["version"])
 
 
 class LakeCdfBatchReader(DataSourceReader):
@@ -418,11 +448,13 @@ class LakeCdfDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> LakeCdfStreamReader:
         root = self._root()
+        max_v = self.options.get("maxVersionsPerTrigger")
         return LakeCdfStreamReader(
             root,
             int(self.options.get("startingVersion", 0)),
             self._payload(root).json(),
             rowlevel=self._rowlevel(),
+            max_versions_per_trigger=None if max_v is None else int(max_v),
         )
 
     def reader(self, schema: StructType) -> LakeCdfBatchReader:

@@ -65,6 +65,7 @@ class MirrorRunner(CdcStreamRunner):
         batch_id_prefix: str | None = None,
         mode: str = "cow",
         compact_every: int = 0,
+        max_versions_per_trigger: int | None = None,
     ):
         super().__init__(
             spark,
@@ -78,6 +79,13 @@ class MirrorRunner(CdcStreamRunner):
         )
         self.source = source
         self.starting_version = starting_version
+        # bound each streamed micro-batch to N source versions — the
+        # admission control that keeps a mirror resuming from an old
+        # checkpoint from planning one giant catch-up batch through
+        # start() alone (the lake_cdf reader self-caps latestOffset, the
+        # same mechanism its rowlevel mode uses for the materialization
+        # horizon). catch_up(window) remains the batch-path alternative.
+        self.max_versions_per_trigger = max_versions_per_trigger
 
     @staticmethod
     def _to_events(df: DataFrame) -> DataFrame:
@@ -93,12 +101,23 @@ class MirrorRunner(CdcStreamRunner):
         # keep _commit_version through to the batch handler: it records the
         # replication position in replica lineage (dropped before apply so
         # it never enters the replica's schema)
-        return (
+        # startingVersion doubles as the reader's admission-control anchor
+        # (it seeds _position; a real checkpoint overrides initialOffset).
+        # Anchoring at the replica's recorded position (>= the checkpointed
+        # offset at rest — lineage is written before the offset commits)
+        # means a restarted capped query's first latestOffset offers forward
+        # of real progress instead of ramping again from starting_version.
+        start_v = max(self.starting_version, self._mirror_position())
+        reader = (
             self.spark.readStream.format("lake_cdf")
             .option("path", self.source.root)
-            .option("startingVersion", self.starting_version)
-            .load()
+            .option("startingVersion", start_v)
         )
+        if self.max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", self.max_versions_per_trigger
+            )
+        return reader.load()
 
     def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
         from ..cdc.apply import apply_changes
@@ -127,6 +146,81 @@ class MirrorRunner(CdcStreamRunner):
         from .runner import _write_status
 
         _write_status(self.status_path, self.metrics)
+
+    def run_to_completion(self, timeout_sec: float | None = None):
+        """Drain the source's current backlog, then finish.
+
+        With `max_versions_per_trigger` set this loops availableNow passes:
+        Spark's availableNow trigger pins its target at the FIRST
+        latestOffset of the run, and a capped reader offers at most N
+        versions there — so one pass drains one bounded micro-batch and
+        ends. Each pass re-anchors at the replica's recorded position and
+        the loop exits when replication lag reaches zero (or raises if a
+        pass makes no progress, rather than spinning)."""
+        if self.max_versions_per_trigger is None:
+            return super().run_to_completion(timeout_sec)
+        import time as _time
+
+        from .runner import _write_status
+
+        deadline = (
+            None if timeout_sec is None else _time.monotonic() + timeout_sec
+        )
+        # progress = max(replica lineage, streaming checkpoint offset): an
+        # all-empty source version advances only the checkpoint (no rows ->
+        # no lineage record), and a catch_up()-applied range advances only
+        # lineage — either alone would stall the loop on the other's path.
+        def _pos() -> int:
+            return max(self._mirror_position(), self._checkpoint_position())
+
+        while True:
+            before = _pos()
+            budget = (
+                None if deadline is None else max(1.0, deadline - _time.monotonic())
+            )
+            q = self.start(available_now=True)
+            q.awaitTermination(budget)
+            if q.isActive:
+                q.stop()
+                q.awaitTermination(30)
+            if _pos() >= self.source.current().version:
+                break
+            if _pos() <= before:
+                raise RuntimeError(
+                    "bounded mirror drain made no progress at source version "
+                    f"{before} (lag {self.lag()})"
+                )
+            if deadline is not None and _time.monotonic() >= deadline:
+                break
+        self.metrics.status = "FINISHED"
+        _write_status(self.status_path, self.metrics)
+        return self.metrics
+
+    def _checkpoint_position(self) -> int:
+        """Highest source version the streaming checkpoint has planned
+        through (the end offset of the newest entry in <ckpt>/offsets), or
+        starting_version when the checkpoint doesn't exist yet. Driver-side
+        file metadata only."""
+        import json as _json
+        import os as _os
+
+        odir = _os.path.join(self.checkpoint_dir, "offsets")
+        try:
+            batches = [n for n in _os.listdir(odir) if n.isdigit()]
+        except FileNotFoundError:
+            return self.starting_version
+        if not batches:
+            return self.starting_version
+        latest = _os.path.join(odir, max(batches, key=int))
+        try:
+            with open(latest) as fh:
+                last = [ln.strip() for ln in fh if ln.strip()][-1]
+            off = _json.loads(last)
+            if isinstance(off, str):  # python-source offsets are
+                off = _json.loads(off)  # JSON-string-encoded dicts
+            return int(off["version"])
+        except (OSError, ValueError, KeyError, IndexError, TypeError):
+            return self.starting_version
 
     def lag(self) -> int:
         """Replication lag in source commits: source head minus the highest
@@ -166,6 +260,12 @@ class MirrorRunner(CdcStreamRunner):
         checkpoint involved, so `catch_up` and `start()` can be mixed
         (overlap between the two is absorbed by idempotence).
 
+        The source head is pinned ONCE at entry: against a source that
+        commits at least one version per window drain, chasing a re-read
+        head would never terminate (and a `--window` CLI run would never
+        print its status). Commits that land mid-drain are picked up by the
+        next catch_up call or the streaming tail.
+
         Returns the per-window ApplyResult list."""
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
@@ -199,6 +299,4 @@ class MirrorRunner(CdcStreamRunner):
                     self.table.compact()
                     self._batches_since_compact = 0
             pos = to_v
-            # head may have advanced while draining; chase it
-            head = self.source.current().version
         return out

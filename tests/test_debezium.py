@@ -284,3 +284,90 @@ def test_envelope_replication_propagates_evolution(spark, tmp_path):
     b = [tuple(r) for r in dst.read().orderBy(*out[:2]).select(*out).collect()]
     assert a == b
     feed.unpersist()
+
+
+def test_replicate_changelog_custom_keys(spark, tmp_path):
+    """Delete envelopes carry only a before-image; flattening must use the
+    SOURCE TABLE's key set (not the transcripts default) or a custom-keyed
+    table's deletes arrive with NULL keys and mis-apply on the target."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from orientdb_neo4j_importer_plugin_spark.sources.debezium import (
+        replicate_changelog,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+        ]
+    )
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "ksrc"), schema, "user_id",
+        num_buckets=4, key_columns=["user_id"],
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "kdst"), schema, "user_id",
+        num_buckets=2, key_columns=["user_id"],
+    )
+    ins = spark.range(10).select(
+        F.col("id").alias("lsn"), F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    apply_changes(ins, src, batch_id="i", mode="mor")
+    dels = spark.range(3).select(
+        (F.col("id") + 100).alias("lsn"), F.lit("D").alias("op"),
+        F.col("id").alias("user_id"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    apply_changes(dels, src, batch_id="d", mode="mor")
+    replicate_changelog(src, dst, 0, mode="mor")
+    a = [tuple(r) for r in src.read().orderBy("user_id").collect()]
+    b = [tuple(r) for r in dst.read().orderBy("user_id").collect()]
+    assert a == b
+    assert len(a) == 7  # the three deletes really applied
+
+
+def test_envelope_delete_after_tombstone_vacuum(spark, tmp_path):
+    """A delete whose tombstone was vacuumed before the envelope range was
+    read must still delete on a cascade target that holds the old row: the
+    D row's lsn falls back to old-lsn + 1 (a lower bound on the vacuumed
+    tombstone's lsn), not the old lsn itself, so the target's LWW is a
+    strict win rather than an unordered equal-lsn tie."""
+    import datetime
+
+    from orientdb_neo4j_importer_plugin_spark.sources.debezium import (
+        replicate_changelog,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    schema_str = (
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, ts timestamp"
+    )
+    rows = [(i, "I", f"conv_{i % 3}", i, "user", f"t{i}", ts) for i in range(6)]
+    ev = spark.createDataFrame(rows, schema_str)
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "vsrc"), TRANSCRIPTS_V1, "conv_id", num_buckets=2
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "vdst"), TRANSCRIPTS_V1, "conv_id", num_buckets=2
+    )
+    apply_changes(ev, src, batch_id="i", mode="mor")
+    v1 = src.current().version
+    replicate_changelog(src, dst, 0, v1, mode="mor")
+    assert _state(dst) == _state(src)
+
+    d = spark.createDataFrame(
+        [(100, "D", "conv_0", 0, None, None, None)], schema_str
+    )
+    apply_changes(d, src, batch_id="d", mode="mor")
+    src.vacuum_tombstones(101)  # tombstone gone before the range is read
+    env = src.changelog_envelope(v1)
+    drow = env.filter("op = 'D'").collect()
+    assert len(drow) == 1
+    assert drow[0]["lsn"] == 1  # old row's lsn 0 + 1, NOT the old lsn
+    replicate_changelog(src, dst, v1, mode="mor")
+    assert _state(dst) == _state(src)
+    assert len(_state(dst)) == 5

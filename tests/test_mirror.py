@@ -274,3 +274,127 @@ def test_mirror_cli_bootstrap_then_stream(spark, tmp_path, tables):
     )
     assert r2.lag() == 0
     assert r2.catch_up(window=4) == []
+
+
+def test_mirror_stream_bounded_versions(spark, tmp_path, tables):
+    """A multi-version backlog drains as N-version micro-batches through
+    run_to_completion() alone — the lake_cdf reader self-caps latestOffset
+    at position + maxVersionsPerTrigger and the runner loops availableNow
+    passes (Spark pins each pass's target at its first latestOffset)."""
+    feed, src, dst = tables
+    for i in range(6):
+        apply_changes(
+            feed.filter(f"pmod(lsn, 6) = {i}"), src, batch_id=f"b{i}", mode="mor"
+        )
+    m = _mirror(
+        spark, src, dst, tmp_path, mode="mor", max_versions_per_trigger=2
+    )
+    m.run_to_completion(timeout_sec=240)
+    assert m.metrics.batches >= 3  # 6 source versions / 2 per trigger
+    assert m.lag() == 0
+    assert _state(dst) == _state(src)
+
+    # resume on the SAME checkpoint after the source advances, ending in an
+    # EMPTY commit (no rows -> no lineage record; the checkpoint offset is
+    # the progress signal that keeps the drain loop from wedging there)
+    apply_changes(feed.filter("pmod(lsn, 4) = 1"), src, batch_id="x", mode="mor")
+    apply_changes(feed.limit(0), src, batch_id="empty", mode="mor")
+    m2 = _mirror(
+        spark, src, dst, tmp_path, mode="mor", max_versions_per_trigger=1
+    )
+    m2.run_to_completion(timeout_sec=240)
+    assert _state(dst) == _state(src)
+    assert m2._checkpoint_position() == src.current().version
+
+
+def test_catch_up_pinned_head_terminates(spark, tmp_path, tables, monkeypatch):
+    """catch_up drains to the head AT ENTRY: a source that commits at least
+    one version per window drain must not keep the loop chasing forever (a
+    mirror_cli --window run would otherwise never exit)."""
+    import orientdb_neo4j_importer_plugin_spark.cdc.apply as apply_mod
+
+    feed, src, dst = tables
+    for i in range(3):
+        apply_changes(
+            feed.filter(f"pmod(lsn, 3) = {i}"), src, batch_id=f"b{i}", mode="mor"
+        )
+    real_apply = apply_mod.apply_changes
+    racing = {"n": 0}
+
+    def racing_apply(events, table, **kw):
+        res = real_apply(events, table, **kw)
+        if table is dst:  # every replica window -> one new source commit
+            racing["n"] += 1
+            real_apply(
+                feed.filter(f"pmod(lsn, 5) = {racing['n'] % 5}"),
+                src, batch_id=f"race{racing['n']}", mode="mor",
+            )
+        return res
+
+    monkeypatch.setattr(apply_mod, "apply_changes", racing_apply)
+    m = _mirror(spark, src, dst, tmp_path, mode="mor")
+    results = m.catch_up(window=1)
+    monkeypatch.undo()
+    assert len(results) == 3  # pinned: only versions <= head-at-entry
+    assert m.lag() == racing["n"]  # the racing commits are left for later
+    m.catch_up(window=8)  # ...and the next call picks them up
+    assert _state(dst) == _state(src)
+
+
+def test_mirror_cli_custom_key_table(spark, tmp_path):
+    """Auto-created replicas inherit the SOURCE's key_columns (an LWW merge
+    grouping on different keys would silently diverge), and an existing
+    replica keyed differently is refused."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("name", StringType(), True),
+        ]
+    )
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "ksrc"), schema, "user_id",
+        num_buckets=4, key_columns=["user_id"],
+    )
+    ev = spark.range(8).select(
+        F.col("id").alias("lsn"), F.lit("I").alias("op"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    apply_changes(ev, src, batch_id="i", mode="mor")
+    replica_root = str(tmp_path / "krep")
+
+    def run(replica, *extra):
+        return subprocess.run(
+            [
+                _sys.executable, "-m",
+                "orientdb_neo4j_importer_plugin_spark.mirror_cli",
+                "--source", src.root, "--replica", replica,
+                "--checkpoint", str(tmp_path / "kckpt"),
+                "--master", "local[4]", "--mode", "mor", *extra,
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    out = run(replica_root)
+    assert out.returncode == 0, out.stderr[-2000:]
+    replica = SnapshotTable.load(spark, replica_root)
+    assert list(replica.current().keys) == ["user_id"]
+    assert [
+        tuple(r) for r in replica.read().orderBy("user_id").collect()
+    ] == [tuple(r) for r in src.read().orderBy("user_id").collect()]
+
+    # replica keyed differently from the source: refuse, don't diverge
+    bad_root = str(tmp_path / "kbad")
+    SnapshotTable.create(
+        spark, bad_root, schema, "user_id",
+        num_buckets=4, key_columns=["user_id", "name"],
+    )
+    out2 = run(bad_root)
+    assert out2.returncode != 0
+    assert "key columns" in (out2.stderr + out2.stdout)
