@@ -1,44 +1,50 @@
-"""Streamed maintenance of the histogram-CDF quantile sketch
-(`operators.temporal.value_quantiles_hist`) as an incrementally-updated
-state table — the sketch-family analogue of `materialize.IncrementalView`.
+"""Streamed maintenance of sketch/rollup views as incrementally-updated
+state tables — the sketch-family analogue of `materialize.IncrementalView`.
 
-Why not maintain the bin cells directly? The sketch's bins are defined by
-the group's global (min, max), so a single out-of-range insert — or any
-delete — invalidates every cell. The smallest DELETE-ALGEBRAIC sufficient
-statistic is the exact value MULTISET: per (group, value) a count, which
+The family contract (every member identical, implemented once in
+`StreamedCellView`):
 
-  * merges under inserts (+1) and deletes (-1) — a commutative group, so
-    maintenance is one map-side-combinable aggregate per refresh,
-  * is O(distinct values) state, not O(rows) — bounded for measurement /
-    monetary columns and shardable by value hash when not,
-  * reproduces the batch sketch BIT-identically: the sketch is a pure
-    function of the multiset (`temporal.hist_from_cells`).
-
-Deletes require PRE-IMAGES — the consumer must learn the value that
-vanished — which is exactly why Delta Lake's CDF emits
-`update_preimage`/`delete` rows with old payloads. The source side here is
-`SnapshotTable.changelog_delta` (same diff join as `changelog()`, old
-payload kept instead of discarded).
-
-Exactly-once composes the same way as IncrementalView: the refresh's
-source-version range is its ledger batch tag and the watermark
-(`hist_source_version`) rides target lineage, committed atomically with
-the state delta — kill-and-resume replays are committed no-ops.
+* State is a SnapshotTable of CELLS — per cell a key plus one or more
+  counter columns, each a COMMUTATIVE GROUP under insert(+1)/delete(-1).
+  A member chooses the smallest delete-algebraic sufficient statistic for
+  its read-back artifact: e.g. the histogram sketch's bins are defined by
+  the group's global (min, max), so a single out-of-range insert — or any
+  delete — invalidates every bin; the exact per-(group, value) multiset IS
+  the smallest statistic that survives deletes and reproduces the sketch
+  bit-identically (`temporal.hist_from_cells` is a pure function of it).
+* Deletes require PRE-IMAGES — the consumer must learn the value that
+  vanished — which is exactly why Delta Lake's CDF emits
+  `update_preimage`/`delete` rows with old payloads. The source side here
+  is `SnapshotTable.changelog_delta` (same diff join as `changelog()`,
+  old payload kept instead of discarded). A member's `cell_delta` maps
+  that changelog to signed per-cell counter deltas in ONE combinable
+  aggregate; an update that kept the measured columns cancels its own
+  pre/post pair there — zero state touches.
+* The refresh MERGE is bucket-pruned to the touched cells: collect the
+  delta's bucket ids (bounded by the state table's num_buckets), read only
+  those buckets, semi-join them down to the delta's keys, then write U
+  rows for surviving cells and D rows for cells whose primary counter
+  reached zero.
+* Exactly-once composes the same way as IncrementalView: the refresh's
+  source-version range is its ledger batch tag and the watermark
+  (`<tag>_source_version`) rides state lineage, committed atomically with
+  the cell deltas — kill-and-resume replays are committed no-ops.
 
 Cost per refresh at 10^10 rows/day: changelog_delta is O(that window's
 changed data) (bucket-pruned candidates), the delta aggregate is one
-combinable shuffle of O(distinct changed values), and the state MERGE
-touches only those cells' buckets. Reading the histogram costs
-O(distinct values) — never a source scan.
+combinable shuffle of O(distinct changed cells), and the state MERGE
+touches only those cells' buckets. Reading the artifact costs O(cells) —
+never a source scan.
 
 Reference analogue: the plugin's import summary keeps running counters
-updated per record (``ONeo4jImporterCounters.java``); this maintains a
-full distribution sketch, not just counts, under the same
+updated per record (``ONeo4jImporterCounters.java``); these maintain full
+distribution sketches and rollups, not just counts, under the same
 keep-it-current-as-data-flows contract.
 """
 
 from __future__ import annotations
 
+from abc import ABC, abstractmethod
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,82 +67,82 @@ from ..operators.sketches import (
 from .table import SnapshotTable, bucket_expr_for
 
 
-def cells_schema(group_col: str) -> StructType:
-    """State-table schema: one row per (group, value) cell. `cell_id` is
-    the routing key (xxhash64 of group+value — high-cardinality, uniform,
-    so the state table never skews); the real identity is the full
-    (cell_id, group, value) key, which keeps a hash collision two distinct
-    rows instead of silent corruption."""
-    return StructType(
-        [
-            StructField("cell_id", LongType(), False),
-            StructField(group_col, StringType(), True),
-            StructField("value", DoubleType(), True),
-            StructField("cnt", LongType(), True),
-        ]
-    )
+class StreamedCellView(ABC):
+    """Shared skeleton of the streamed-sketch family: delta build ->
+    touched-bucket prune -> read-modify-write -> exactly-once apply (see
+    the module docstring for the contract). A new member supplies its
+    state schema, the counter columns, and a `cell_delta` hook — typically
+    ~30 lines."""
 
+    #: short tag: ledger batch ids are "<tag>-<from>-<to>" and the lineage
+    #: watermark key is "<tag>_source_version"
+    VIEW_TAG: str
+    #: counter columns (each a commutative group under insert/delete)
+    counter_cols: tuple[str, ...]
+    #: the counter whose zero means "cell is dead" -> D row
+    primary_counter: str
+    #: non-key, non-counter payload columns carried from the delta into
+    #: the state row (e.g. the CMS (r, c) coordinates, denormalized from
+    #: cell_id for readability)
+    extra_cols: tuple[str, ...] = ()
 
-class StreamedHistView:
-    """Maintains `state` = per-(group, value) live-row counts of `source`,
-    from which `hist()` reads the quantile sketch bit-identically to
-    `value_quantiles_hist` over the source's live rows."""
-
-    def __init__(
-        self,
-        source: SnapshotTable,
-        state: SnapshotTable,
-        group_col: str = "event_type",
-        value_col: str = "value",
-        bins: int = HIST_BINS,
-    ):
-        expected = [f.name for f in cells_schema(group_col).fields]
+    def __init__(self, source: SnapshotTable, state: SnapshotTable):
+        expected = [f.name for f in self.state_schema().fields]
         got = state.current().schema.names
         if list(got) != expected:
             raise ValueError(
                 f"state table schema {list(got)} != expected {expected} "
-                "(create it with StreamedHistView.create_state)"
+                f"(create it with {type(self).__name__}.create_state)"
             )
         self.source = source
         self.state = state
-        self.group_col = group_col
-        self.value_col = value_col
-        self.bins = bins
 
-    @classmethod
-    def create_state(
-        cls,
-        spark: SparkSession,
-        root: str,
-        group_col: str = "event_type",
-        num_buckets: int = 16,
-        overwrite: bool = False,
-    ) -> SnapshotTable:
-        return SnapshotTable.create(
-            spark,
-            root,
-            cells_schema(group_col),
-            partition_key="cell_id",
-            num_buckets=num_buckets,
-            key_columns=["cell_id", group_col, "value"],
-            overwrite=overwrite,
-        )
+    # -- per-member hooks ------------------------------------------------
+
+    @abstractmethod
+    def state_schema(self) -> StructType:
+        """Schema of the state table (keys + extra cols + counters)."""
+
+    @abstractmethod
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
+        """Map a `changelog_delta` window (pre/post-image rows tagged with
+        `_change_type`) to signed per-cell counter deltas: one row per
+        touched cell with the cell key columns, the extra cols, and a
+        `d_<counter>` column per counter. Must already drop cells whose
+        deltas all cancelled to zero."""
+
+    # -- derived shapes ----------------------------------------------------
+
+    @property
+    def cell_keys(self) -> list[str]:
+        """Cell identity columns = state schema minus counters and extras.
+        Always led by `cell_id` (the xxhash64 routing key — uniform, so
+        the state table never skews); keeping the natural columns in the
+        key makes a hash collision two distinct rows instead of silent
+        corruption."""
+        skip = set(self.counter_cols) | set(self.extra_cols)
+        return [f.name for f in self.state_schema().fields if f.name not in skip]
+
+    @property
+    def _lineage_key(self) -> str:
+        return f"{self.VIEW_TAG}_source_version"
+
+    # -- the shared maintenance loop ---------------------------------------
 
     def last_refreshed_version(self) -> int:
         """Source version covered by the newest refresh (0 = never);
         rides state lineage so it survives restarts and is committed
         atomically with the cell deltas."""
         for entry in reversed(self.state.current().lineage):
-            v = entry.get("hist_source_version")
+            v = entry.get(self._lineage_key)
             if v is not None:
                 return int(v)
         return 0
 
     def refresh(self, mode: str = "mor") -> dict[str, Any]:
-        """Fold the source's commits in (watermark, current] into the cell
-        counts: pre-image rows decrement, post-image/insert rows increment,
-        cells reaching zero are deleted. One combinable aggregate over the
-        window's changed rows + a bucket-pruned MERGE of the touched cells."""
+        """Fold the source's commits in (watermark, current] into the
+        cells: one combinable aggregate over the window's changed rows
+        (`cell_delta`) + a bucket-pruned MERGE of the touched cells."""
         from ..cdc.apply import apply_changes
 
         from_v = self.last_refreshed_version()
@@ -150,59 +156,46 @@ class StreamedHistView:
         changes, cand = self.source._changelog_delta_with_cache(
             from_v, snap.version
         )
-        add = F.col("_change_type").isin("insert", "update_postimage")
-        delta = (
-            changes.filter(F.col(self.value_col).isNotNull())
-            .select(
-                F.col(self.group_col).alias("g"),
-                F.col(self.value_col).cast("double").alias("v"),
-                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
-            )
-            .groupBy("g", "v")
-            .agg(F.sum("w").cast("long").alias("d"))
-            # an update that kept the value (or changed another column)
-            # cancels its own pre/post pair here — no state touch at all
-            .filter(F.col("d") != 0)
-            .withColumn("cell_id", F.xxhash64(F.col("g"), F.col("v")))
-            .persist()
-        )
+        delta = self.cell_delta(changes).persist()
         try:
             st_snap = self.state.current()
             touched = [
-                r.b
-                for r in delta.select(bucket_expr_for(st_snap).alias("b"))
+                row.b
+                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
                 .distinct()
                 .collect()
             ]
+            on = self.cell_keys
             cur = self.state.read_buckets(touched, snapshot=st_snap).select(
-                "cell_id",
-                F.col(self.group_col).alias("g"),
-                F.col("value").alias("v"),
-                F.col("cnt").alias("__old"),
+                *on,
+                *[F.col(c).alias(f"__old_{c}") for c in self.counter_cols],
             )
-            on = ["cell_id", "g", "v"]
             # prune current cells to the delta's keys first (broadcast
             # semi), so the read-modify-write joins two delta-sized frames
             cur = cur.join(
                 F.broadcast(delta.select(*on)), on=on, how="left_semi"
             )
-            new_cnt = F.coalesce(F.col("__old"), F.lit(0)) + F.col("d")
+            new = {
+                c: F.coalesce(F.col(f"__old_{c}"), F.lit(0)) + F.col(f"d_{c}")
+                for c in self.counter_cols
+            }
+            alive = new[self.primary_counter] != 0
             events = delta.join(cur, on=on, how="left").select(
                 F.lit(snap.version).cast("long").alias("lsn"),
-                F.when(new_cnt == 0, F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                F.col("cell_id"),
-                F.col("g").alias(self.group_col),
-                F.col("v").alias("value"),
-                F.when(new_cnt != 0, new_cnt).cast("long").alias("cnt"),
+                F.when(alive, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+                *[F.col(c) for c in on],
+                *[F.col(c) for c in self.extra_cols],
+                *[
+                    F.when(alive, new[c]).cast("long").alias(c)
+                    for c in self.counter_cols
+                ],
             )
             res = apply_changes(
                 events,
                 self.state,
-                batch_id=f"hist-{from_v}-{snap.version}",
+                batch_id=f"{self.VIEW_TAG}-{from_v}-{snap.version}",
                 mode=mode,
-                lineage_extra={"hist_source_version": snap.version},
+                lineage_extra={self._lineage_key: snap.version},
                 stats_via_observation=False,
             )
         finally:
@@ -213,14 +206,6 @@ class StreamedHistView:
             "cells_changed": res.keys_changed,
             "skipped": res.skipped_replay,
         }
-
-    def hist(self) -> DataFrame:
-        """The quantile sketch read off the maintained cells — identical
-        rows to `value_quantiles_hist(source live rows)` (tested exact)."""
-        cells = self.state.read().select(
-            F.col(self.group_col).alias("event_type"), "value", "cnt"
-        )
-        return hist_from_cells(cells, self.bins)
 
     def stream(
         self,
@@ -255,6 +240,100 @@ class StreamedHistView:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    @staticmethod
+    def _signed_weight() -> Any:
+        """+1 for post-images/inserts, -1 for pre-images/deletes — the
+        sign every member's counters fold under."""
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        return F.when(add, F.lit(1)).otherwise(F.lit(-1))
+
+
+def cells_schema(group_col: str) -> StructType:
+    """Hist state-table schema: one row per (group, value) cell. `cell_id`
+    is the routing key (xxhash64 of group+value — high-cardinality,
+    uniform); the real identity is the full (cell_id, group, value) key."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField(group_col, StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+
+class StreamedHistView(StreamedCellView):
+    """Maintains `state` = per-(group, value) live-row counts of `source`,
+    from which `hist()` reads the quantile sketch bit-identically to
+    `value_quantiles_hist` over the source's live rows. The multiset
+    detour exists because the sketch's bins are NOT delete-algebraic (see
+    the module docstring); the multiset is."""
+
+    VIEW_TAG = "hist"
+    counter_cols = ("cnt",)
+    primary_counter = "cnt"
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        state: SnapshotTable,
+        group_col: str = "event_type",
+        value_col: str = "value",
+        bins: int = HIST_BINS,
+    ):
+        self.group_col = group_col
+        self.value_col = value_col
+        self.bins = bins
+        super().__init__(source, state)
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        group_col: str = "event_type",
+        num_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            cells_schema(group_col),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id", group_col, "value"],
+            overwrite=overwrite,
+        )
+
+    def state_schema(self) -> StructType:
+        return cells_schema(self.group_col)
+
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
+        return (
+            changes.filter(F.col(self.value_col).isNotNull())
+            .select(
+                F.col(self.group_col),
+                F.col(self.value_col).cast("double").alias("value"),
+                self._signed_weight().alias("w"),
+            )
+            .groupBy(self.group_col, "value")
+            .agg(F.sum("w").cast("long").alias("d_cnt"))
+            # an update that kept the value (or changed another column)
+            # cancels its own pre/post pair here — no state touch at all
+            .filter(F.col("d_cnt") != 0)
+            .withColumn(
+                "cell_id", F.xxhash64(F.col(self.group_col), F.col("value"))
+            )
+        )
+
+    def hist(self) -> DataFrame:
+        """The quantile sketch read off the maintained cells — identical
+        rows to `value_quantiles_hist(source live rows)` (tested exact)."""
+        cells = self.state.read().select(
+            F.col(self.group_col).alias("event_type"), "value", "cnt"
+        )
+        return hist_from_cells(cells, self.bins)
+
 
 def cms_cells_schema() -> StructType:
     """CMS state-table schema: one row per non-zero sketch counter.
@@ -271,20 +350,21 @@ def cms_cells_schema() -> StructType:
     )
 
 
-class StreamedCmsView:
+class StreamedCmsView(StreamedCellView):
     """Incrementally-maintained count-min sketch of `value_col`'s
-    frequency distribution over the live rows of `source` — the second
-    member of the streamed-sketch family (same maintenance contract as
-    `StreamedHistView`; see the module docstring).
+    frequency distribution over the live rows of `source`.
 
     CMS counters are a commutative group under insert(+1)/delete(-1), so
     unlike the histogram no multiset detour is needed: the cells ARE the
     delete-algebraic sufficient statistic. Each changed row touches
-    exactly `depth` cells; a refresh is one combinable aggregate over the
-    window's pre-image changelog plus a bucket-pruned MERGE of the (at
-    most depth x width) touched cells. `estimate()` reads probes against
-    the maintained cells bit-identically to a fresh `cms_build` over the
-    live rows (counters are exact longs)."""
+    exactly `depth` cells; a refresh merges at most depth x width cells.
+    `estimate()` reads probes against the maintained cells bit-identically
+    to a fresh `cms_build` over the live rows (counters are exact longs)."""
+
+    VIEW_TAG = "cms"
+    counter_cols = ("cnt",)
+    primary_counter = "cnt"
+    extra_cols = ("r", "c")
 
     def __init__(
         self,
@@ -294,18 +374,10 @@ class StreamedCmsView:
         depth: int = CMS_DEPTH,
         width: int = CMS_WIDTH,
     ):
-        expected = [f.name for f in cms_cells_schema().fields]
-        got = state.current().schema.names
-        if list(got) != expected:
-            raise ValueError(
-                f"state table schema {list(got)} != expected {expected} "
-                "(create it with StreamedCmsView.create_state)"
-            )
-        self.source = source
-        self.state = state
         self.value_col = value_col
         self.depth = depth
         self.width = width
+        super().__init__(source, state)
 
     @classmethod
     def create_state(
@@ -325,35 +397,17 @@ class StreamedCmsView:
             overwrite=overwrite,
         )
 
-    def last_refreshed_version(self) -> int:
-        for entry in reversed(self.state.current().lineage):
-            v = entry.get("cms_source_version")
-            if v is not None:
-                return int(v)
-        return 0
+    def state_schema(self) -> StructType:
+        return cms_cells_schema()
 
-    def refresh(self, mode: str = "mor") -> dict[str, Any]:
-        from ..cdc.apply import apply_changes
-
-        from_v = self.last_refreshed_version()
-        snap = self.source.current()
-        if snap.version <= from_v:
-            return {
-                "source_version": from_v,
-                "cells_changed": 0,
-                "skipped": True,
-            }
-        changes, cand = self.source._changelog_delta_with_cache(
-            from_v, snap.version
-        )
-        add = F.col("_change_type").isin("insert", "update_postimage")
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
         addr = F.explode(
             _cms_addresses(F.col(self.value_col), self.depth, self.width)
         )
-        delta = (
+        return (
             changes.select(
                 addr.alias("__cell"),
-                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+                self._signed_weight().alias("w"),
             )
             .select(
                 F.col("__cell.__cms_r").cast("long").alias("r"),
@@ -361,58 +415,14 @@ class StreamedCmsView:
                 "w",
             )
             .groupBy("r", "c")
-            .agg(F.sum("w").cast("long").alias("d"))
-            .filter(F.col("d") != 0)
+            .agg(F.sum("w").cast("long").alias("d_cnt"))
+            .filter(F.col("d_cnt") != 0)
             .withColumn(
                 "cell_id",
                 F.col("r") * (self.width + 1)
                 + F.coalesce(F.col("c"), F.lit(self.width)),
             )
-            .persist()
         )
-        try:
-            st_snap = self.state.current()
-            touched = [
-                row.b
-                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
-                "cell_id", F.col("cnt").alias("__old")
-            )
-            cur = cur.join(
-                F.broadcast(delta.select("cell_id")),
-                on="cell_id",
-                how="left_semi",
-            )
-            new_cnt = F.coalesce(F.col("__old"), F.lit(0)) + F.col("d")
-            events = delta.join(cur, on="cell_id", how="left").select(
-                F.lit(snap.version).cast("long").alias("lsn"),
-                F.when(new_cnt == 0, F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                F.col("cell_id"),
-                F.col("r"),
-                F.col("c"),
-                F.when(new_cnt != 0, new_cnt).cast("long").alias("cnt"),
-            )
-            res = apply_changes(
-                events,
-                self.state,
-                batch_id=f"cms-{from_v}-{snap.version}",
-                mode=mode,
-                lineage_extra={"cms_source_version": snap.version},
-                stats_via_observation=False,
-            )
-        finally:
-            delta.unpersist(blocking=False)
-            cand.unpersist(blocking=False)
-        return {
-            "source_version": snap.version,
-            "cells_changed": res.keys_changed,
-            "skipped": res.skipped_replay,
-        }
 
     def cells(self) -> DataFrame:
         """Maintained sketch cells (r, c, cnt) — same shape `cms_build`
@@ -426,35 +436,6 @@ class StreamedCmsView:
         return cms_estimate_from_cells(
             self.cells(), probes, probe_value, self.depth, self.width
         )
-
-    def stream(
-        self,
-        checkpoint_dir: str,
-        mode: str = "mor",
-        available_now: bool = True,
-    ):
-        """Continuous maintenance off the source's `lake_cdf` wake-up feed
-        (same trigger contract as StreamedHistView.stream)."""
-        from ..streaming.cdf_source import LakeCdfDataSource
-
-        spark = self.state.spark
-        spark.dataSource.register(LakeCdfDataSource)
-        stream = (
-            spark.readStream.format("lake_cdf")
-            .option("path", self.source.root)
-            .option("startingVersion", self.last_refreshed_version())
-            .load()
-        )
-
-        def on_batch(batch: DataFrame, batch_id: int) -> None:
-            self.refresh(mode=mode)
-
-        writer = stream.writeStream.foreachBatch(on_batch).option(
-            "checkpointLocation", checkpoint_dir
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
 
 
 def vocab_cells_schema() -> StructType:
@@ -472,28 +453,25 @@ def vocab_cells_schema() -> StructType:
     )
 
 
-class StreamedVocabView:
+class StreamedVocabView(StreamedCellView):
     """Incrementally-maintained corpus vocabulary over the live rows of
-    `source` (a table with a text payload column) — the third member of
-    the streamed-sketch family (same maintenance contract as
-    `StreamedHistView`; see the module docstring). The training-data use
+    `source` (a table with a text payload column). The training-data use
     is vocabulary drift monitoring: the token head of a continuously-
     ingested transcript corpus stays current without corpus rescans.
 
     Sufficient statistic per token: (total occurrences, containing-row
     count). Both are delete-algebraic given pre-images — a vanished or
     rewritten row contributes its OLD text's token counts with weight -1,
-    the post-image with +1, and an update that kept the text cancels to
-    zero state touches. `topk(k)` reads back bit-identically to
-    `repetition.vocab_topk` over the source's live rows (tested exact):
-    the vocabulary head is a pure function of the maintained counters.
+    the post-image with +1. `topk(k)` reads back bit-identically to
+    `repetition.vocab_topk` over the source's live rows (tested exact).
 
-    Cost per refresh: one explode + two combinable aggregates over the
-    window's changed rows (never the corpus), then a bucket-pruned MERGE
-    of O(changed tokens) cells. State is O(live vocabulary), sharded by
-    token hash — natural-language vocabularies grow sublinearly in corpus
-    size (Heaps' law), so the state table stays far smaller than the
-    corpus it summarizes."""
+    State is O(live vocabulary), sharded by token hash — natural-language
+    vocabularies grow sublinearly in corpus size (Heaps' law), so the
+    state table stays far smaller than the corpus it summarizes."""
+
+    VIEW_TAG = "vocab"
+    counter_cols = ("occ", "docs")
+    primary_counter = "occ"
 
     def __init__(
         self,
@@ -501,16 +479,8 @@ class StreamedVocabView:
         state: SnapshotTable,
         text_col: str = "text",
     ):
-        expected = [f.name for f in vocab_cells_schema().fields]
-        got = state.current().schema.names
-        if list(got) != expected:
-            raise ValueError(
-                f"state table schema {list(got)} != expected {expected} "
-                "(create it with StreamedVocabView.create_state)"
-            )
-        self.source = source
-        self.state = state
         self.text_col = text_col
+        super().__init__(source, state)
 
     @classmethod
     def create_state(
@@ -530,46 +500,28 @@ class StreamedVocabView:
             overwrite=overwrite,
         )
 
-    def last_refreshed_version(self) -> int:
-        for entry in reversed(self.state.current().lineage):
-            v = entry.get("vocab_source_version")
-            if v is not None:
-                return int(v)
-        return 0
+    def state_schema(self) -> StructType:
+        return vocab_cells_schema()
 
-    def refresh(self, mode: str = "mor") -> dict[str, Any]:
-        """Fold the source's commits in (watermark, current] into the
-        token counters. Two-level aggregate mirroring `vocab_topk`'s
-        shape: per (token, image) occurrence counts first — an image is
-        one side of one changed row, identified by the source key columns
-        plus `_change_type` — then per-token (occ_delta, docs_delta)."""
-        from ..cdc.apply import apply_changes
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
+        """Two-level aggregate mirroring `vocab_topk`'s shape: per
+        (token, image) occurrence counts first — an image is one side of
+        one changed row, identified by the source key columns plus
+        `_change_type` — then per-token (occ, docs) deltas."""
         from ..functions.hashes import tokens
 
-        from_v = self.last_refreshed_version()
-        snap = self.source.current()
-        if snap.version <= from_v:
-            return {
-                "source_version": from_v,
-                "cells_changed": 0,
-                "skipped": True,
-            }
-        changes, cand = self.source._changelog_delta_with_cache(
-            from_v, snap.version
-        )
-        add = F.col("_change_type").isin("insert", "update_postimage")
         keys = self.source.current().keys
         per_img = (
             changes.filter(F.col(self.text_col).isNotNull())
             .select(
                 *keys,
-                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+                self._signed_weight().alias("w"),
                 F.explode(tokens(F.col(self.text_col))).alias("token"),
             )
             .groupBy("token", "w", *keys)
             .agg(F.count("*").alias("c"))
         )
-        delta = (
+        return (
             per_img.groupBy("token")
             .agg(
                 F.sum(F.col("w") * F.col("c")).cast("long").alias("d_occ"),
@@ -578,56 +530,7 @@ class StreamedVocabView:
             # an update that kept the text cancels its own pre/post pair
             .filter((F.col("d_occ") != 0) | (F.col("d_docs") != 0))
             .withColumn("cell_id", F.xxhash64(F.col("token")))
-            .persist()
         )
-        try:
-            st_snap = self.state.current()
-            touched = [
-                row.b
-                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            on = ["cell_id", "token"]
-            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
-                "cell_id",
-                "token",
-                F.col("occ").alias("__old_occ"),
-                F.col("docs").alias("__old_docs"),
-            )
-            cur = cur.join(
-                F.broadcast(delta.select(*on)), on=on, how="left_semi"
-            )
-            new_occ = F.coalesce(F.col("__old_occ"), F.lit(0)) + F.col("d_occ")
-            new_docs = F.coalesce(F.col("__old_docs"), F.lit(0)) + F.col(
-                "d_docs"
-            )
-            events = delta.join(cur, on=on, how="left").select(
-                F.lit(snap.version).cast("long").alias("lsn"),
-                F.when(new_occ == 0, F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                F.col("cell_id"),
-                F.col("token"),
-                F.when(new_occ != 0, new_occ).cast("long").alias("occ"),
-                F.when(new_occ != 0, new_docs).cast("long").alias("docs"),
-            )
-            res = apply_changes(
-                events,
-                self.state,
-                batch_id=f"vocab-{from_v}-{snap.version}",
-                mode=mode,
-                lineage_extra={"vocab_source_version": snap.version},
-                stats_via_observation=False,
-            )
-        finally:
-            delta.unpersist(blocking=False)
-            cand.unpersist(blocking=False)
-        return {
-            "source_version": snap.version,
-            "cells_changed": res.keys_changed,
-            "skipped": res.skipped_replay,
-        }
 
     def topk(self, k: int = 50) -> DataFrame:
         """The vocabulary head off the maintained counters — identical
@@ -643,35 +546,6 @@ class StreamedVocabView:
             .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
             .limit(k)
         )
-
-    def stream(
-        self,
-        checkpoint_dir: str,
-        mode: str = "mor",
-        available_now: bool = True,
-    ):
-        """Continuous maintenance off the source's `lake_cdf` wake-up feed
-        (same trigger contract as StreamedHistView.stream)."""
-        from ..streaming.cdf_source import LakeCdfDataSource
-
-        spark = self.state.spark
-        spark.dataSource.register(LakeCdfDataSource)
-        stream = (
-            spark.readStream.format("lake_cdf")
-            .option("path", self.source.root)
-            .option("startingVersion", self.last_refreshed_version())
-            .load()
-        )
-
-        def on_batch(batch: DataFrame, batch_id: int) -> None:
-            self.refresh(mode=mode)
-
-        writer = stream.writeStream.foreachBatch(on_batch).option(
-            "checkpointLocation", checkpoint_dir
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
 
 
 def tool_usage_cells_schema() -> StructType:
@@ -691,21 +565,18 @@ def tool_usage_cells_schema() -> StructType:
     )
 
 
-class StreamedToolUsageView:
+class StreamedToolUsageView(StreamedCellView):
     """Incrementally-maintained per-tool usage counters over the live
-    rows of a transcripts `source` — the fourth member of the
-    streamed-sketch family (same maintenance contract as
-    `StreamedHistView`). The agent-ops use: tool-adoption dashboards over
-    a continuously-ingested corpus without rescans.
+    rows of a transcripts `source`. The agent-ops use: tool-adoption
+    dashboards over a continuously-ingested corpus without rescans.
 
     Sufficient statistic per (tool, conv_id): (call count, token count).
-    Both are delete-algebraic given pre-images — a retooled or deleted
-    turn contributes its OLD image with weight -1 and its new image with
-    +1, so a turn that switches tools decrements one cell and increments
-    another inside the same combinable aggregate. `usage()` reads back
-    the ALGEBRAIC columns of `transcripts.tool_usage_stats` (n_calls,
-    n_convs, n_tokens) bit-identically over live rows; the turn-position
-    envelope (min/max turn_idx) is deliberately absent — min/max are not
+    Both are delete-algebraic given pre-images — a turn that switches
+    tools decrements one cell and increments another inside the same
+    combinable aggregate. `usage()` reads back the ALGEBRAIC columns of
+    `transcripts.tool_usage_stats` (n_calls, n_convs, n_tokens)
+    bit-identically over live rows; the turn-position envelope
+    (min/max turn_idx) is deliberately absent — min/max are not
     delete-algebraic, so a streamed view could only approximate them
     (monotone under inserts, stale under deletes), which this family's
     bit-identical contract forbids.
@@ -713,16 +584,9 @@ class StreamedToolUsageView:
     State is O(live (tool, conv) incidences) — bounded by conversations
     times the tiny tool vocabulary, far smaller than the corpus."""
 
-    def __init__(self, source: SnapshotTable, state: SnapshotTable):
-        expected = [f.name for f in tool_usage_cells_schema().fields]
-        got = state.current().schema.names
-        if list(got) != expected:
-            raise ValueError(
-                f"state table schema {list(got)} != expected {expected} "
-                "(create it with StreamedToolUsageView.create_state)"
-            )
-        self.source = source
-        self.state = state
+    VIEW_TAG = "toolusage"
+    counter_cols = ("calls", "tok")
+    primary_counter = "calls"
 
     @classmethod
     def create_state(
@@ -742,38 +606,18 @@ class StreamedToolUsageView:
             overwrite=overwrite,
         )
 
-    def last_refreshed_version(self) -> int:
-        for entry in reversed(self.state.current().lineage):
-            v = entry.get("toolusage_source_version")
-            if v is not None:
-                return int(v)
-        return 0
+    def state_schema(self) -> StructType:
+        return tool_usage_cells_schema()
 
-    def refresh(self, mode: str = "mor") -> dict[str, Any]:
-        """Fold the source's commits in (watermark, current] into the
-        (tool, conv) cells: signed per-image weights, one combinable
-        aggregate, bucket-pruned MERGE of O(changed cells)."""
-        from ..cdc.apply import apply_changes
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
         from ..operators.transcripts import _ws_tokens
 
-        from_v = self.last_refreshed_version()
-        snap = self.source.current()
-        if snap.version <= from_v:
-            return {
-                "source_version": from_v,
-                "cells_changed": 0,
-                "skipped": True,
-            }
-        changes, cand = self.source._changelog_delta_with_cache(
-            from_v, snap.version
-        )
-        add = F.col("_change_type").isin("insert", "update_postimage")
-        delta = (
+        return (
             changes.filter(F.col("tool").isNotNull())
             .select(
                 "tool",
                 "conv_id",
-                F.when(add, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+                self._signed_weight().alias("w"),
                 _ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t"),
             )
             .groupBy("tool", "conv_id")
@@ -787,54 +631,7 @@ class StreamedToolUsageView:
                 "cell_id",
                 F.xxhash64(F.concat_ws("|", F.col("tool"), F.col("conv_id"))),
             )
-            .persist()
         )
-        try:
-            st_snap = self.state.current()
-            touched = [
-                row.b
-                for row in delta.select(bucket_expr_for(st_snap).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            on = ["cell_id", "tool", "conv_id"]
-            cur = self.state.read_buckets(touched, snapshot=st_snap).select(
-                *on,
-                F.col("calls").alias("__old_calls"),
-                F.col("tok").alias("__old_tok"),
-            )
-            cur = cur.join(
-                F.broadcast(delta.select(*on)), on=on, how="left_semi"
-            )
-            new_calls = F.coalesce(F.col("__old_calls"), F.lit(0)) + F.col(
-                "d_calls"
-            )
-            new_tok = F.coalesce(F.col("__old_tok"), F.lit(0)) + F.col("d_tok")
-            events = delta.join(cur, on=on, how="left").select(
-                F.lit(snap.version).cast("long").alias("lsn"),
-                F.when(new_calls == 0, F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                *[F.col(c) for c in on],
-                F.when(new_calls != 0, new_calls).cast("long").alias("calls"),
-                F.when(new_calls != 0, new_tok).cast("long").alias("tok"),
-            )
-            res = apply_changes(
-                events,
-                self.state,
-                batch_id=f"toolusage-{from_v}-{snap.version}",
-                mode=mode,
-                lineage_extra={"toolusage_source_version": snap.version},
-                stats_via_observation=False,
-            )
-        finally:
-            delta.unpersist(blocking=False)
-            cand.unpersist(blocking=False)
-        return {
-            "source_version": snap.version,
-            "cells_changed": res.keys_changed,
-            "skipped": res.skipped_replay,
-        }
 
     def usage(self) -> DataFrame:
         """Per-tool rollup off the maintained cells — identical rows to
@@ -850,32 +647,3 @@ class StreamedToolUsageView:
             )
             .orderBy("tool")
         )
-
-    def stream(
-        self,
-        checkpoint_dir: str,
-        mode: str = "mor",
-        available_now: bool = True,
-    ):
-        """Continuous maintenance off the source's `lake_cdf` wake-up feed
-        (same trigger contract as StreamedHistView.stream)."""
-        from ..streaming.cdf_source import LakeCdfDataSource
-
-        spark = self.state.spark
-        spark.dataSource.register(LakeCdfDataSource)
-        stream = (
-            spark.readStream.format("lake_cdf")
-            .option("path", self.source.root)
-            .option("startingVersion", self.last_refreshed_version())
-            .load()
-        )
-
-        def on_batch(batch: DataFrame, batch_id: int) -> None:
-            self.refresh(mode=mode)
-
-        writer = stream.writeStream.foreachBatch(on_batch).option(
-            "checkpointLocation", checkpoint_dir
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
