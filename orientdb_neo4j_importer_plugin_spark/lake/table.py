@@ -2505,21 +2505,31 @@ class SnapshotTable:
                     for f in files
                 )
 
-            touched = sorted(
+            candidates = sorted(
                 int(b)
                 for b in set(snap.buckets) | set(snap.deltas)
                 if candidate(snap.buckets.get(b, []) + snap.deltas.get(b, []))
             )
+            if not candidates:
+                return snap
+            # confirm exactly before rewriting: the stats check is an
+            # over-approximation (file lsn_min covers ALL rows, not just
+            # tombstones — a base file of low-lsn winners plus high-lsn
+            # tombstones is a false candidate), and a rewrite that drops
+            # zero rows is pure write amplification + a pointless commit
+            # for every downstream tail to replay. One column-pruned
+            # filtered scan of the candidate buckets only.
+            probe = self.read_buckets(candidates, snapshot=snap, raw=True)
         else:
             # pre-stats table: fall back to the scan
-            raw = self.read(snapshot=snap, raw=True)
-            touched = [
-                r["b"]
-                for r in raw.filter(expr)
-                .select(bucket_expr_for(snap).alias("b"))
-                .distinct()
-                .collect()
-            ]
+            probe = self.read(snapshot=snap, raw=True)
+        touched = [
+            r["b"]
+            for r in probe.filter(expr)
+            .select(bucket_expr_for(snap).alias("b"))
+            .distinct()
+            .collect()
+        ]
         if not touched:
             return snap
         kept = (

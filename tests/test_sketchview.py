@@ -559,3 +559,62 @@ def test_tool_usage_view_streamed_kill_and_resume(spark, tmp_path):
     )
     wave()
     assert _tu_got(view) == _tu_expect(source)
+
+
+def test_hist_view_over_mirror_tail(spark, tmp_path):
+    """The analytics tier rides a FAN-OUT REPLICA instead of the ingest
+    primary (the 100 TB topology in SCALE.md: primary takes writes,
+    replicas absorb the read/maintenance load): a StreamedHistView fed by
+    a MirrorRunner-maintained replica converges to cell state and
+    histogram IDENTICAL to a view fed by the primary, through inserts,
+    value-changing updates, and deletes."""
+    from orientdb_neo4j_importer_plugin_spark.streaming import MirrorRunner
+
+    source, primary_view = _setup(spark, tmp_path)
+    replica = SnapshotTable.create(
+        spark, str(tmp_path / "replica"), EVENTS_SCHEMA, "event_id",
+        num_buckets=4, key_columns=["event_id"],
+    )
+    replica_state = StreamedHistView.create_state(
+        spark, str(tmp_path / "rhist"), num_buckets=4
+    )
+    replica_view = StreamedHistView(replica, replica_state)
+
+    def mirror():
+        MirrorRunner(
+            spark, source, replica,
+            checkpoint_dir=str(tmp_path / "ck_mirror"), mode="mor",
+        ).run_to_completion(timeout_sec=180)
+
+    def assert_views_equal():
+        a = _rows(
+            primary_view.state.read().select("event_type", "value", "cnt")
+        )
+        b = _rows(
+            replica_view.state.read().select("event_type", "value", "cnt")
+        )
+        assert a == b and len(a) > 0
+        assert _rows(primary_view.hist()) == _rows(replica_view.hist())
+        assert _rows(replica_view.hist()) == _expect(source)
+
+    apply_changes(_feed(spark, 40), source, batch_id="i", mode="mor")
+    mirror()
+    primary_view.refresh()
+    replica_view.refresh()
+    assert_views_equal()
+
+    # updates shift values, deletes remove rows — the replica's pre-image
+    # changelog must decrement exactly like the primary's
+    apply_changes(
+        _feed(spark, 15, lsn0=1000, op="U", value_shift=2.5),
+        source, batch_id="u", mode="mor",
+    )
+    dels = spark.createDataFrame(
+        [(2000 + i, "D", i, None, None) for i in range(30, 36)],
+        "lsn long, op string, event_id long, event_type string, value double",
+    )
+    apply_changes(dels, source, batch_id="d", mode="mor")
+    mirror()
+    primary_view.refresh()
+    replica_view.refresh()
+    assert_views_equal()
