@@ -350,6 +350,33 @@ def cdc_tool_usage_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.usage()
 
 
+def cdc_lang_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed language-distribution cells (fifth streamed-sketch member,
+    written against the StreamedCellView base): apply the feed in two MOR
+    batches, refresh the delete-algebraic (lang, role) cell table after
+    EACH, and read the language mix — the oracle recomputes the same
+    marker-word argmax + rollup from the final LWW state from scratch."""
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedLangDistView,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_lang_")
+    source = SnapshotTable.create(
+        spark, os.path.join(root, "src"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    state = StreamedLangDistView.create_state(
+        spark, os.path.join(root, "cells"), num_buckets=4
+    )
+    view = StreamedLangDistView(source, state)
+    apply_changes(feed.filter(_CHLOG_B1), source, batch_id="l1", mode="mor")
+    view.refresh()
+    apply_changes(feed.filter(_CHLOG_B2), source, batch_id="l2", mode="mor")
+    view.refresh()
+    return view.dist()
+
+
 def cdc_key_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key write-hotness diagnostic over the raw change feed (the
     input to skew-management decisions): event/op counts, turns touched,
@@ -591,6 +618,38 @@ SELECT tool,
 FROM state WHERE tool IS NOT NULL
 GROUP BY tool
 ORDER BY tool
+"""
+
+
+def _lang_view_hits_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]) + "]"
+    toks = tokens_sql("coalesce(text, '')")
+    return f"len(list_filter({toks}, x -> list_contains({lst}, x)))"
+
+
+_LANGS = list(T.LANG_MARKERS)
+
+CDC_LANG_VIEW_SQL = f"""
+{_STATE_CTE},
+scored AS (
+  SELECT role,
+         CAST(len({tokens_sql("coalesce(text, '')")}) AS BIGINT) AS t,
+         {", ".join(f"{_lang_view_hits_sql(lg)} AS hits_{lg}" for lg in _LANGS)}
+  FROM state
+),
+g AS (
+  SELECT {T._pick_best_lang_sql(_LANGS, "hits_{}")} AS lang, role, t
+  FROM (
+    SELECT *, greatest({", ".join(f"hits_{lg}" for lg in _LANGS)}) AS best
+    FROM scored
+  )
+)
+SELECT lang, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(t) AS BIGINT) AS n_tokens
+FROM g
+GROUP BY lang, role
+ORDER BY lang, role
 """
 
 
@@ -1222,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_churn": cdc_conv_churn,
         "cdc_key_hotness": cdc_key_hotness,
         "cdc_tool_usage_view": cdc_tool_usage_view,
+        "cdc_lang_view": cdc_lang_view,
         "cdc_incremental_render": cdc_incremental_render,
         "cdc_cdf_tail": cdc_cdf_tail,
         "cdc_cdf_rowlevel": cdc_cdf_rowlevel,
@@ -1519,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
         "cdc_key_hotness": CDC_KEY_HOTNESS_SQL,
         "cdc_tool_usage_view": CDC_TOOL_USAGE_VIEW_SQL,
+        "cdc_lang_view": CDC_LANG_VIEW_SQL,
         "cdc_incremental_render": TR.render_conversations_sql(_STATE_CTE),
         "cdc_cdf_tail": CDC_REPLAY_SQL,
         "cdc_cdf_rowlevel": CDC_CDF_ROWLEVEL_SQL,

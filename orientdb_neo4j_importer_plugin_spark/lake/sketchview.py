@@ -647,3 +647,124 @@ class StreamedToolUsageView(StreamedCellView):
             )
             .orderBy("tool")
         )
+
+
+def lang_cells_schema() -> StructType:
+    """Language-distribution state-table schema: one row per live
+    (lang, role) cell. `turns` = live turns classified to that language,
+    `tok` = their token total — each a commutative group under
+    insert/delete."""
+    return StructType(
+        [
+            StructField("cell_id", LongType(), False),
+            StructField("lang", StringType(), True),
+            StructField("role", StringType(), True),
+            StructField("turns", LongType(), True),
+            StructField("tok", LongType(), True),
+        ]
+    )
+
+
+class StreamedLangDistView(StreamedCellView):
+    """Incrementally-maintained language mix over the live turns of a
+    transcripts `source` — the fifth family member, written against the
+    `StreamedCellView` base to prove the extension contract (state schema
+    + counters + one `cell_delta` hook; everything else inherited).
+
+    The training-data use is language-drift monitoring: a continuously
+    ingested multilingual corpus's language distribution stays current
+    without corpus rescans. Classification is `textstats.LANG_MARKERS`'s
+    deterministic marker-word argmax — a pure row-local column expression,
+    so a change-image row's language is recomputable on BOTH its pre- and
+    post-image: a turn rewritten from English to Spanish decrements the
+    (en, role) cell and increments (es, role) inside the same combinable
+    aggregate. `dist()` reads back bit-identically to the same rollup
+    computed from scratch over the live rows (oracle-twinned).
+
+    State is O(languages x roles) — constant-sized, the smallest state
+    table in the family."""
+
+    VIEW_TAG = "langdist"
+    counter_cols = ("turns", "tok")
+    primary_counter = "turns"
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        state: SnapshotTable,
+        text_col: str = "text",
+    ):
+        self.text_col = text_col
+        super().__init__(source, state)
+
+    @classmethod
+    def create_state(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 4,
+        overwrite: bool = False,
+    ) -> SnapshotTable:
+        return SnapshotTable.create(
+            spark,
+            root,
+            lang_cells_schema(),
+            partition_key="cell_id",
+            num_buckets=num_buckets,
+            key_columns=["cell_id", "lang", "role"],
+            overwrite=overwrite,
+        )
+
+    def state_schema(self) -> StructType:
+        return lang_cells_schema()
+
+    def cell_delta(self, changes: DataFrame) -> DataFrame:
+        from ..functions.hashes import tokens
+        from ..operators.textstats import LANG_MARKERS, _pick_best_lang
+
+        toks = tokens(F.coalesce(F.col(self.text_col), F.lit("")))
+
+        # F.filter introspects lambda arity (2 args = element+index), so the
+        # marker list must be captured via closure, not a default arg
+        def _is_marker(ms):
+            return lambda t: t.isin(*[F.lit(m) for m in ms])
+
+        hits = [
+            F.size(F.filter(toks, _is_marker(ms))).alias(f"hits_{lg}")
+            for lg, ms in LANG_MARKERS.items()
+        ]
+        guess, _ = _pick_best_lang(list(LANG_MARKERS), "hits_{}")
+        return (
+            changes.select(
+                "role",
+                self._signed_weight().alias("w"),
+                F.size(toks).alias("t"),
+                *hits,
+            )
+            .select(guess.alias("lang"), "role", "w", "t")
+            .groupBy("lang", "role")
+            .agg(
+                F.sum("w").cast("long").alias("d_turns"),
+                F.sum(F.col("w") * F.col("t")).cast("long").alias("d_tok"),
+            )
+            # an update that kept the text cancels its own pre/post pair
+            .filter((F.col("d_turns") != 0) | (F.col("d_tok") != 0))
+            .withColumn(
+                "cell_id",
+                F.xxhash64(F.concat_ws("|", F.col("lang"), F.col("role"))),
+            )
+        )
+
+    def dist(self) -> DataFrame:
+        """The language mix off the maintained cells — identical rows to
+        the same (lang, role) rollup computed from scratch over the
+        source's live rows (tested exact)."""
+        return (
+            self.state.read()
+            .groupBy("lang", "role")
+            .agg(
+                F.sum("turns").cast("long").alias("n_turns"),
+                F.sum("tok").cast("long").alias("n_tokens"),
+            )
+            .orderBy("lang", "role")
+        )

@@ -618,3 +618,150 @@ def test_hist_view_over_mirror_tail(spark, tmp_path):
     primary_view.refresh()
     replica_view.refresh()
     assert_views_equal()
+
+# StreamedLangDistView (fifth family member: language mix over live turns) ---
+
+
+_LV_TEXTS = [
+    "the cat and the dog of it",      # en (3+ marker hits)
+    "el gato la casa de aqui",        # es
+    "der hund die katze und so",      # de
+    "le chat la nuit et jour",        # fr
+    "zzz qqq xxx",                    # und (no markers)
+    "",                               # und, zero tokens
+]
+
+
+def _lv_setup(spark, tmp_path):
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedLangDistView,
+    )
+    from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS
+
+    source = SnapshotTable.create(
+        spark, str(tmp_path / "lv_src"), TRANSCRIPTS, "conv_id", num_buckets=8
+    )
+    state = StreamedLangDistView.create_state(
+        spark, str(tmp_path / "lv_state"), num_buckets=4
+    )
+    return source, StreamedLangDistView(source, state)
+
+
+def _lv_feed(spark, n, lsn0=0, op="I", shift=0):
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (
+            lsn0 + i,
+            op,
+            f"conv_{i % 5}",
+            i // 5,
+            ("user" if i % 2 == 0 else "assistant"),
+            _LV_TEXTS[(i + shift) % len(_LV_TEXTS)],
+            None,
+            ts,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def _lv_expect(source):
+    """Pure-Python from-scratch recompute of the (lang, role) rollup over
+    the live rows — independent of every Spark expression in the view."""
+    from orientdb_neo4j_importer_plugin_spark.operators.textstats import (
+        LANG_MARKERS,
+    )
+
+    agg = {}
+    for r in source.read().select("role", "text").collect():
+        toks = [t for t in (r["text"] or "").lower().split() if t]
+        hits = {lg: sum(1 for t in toks if t in ms)
+                for lg, ms in LANG_MARKERS.items()}
+        best = max(hits.values())
+        lang = "und"
+        if best > 0:
+            lang = next(lg for lg in LANG_MARKERS if hits[lg] == best)
+        key = (lang, r["role"])
+        turns, tok = agg.get(key, (0, 0))
+        agg[key] = (turns + 1, tok + len(toks))
+    return sorted(
+        [(lg, role, t, k) for (lg, role), (t, k) in agg.items()]
+    )
+
+
+def _lv_got(view):
+    return [
+        (r["lang"], r["role"], r["n_turns"], r["n_tokens"])
+        for r in view.dist().collect()
+    ]
+
+
+def test_lang_view_tracks_source_through_iud(spark, tmp_path):
+    source, view = _lv_setup(spark, tmp_path)
+    apply_changes(_lv_feed(spark, 40), source, batch_id="i", mode="mor")
+    r1 = view.refresh()
+    assert r1["cells_changed"] > 0 and not r1["skipped"]
+    assert _lv_got(view) == _lv_expect(source)
+
+    # updates RECLASSIFY half the turns (shift rotates the text cycle, so
+    # a turn's language flips: one cell decrements, another increments)
+    upd = _lv_feed(spark, 40, lsn0=1000, op="U", shift=2)
+    apply_changes(upd.filter("pmod(lsn, 2) = 0"), source, batch_id="u", mode="mor")
+    import datetime
+
+    dels = spark.createDataFrame(
+        [
+            (2000 + i, "D", f"conv_{i % 5}", i // 5, None, None, None,
+             datetime.datetime(2026, 1, 1))
+            for i in range(0, 40, 7)
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    apply_changes(dels, source, batch_id="d", mode="mor")
+    view.refresh()
+    assert _lv_got(view) == _lv_expect(source)
+    r3 = view.refresh()
+    assert r3["skipped"] and r3["cells_changed"] == 0
+
+
+def test_lang_view_same_text_touches_no_cells(spark, tmp_path):
+    source, view = _lv_setup(spark, tmp_path)
+    apply_changes(_lv_feed(spark, 20), source, batch_id="i", mode="mor")
+    view.refresh()
+    # same text re-asserted at higher lsn: pre/post cancel in cell_delta
+    apply_changes(
+        _lv_feed(spark, 20, lsn0=500, op="U"), source, batch_id="u", mode="mor"
+    )
+    r = view.refresh()
+    assert r["cells_changed"] == 0 and not r["skipped"]
+    assert _lv_got(view) == _lv_expect(source)
+
+
+def test_lang_view_streamed_kill_and_resume(spark, tmp_path):
+    source, view = _lv_setup(spark, tmp_path)
+    ckpt = str(tmp_path / "lvckpt")
+
+    def wave():
+        q = view.stream(ckpt)
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise AssertionError("lang stream did not drain")
+
+    apply_changes(_lv_feed(spark, 30), source, batch_id="a", mode="mor")
+    wave()
+    assert _lv_got(view) == _lv_expect(source)
+    # source advances while the stream is down; a NEW stream resumes
+    apply_changes(
+        _lv_feed(spark, 30, lsn0=1000, op="U", shift=3),
+        source, batch_id="b", mode="mor",
+    )
+    wave()
+    assert _lv_got(view) == _lv_expect(source)
