@@ -249,11 +249,9 @@ class MirrorRunner(CdcStreamRunner):
 
     def catch_up(self, window: int = 8) -> list:
         """Drain source -> replica in BOUNDED version windows via batch
-        ``lake_cdf`` reads — the rate-limited path for a replica resuming
-        far behind head (Delta's maxFilesPerTrigger analogue; the Python
-        Data Source streaming API has no read-limit hook, so an
-        arbitrarily old checkpoint would otherwise plan one giant
-        micro-batch). Each window is one exactly-once apply keyed
+        ``lake_cdf`` reads — the batch-side rate-limited drain (the
+        streaming path bounds itself the same way via
+        ``max_versions_per_trigger``). Each window is one exactly-once apply keyed
         ``{prefix}-v{from}-{to}`` with the window's end version recorded in
         replica lineage; re-running any window is a ledger no-op, and the
         next catch_up resumes from the lineage position — no streaming
