@@ -545,6 +545,41 @@ class SnapshotTable:
         self._resolve_manifests(snap)
         return snap
 
+    def snapshot_as_of(self, ts: float) -> Snapshot:
+        """Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the newest
+        RETAINED snapshot committed at or before `ts` (epoch seconds, the
+        unit `committed_at` is persisted in). Metadata-only — walks retained
+        versions newest-first and stops at the first match, so the common
+        recent-as-of case reads one or two snapshot JSONs. Raises when the
+        as-of point predates retention (`expire_snapshots` horizon), same
+        contract as Iceberg's.
+
+        Compose with the snapshot-taking readers for as-of queries:
+        ``table.read(table.snapshot_as_of(ts))``."""
+        with open(self._pointer_path()) as fh:
+            pointed = int(fh.read().strip())
+        versions = sorted(
+            v
+            for v in (
+                int(f[1:9])
+                for f in os.listdir(self.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            if v <= pointed  # orphan claims are not committed history
+        )
+        for v in reversed(versions):
+            snap = self.snapshot_at(v)
+            if snap.committed_at <= ts:
+                return snap
+        earliest = (
+            self.snapshot_at(versions[0]).committed_at if versions else None
+        )
+        raise ValueError(
+            f"no retained snapshot committed at or before ts={ts} "
+            f"(earliest retained committed_at={earliest}; older history "
+            f"was removed by expire_snapshots)"
+        )
+
     # -- manifest IO (Iceberg manifest-list analogue) --------------------------
 
     def _read_manifest(self, path: str) -> tuple[list[str], list[str]]:

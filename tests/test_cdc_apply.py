@@ -20,8 +20,8 @@ from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS, TRANSCRIPTS
 OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def final_state(table):
-    df = table.read().orderBy("conv_id", "turn_idx")
+def final_state(table, snapshot=None):
+    df = table.read(snapshot=snapshot).orderBy("conv_id", "turn_idx")
     cols = [c for c in OUT_COLS if c in df.columns]
     return [tuple(r) for r in df.select(*cols).collect()]
 
@@ -400,3 +400,37 @@ def test_numeric_widening_through_apply(spark, tmp_path):
     assert sorted((r.k, r.val, r.x) for r in table.read().collect()) == got
     # point lookup through the widened read path
     assert table.lookup({"k": "a"}).collect()[0]["val"] == 5
+
+
+def test_snapshot_as_of_wall_clock(spark, tmp_path):
+    """snapshot_as_of(ts): timestamp time travel resolves to the newest
+    retained snapshot committed <= ts; pre-retention as-of raises."""
+    feed = gen_feed(spark, n_convs=5, turns_per_conv=4, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "asof"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    mid = 15
+    apply_changes(feed.filter(feed.lsn < mid), table, batch_id="b0", mode="mor")
+    s1 = table.current()
+    state_v1 = final_state(table)
+    apply_changes(feed.filter(feed.lsn >= mid), table, batch_id="b1", mode="mor")
+    s2 = table.current()
+    assert s2.committed_at >= s1.committed_at
+
+    # between the two commits -> the earlier snapshot; read() composes
+    between = (s1.committed_at + s2.committed_at) / 2
+    if between in (s1.committed_at, s2.committed_at):  # pragma: no cover
+        pytest.skip("commits landed in the same clock tick")
+    got = table.snapshot_as_of(between)
+    assert got.version == s1.version
+    assert final_state(table, snapshot=got) == state_v1
+    # at/after the head commit -> the head snapshot
+    assert table.snapshot_as_of(s2.committed_at).version == s2.version
+    assert table.snapshot_as_of(s2.committed_at + 1e6).version == s2.version
+    # before all history -> error naming the retention horizon
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        table.snapshot_as_of(-1.0)
+    # after expiry, an as-of pointing into removed history raises too
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        table.snapshot_as_of(between)
