@@ -151,6 +151,50 @@ _CHLOG_B2 = (
 )
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (Iceberg TIMESTAMP AS OF): apply the feed in
+    two deterministic halves, resolve an as-of point BETWEEN the two
+    commits' wall clocks, and read that snapshot — the oracle recomputes
+    the first half's LWW state from scratch, proving the as-of read
+    returns historical values, not the head."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tt_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter(_CHLOG_B1), table, batch_id="t1", mode="mor")
+    s1 = table.current()
+    apply_changes(feed.filter(_CHLOG_B2), table, batch_id="t2", mode="mor")
+    s2 = table.current()
+    asof = table.snapshot_as_of((s1.committed_at + s2.committed_at) / 2)
+    if asof.version != s1.version:  # pragma: no cover - degenerate clock
+        raise RuntimeError(
+            f"as-of resolved v{asof.version}, expected v{s1.version} "
+            f"(commits landed in the same clock tick)"
+        )
+    return (
+        table.read(snapshot=asof)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_TIME_TRAVEL_SQL = f"""
+{_FEED_SQL},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+  ) AS rn
+  FROM feed
+  WHERE (op = 'I' AND turn_idx % 5 <> 0) OR (op <> 'I' AND turn_idx % 2 = 0)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change-data-feed between two snapshot versions: apply the
     feed in two deterministic halves (some keys' inserts held back to the
@@ -1276,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_replay_state_mor": lambda s, d: cdc_replay_state(s, d, mode="mor"),
         "cdc_changelog": cdc_changelog,
+        "cdc_time_travel": cdc_time_travel,
         "cdc_changelog_envelope": cdc_changelog_envelope,
         "cdc_mirror_stream": cdc_mirror_stream,
         "cdc_conv_churn": cdc_conv_churn,
@@ -1574,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": CDC_REPLAY_SQL,
         "cdc_replay_state_mor": CDC_REPLAY_SQL,
         "cdc_changelog": CDC_CHANGELOG_SQL,
+        "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
         "cdc_changelog_envelope": CDC_CHANGELOG_ENVELOPE_SQL,
         "cdc_mirror_stream": CDC_REPLAY_SQL,
         "cdc_conv_churn": TR.conversation_churn_sql(_ENV_CTE),
