@@ -210,6 +210,11 @@ def apply_changes(
     )
     schema = table.evolve_schema(incoming_payload) if evolve_schema else snap.schema
     payload_cols = [f.name for f in schema.fields]
+    # route on the key cast to the TABLE's key type: xxhash64 is
+    # width-sensitive, so a batch carrying a wider-but-castable key type
+    # (upstream int->long drift) must hash at the storage type or its rows
+    # land in buckets no reader probes (no-op cast when types match)
+    pk_t = next(f.dataType for f in schema.fields if f.name == key)
 
     # --- admission predicates: policy filter first, then poison check ------
     flt = F.coalesce(event_filter, F.lit(False)) if event_filter is not None else F.lit(True)
@@ -245,7 +250,7 @@ def apply_changes(
             else F.lit(0).alias("n_quar"),
             F.min(F.when(keep, F.col("lsn"))).alias("lo"),
             F.max(F.when(keep, F.col("lsn"))).alias("hi"),
-            F.collect_set(F.when(keep, bucket_expr(key, nb))).alias("buckets"),
+            F.collect_set(F.when(keep, bucket_expr(key, nb, pk_t))).alias("buckets"),
             # event-time max over rows passing the FULL keep predicate: a
             # quarantined row's corrupt future timestamp must never advance
             # the committed watermark (it would late-drop all good events)
@@ -315,7 +320,7 @@ def apply_changes(
             lww_resolve_with_stats(
                 events, keys=keys, ts_col="ts" if has_ts else None
             )
-            .withColumn(BUCKET_COL, bucket_expr(key, nb))
+            .withColumn(BUCKET_COL, bucket_expr(key, nb, pk_t))
             .persist()
         )
         g = winners.agg(
@@ -363,7 +368,7 @@ def apply_changes(
     # (fold_stats built winners above, with stats riding the aggregate.)
     if winners is None:
         winners = lww_resolve(events, keys=keys).withColumn(
-            BUCKET_COL, bucket_expr(key, nb)
+            BUCKET_COL, bucket_expr(key, nb, pk_t)
         )
     lineage = {
         "lsn_range": [res.lsn_min, res.lsn_max],
@@ -411,7 +416,7 @@ def apply_changes(
         # distinct over the raw batch's bucket expression (no LWW evaluated)
         touched = sorted(
             r["b"]
-            for r in events.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+            for r in events.select(bucket_expr(key, nb, pk_t).alias("b")).distinct().collect()
         )
     res.touched_buckets = len(touched)
     lineage["events_in"] = res.events_in
@@ -481,7 +486,7 @@ def apply_changes(
                 )
             existing = table.read_buckets(
                 touched, snapshot=base_snap, raw=True
-            ).withColumn(BUCKET_COL, bucket_expr(key, nb))
+            ).withColumn(BUCKET_COL, bucket_expr(key, nb, pk_t))
             win_keys = winners.select(*keys)
             # keys_changed <= events_in: a safe pre-write broadcast decision
             if 0 <= res.events_in <= BROADCAST_KEY_LIMIT:
@@ -583,6 +588,9 @@ def apply_patch_changes(
         )  # ledger no-op, same ApplyResult shape
     keys = list(snap.keys)
     key, nb = snap.partition_key, snap.num_buckets
+    # patches never evolve the key type; still route at the storage type so
+    # a wider-typed patch feed prunes/reads the buckets readers actually use
+    pk_t = next(f.dataType for f in snap.schema.fields if f.name == key)
     # once a table has patch history, EVERY batch must merge through the
     # exact resolve: stored rows carry storage-ordering tokens above their
     # true event lsns, so a plain row-level LWW would wrongly drop a late
@@ -617,7 +625,7 @@ def apply_patch_changes(
             F.collect_set(
                 F.when(
                     keep if table_exact else (keep & (F.col("op") == "P")),
-                    bucket_expr(key, nb),
+                    bucket_expr(key, nb, pk_t),
                 )
             ).alias("pbuckets"),
         ).collect()[0]

@@ -164,13 +164,21 @@ def _trunc_hi(v):
     return None
 
 
-def bucket_expr(key_col: str, num_buckets: int):
+def bucket_expr(key_col: str, num_buckets: int, dtype=None):
     """Deterministic hash bucket of the partition key.
 
     xxhash64 is a stable Spark built-in (same value across sessions/versions),
     so bucket assignment is reproducible — required for replay equivalence.
+
+    `dtype` (the TABLE's partition-key type) must be passed when the input
+    rows may carry a different-but-castable key type (e.g. an upstream that
+    widened int->long): xxhash64 is width-sensitive (hashInt vs hashLong
+    lanes), so hashing at the batch's own type would route rows to a bucket
+    the table's readers never probe. The cast is a Catalyst no-op when the
+    types already match.
     """
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    col = F.col(key_col) if dtype is None else F.col(key_col).cast(dtype)
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
 def bucket_expr_for(snap: "Snapshot"):
@@ -2230,10 +2238,31 @@ class SnapshotTable:
         COLUMNS analogue). Returns the post-evolution schema.
 
         Metadata-only, so a lost race is resolved by re-merging against the
-        new current schema and retrying."""
+        new current schema and retrying.
+
+        The PARTITION KEY's type is pinned at create time and never evolves:
+        bucket layout is defined by xxhash64 of the stored key, and xxhash64
+        is width-sensitive (int and long hash through different lanes), so
+        widening the key's storage type would strand every pre-widening row
+        in a bucket no reader ever probes (lookups miss live rows; a
+        vacuumed cross-bucket tombstone could even resurrect one). Incoming
+        batches with a wider-but-castable key type are instead cast per
+        record at apply time, like any other table-type-wins mismatch."""
         for attempt in range(COMMIT_MAX_RETRIES + 1):
             parent = self.current()
             merged = merge_schemas(parent.schema, incoming)
+            pk_lc = parent.partition_key.lower()
+            pinned = next(
+                f for f in parent.schema.fields if f.name.lower() == pk_lc
+            )
+            merged = StructType(
+                [
+                    pinned
+                    if f.name.lower() == pk_lc and f.dataType != pinned.dataType
+                    else f
+                    for f in merged.fields
+                ]
+            )
             # compare parsed structures: the stored schema_json round-trips
             # through json.dumps with different key order than StructType.json()
             if json.loads(merged.json()) == json.loads(parent.schema_json):

@@ -254,3 +254,68 @@ def test_lookup_many_validation_and_empty(spark, tmp_path):
         table.lookup_many([{"user_id": 1}, {"user_id": 2, "name": "x"}])
     # missing keys simply return no rows
     assert table.lookup_many([{"user_id": 10_000}]).count() == 0
+
+
+def test_key_type_widening_cannot_reroute_buckets(spark, tmp_path):
+    """xxhash64 is width-sensitive: if an upstream widens the key column
+    int->long, (a) the table's stored key type must NOT evolve (bucket
+    layout is defined by hashes of the storage type) and (b) the wider
+    batch's rows must be routed at the storage type. Before the fix, an
+    unrelated long-keyed batch widened the schema and every bucket-pruned
+    path went blind: lookup() returned [] for live rows and a
+    cross-lane tombstone could be vacuumed into resurrecting its row."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.functions.xxhash import (
+        spark_xxhash64,
+    )
+
+    # a key whose int-lane and long-lane buckets differ (id=1 at 8 buckets)
+    key = next(
+        k
+        for k in range(1, 200)
+        if spark_xxhash64(k, IntegerType()) % 8 != spark_xxhash64(k, LongType()) % 8
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("v", StringType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "kw"), schema, "id", num_buckets=8, key_columns=["id"]
+    )
+
+    def feed(rows, id_type):
+        s = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("v", StringType(), True),
+                StructField("op", StringType(), False),
+                StructField("lsn", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, s)
+
+    apply_changes(feed([(key, "orig", "I", 1)], IntegerType()), table, batch_id="b1", mode="mor")
+    # unrelated batch arrives with a WIDER key type
+    apply_changes(feed([(999, "other", "I", 2)], LongType()), table, batch_id="b2", mode="mor")
+    # (a) storage key type pinned
+    assert isinstance(table.current().schema["id"].dataType, IntegerType)
+    # (b) bucket-pruned lookup still finds the pre-widening row
+    got = table.lookup({"id": key}).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(key, "orig")]
+    # wider-typed row itself is readable and findable
+    assert table.lookup({"id": 999}).collect()[0]["v"] == "other"
+    # a delete arriving at the wider type lands in the SAME bucket as the
+    # live row (compaction folds them; the tombstone can never be stranded)
+    apply_changes(feed([(key, None, "D", 3)], LongType()), table, batch_id="b3", mode="mor")
+    table.compact()
+    assert table.lookup({"id": key}).collect() == []
+    assert sorted((r["id"], r["v"]) for r in table.read().collect()) == [(999, "other")]
