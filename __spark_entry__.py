@@ -947,6 +947,52 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+_LOOKUP_CONVS = [
+    "conv_000000007",
+    "conv_000000042",
+    "conv_000000123",
+    "conv_000000456",
+    "conv_000000789",
+    "conv_000001001",
+    "conv_000001337",
+    "conv_000009999",  # may or may not exist at a given sf — both fine
+    "conv_absent_zzz",  # never exists: bloom proves absence, zero rows
+]
+
+
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookup through per-file key BLOOM filters: apply the
+    feed as out-of-order MOR batches into a bloom-enabled table (every
+    commit equips its new files with a partition-key bloom), then
+    lookup_many a fixed conversation list — the driver routes each key to
+    its bucket, min/max-range-prunes, then bloom-probes the survivors, so
+    the read touches only files that actually contain a requested
+    conversation (tests/test_bloom.py proves the skipping; this row proves
+    the VALUES against the oracle's key-filtered LWW state)."""
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_plk_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True, bloom_fpp=0.01,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="p1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="p0", mode="mor")
+    return (
+        table.lookup_many([{"conv_id": c} for c in _LOOKUP_CONVS])
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_POINT_LOOKUP_SQL = f"""
+{_STATE_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM state
+WHERE conv_id IN ({", ".join(repr(c) for c in _LOOKUP_CONVS)})
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1334,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join": cdc_incremental_view_join,
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1633,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join": CDC_MVJ_SQL,
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
+        "cdc_point_lookup": CDC_POINT_LOOKUP_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,

@@ -298,6 +298,13 @@ def main() -> None:
         "cdc_conv_churn",
         "transcripts_tool_transitions",
         "transcripts_tool_usage",
+        # round 5: stats-skipped ts scan (de-vacuated window), streamed
+        # lang-dist sketch, timestamp time travel, bloom-pruned batched
+        # point lookup (table build untimed; the timed run is the read)
+        "cdc_tsrange_scan",
+        "cdc_lang_view",
+        "cdc_time_travel",
+        "cdc_point_lookup",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

@@ -49,6 +49,8 @@ import os
 import shutil
 import time
 import uuid
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -395,6 +397,11 @@ class SnapshotTable:
         # parquet footers and persisted inside manifests; used for
         # metadata-only pruning (vacuum_tombstones, file_stats()).
         self._stats_cache: dict[str, dict] = {}
+        # decoded per-file key blooms (bytes, m, k) — decoded lazily from
+        # the manifest's base64 on first probe; NEVER stored back into
+        # _stats_cache (manifest stats must stay JSON-serializable)
+        self._bloom_cache: dict[str, tuple[bytes, int, int]] = {}
+        self._props_cache: dict | None = None
 
     # -- creation / loading -------------------------------------------------
 
@@ -409,6 +416,7 @@ class SnapshotTable:
         overwrite: bool = False,
         key_columns: list[str] | None = None,
         commit_store=None,
+        bloom_fpp: float | None = None,
     ) -> "SnapshotTable":
         """Create an empty table. `overwrite=True` drops an existing one —
         the reference's `-o` flag (``ONeo4jImporter.java:105-124``).
@@ -417,6 +425,16 @@ class SnapshotTable:
         PK when its columns are present, else just the partition key); it is
         persisted in snapshot metadata so read-merge/MERGE paths never
         depend on a table-specific global.
+
+        `bloom_fpp` (e.g. 0.01) enables per-file key bloom filters: every
+        commit builds a bloom over the partition key of each new data file
+        (one extra key-column-only scan of the freshly written files), and
+        point lookups prove-skip files the key cannot be in — the pruning
+        that min/max key ranges cannot do for MOR delta files or for base
+        files compacted with ``cluster_by=<scan column>``. Off by default:
+        it taxes the hot ingest path to speed the point-read path, a
+        per-workload trade (see functions/bloom.py and BENCH/BASELINE.md
+        for the measured costs).
         """
         if key_columns is None:
             from ..schema import KEY_COLUMNS
@@ -453,6 +471,8 @@ class SnapshotTable:
             key_columns=list(key_columns),
         )
         t._write_snapshot(snap, expected_parent=None)
+        if bloom_fpp is not None:
+            t.set_table_props(bloom_fpp=float(bloom_fpp))
         return t
 
     @classmethod
@@ -467,6 +487,41 @@ class SnapshotTable:
     @classmethod
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "metadata", "_current"))
+
+    # -- table properties (unversioned operational knobs) ---------------------
+
+    def _props_path(self) -> str:
+        return os.path.join(self.meta_dir, "table_props.json")
+
+    def table_props(self) -> dict:
+        """Operational table properties (Iceberg table-properties analogue,
+        kept OUTSIDE snapshots: they tune maintenance/write behavior, never
+        read semantics, so they don't need versioning). Currently:
+        ``bloom_fpp`` — when set, every commit builds per-file key bloom
+        filters at this false-positive rate (see functions/bloom.py)."""
+        if self._props_cache is None:
+            try:
+                with open(self._props_path()) as fh:
+                    self._props_cache = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError):
+                self._props_cache = {}
+        return self._props_cache
+
+    def set_table_props(self, **props) -> dict:
+        """Merge-set table properties (value None deletes a key). Atomic
+        replace; last writer wins — acceptable for operational knobs."""
+        cur = dict(self.table_props())
+        for k, v in props.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        tmp = self._props_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh)
+        os.replace(tmp, self._props_path())
+        self._props_cache = cur
+        return cur
 
     def clone(
         self,
@@ -535,6 +590,9 @@ class SnapshotTable:
             }
         )
         dest._write_snapshot(clone_snap, expected_parent=None)
+        props = self.table_props()
+        if props:  # operational knobs (e.g. bloom_fpp) carry to the clone
+            dest.set_table_props(**props)
         return dest
 
     # -- snapshot plumbing ---------------------------------------------------
@@ -695,6 +753,92 @@ class SnapshotTable:
             if key_col is not None and key_col in cols:
                 out[p]["key_min"], out[p]["key_max"] = cols[key_col]
         return out
+
+    def _build_key_blooms(
+        self, files: list[str], key_col: str, fpp: float
+    ) -> int:
+        """Build a per-file bloom filter over `key_col` for each data file
+        and merge it into the stats cache (persisted by the next manifest
+        write). ONE shuffle-free Spark job: the key column of the freshly
+        written files (column-pruned, page-cache hot) is hashed JVM-side
+        with xxhash64 — the SAME hash the driver reproduces at probe
+        time — and each partition packs PARTIAL bitsets for the files it
+        saw, which the driver OR-merges. No exchange is needed because a
+        bloom under fixed (m, k) is a commutative monoid and (m, k) are
+        pre-derived on the driver from the footer row counts the commit
+        already collected. Returns the number of filters built. See
+        functions/bloom.py for why this beats parquet's own bloom pages
+        here (driver-side metadata planning, no executor round-trip)."""
+        from ..functions import bloom as _bloomlib
+
+        # (m, k) per file from the already-known footer row counts;
+        # files with unknown counts or a uselessly saturated filter are
+        # skipped (kept conservatively at lookup). Keyed by the FULL path —
+        # one write task reuses its part-file name under every
+        # __bucket=N/ dir it emits, so basenames collide across buckets.
+        params: dict[str, tuple[int, int]] = {}
+        for f in files:
+            rows = (self._stats_cache.get(f) or {}).get("rows")
+            if not rows:
+                continue
+            m, k = _bloomlib.bloom_params(int(rows), float(fpp))
+            if _bloomlib.realized_fpp(int(rows), m, k) > _bloomlib.USELESS_FPP:
+                continue
+            params[f] = (m, k)
+        if not params:
+            return 0
+
+        def _partials(frames):
+            from urllib.parse import unquote as _unq
+            from urllib.parse import urlparse as _urlp
+
+            import numpy as _np
+            import pandas as _pd
+
+            acc: dict[str, _np.ndarray] = {}
+            for pdf in frames:
+                for uri, g in pdf.groupby("__f", sort=False):
+                    path = _unq(_urlp(uri).path)
+                    mk = params.get(path)
+                    if mk is None:
+                        continue
+                    m, k = mk
+                    bits = _np.frombuffer(
+                        _bloomlib.build_bloom(g["__h"].to_numpy(), m, k),
+                        dtype=_np.uint8,
+                    )
+                    cur = acc.get(path)
+                    acc[path] = bits if cur is None else (cur | bits)
+            yield _pd.DataFrame(
+                {
+                    "f": list(acc),
+                    "b64": [
+                        _bloomlib.encode_bloom(a.tobytes()) for a in acc.values()
+                    ],
+                }
+            )
+
+        rows = (
+            self.spark.read.parquet(*params)
+            .select(
+                F.input_file_name().alias("__f"),
+                F.xxhash64(F.col(key_col)).alias("__h"),
+            )
+            .mapInPandas(_partials, schema="f string, b64 string")
+            .collect()
+        )
+        merged: dict[str, Any] = {}
+        for r in rows:
+            bits = np.frombuffer(_bloomlib.decode_bloom(r["b64"]), dtype=np.uint8)
+            cur = merged.get(r["f"])
+            merged[r["f"]] = bits if cur is None else (cur | bits)
+        for path, bits in merged.items():
+            m, k = params[path]
+            st = self._stats_cache.setdefault(path, {})
+            st["key_bloom"] = _bloomlib.encode_bloom(bits.tobytes())
+            st["key_bloom_m"] = m
+            st["key_bloom_k"] = k
+        return len(merged)
 
     def _resolve_manifests(self, snap: Snapshot) -> None:
         """Populate the in-memory buckets/deltas dicts from manifest refs
@@ -1163,23 +1307,50 @@ class SnapshotTable:
         change that key's winner. Skipping is what makes MOR point reads
         O(files containing the key) instead of O(delta files in the
         bucket) — and compaction's sort-clustering (optionally split by
-        max_file_rows) keeps base-file ranges tight. Returns (base files
-        kept, delta files kept, files skipped)."""
+        max_file_rows) keeps base-file ranges tight. Files carrying a key
+        BLOOM (tables created with ``bloom_fpp``) are additionally probed
+        with the driver-side xxhash64 of the key — a miss PROVES absence,
+        which is the only pruning that works on delta files (their key
+        range spans the bucket) and on ``cluster_by``-compacted bases
+        (their key range is deliberately wide). Returns (base files kept,
+        delta files kept, files skipped)."""
         self._resolve_manifests(snap)  # file lists + _stats_cache first
         base_files = snap.base_files([bucket])
         delta_files = snap.delta_files([bucket])
+        from ..functions import bloom as _bloomlib
+        from ..functions.xxhash import spark_xxhash64
+
+        pk_field = next(
+            f for f in snap.schema.fields if f.name == snap.partition_key
+        )
+        key_hash = spark_xxhash64(key_value, pk_field.dataType)
 
         def covers(f: str) -> bool:
             s = self._stats_cache.get(f)
             if not s:
                 return True
             lo, hi = s.get("key_min"), s.get("key_max")
-            if lo is None or hi is None:
-                return True
-            try:
-                return lo <= key_value <= hi
-            except TypeError:
-                return True  # incomparable literal type: keep
+            in_range = True
+            if lo is not None and hi is not None:
+                try:
+                    in_range = lo <= key_value <= hi
+                except TypeError:
+                    in_range = True  # incomparable literal type: keep
+            if not in_range:
+                return False
+            b64 = s.get("key_bloom")
+            if b64 and key_hash is not None:
+                cached = self._bloom_cache.get(f)
+                if cached is None:
+                    cached = self._bloom_cache[f] = (
+                        _bloomlib.decode_bloom(b64),
+                        int(s["key_bloom_m"]),
+                        int(s["key_bloom_k"]),
+                    )
+                bits, m, k = cached
+                if not _bloomlib.might_contain(bits, m, k, key_hash):
+                    return False
+            return True
         kept_base = [f for f in base_files if covers(f)]
         kept_deltas = [f for f in delta_files if covers(f)]
         skipped = (len(base_files) - len(kept_base)) + (
@@ -1880,12 +2051,13 @@ class SnapshotTable:
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
+        _new_files = [f for fs in bucket_files.values() for f in fs]
         self._stats_cache.update(
-            self._footer_stats(
-                [f for fs in bucket_files.values() for f in fs],
-                key_col=parent0.partition_key,
-            )
+            self._footer_stats(_new_files, key_col=parent0.partition_key)
         )
+        _fpp = self.table_props().get("bloom_fpp")
+        if _fpp:
+            self._build_key_blooms(_new_files, parent0.partition_key, _fpp)
         touched_set = set(touched_buckets)
 
         def build(parent: Snapshot) -> Snapshot:
@@ -2033,12 +2205,13 @@ class SnapshotTable:
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
+        _new_files = [f for fs in added.values() for f in fs]
         self._stats_cache.update(
-            self._footer_stats(
-                [f for fs in added.values() for f in fs],
-                key_col=parent0.partition_key,
-            )
+            self._footer_stats(_new_files, key_col=parent0.partition_key)
         )
+        _fpp = self.table_props().get("bloom_fpp")
+        if _fpp:
+            self._build_key_blooms(_new_files, parent0.partition_key, _fpp)
 
         def build(parent: Snapshot) -> Snapshot:
             if parent.num_buckets != parent0.num_buckets:
@@ -2178,6 +2351,7 @@ class SnapshotTable:
         orphans_older_than_sec: float | None = None,
         tombstone_below_lsn: int | None = None,
         cluster_by: list[str] | None = None,
+        bloom_fpp: float | None = None,
     ) -> dict[str, Any]:
         """One maintenance pass — the background loop a real deployment
         schedules between (or alongside) ingest batches:
@@ -2201,9 +2375,19 @@ class SnapshotTable:
         see `compact`) so a deployment whose hot reads are time windows
         keeps its base files ts-clustered on the same schedule.
 
+        `bloom_fpp` turns on per-file key bloom filters for this table
+        (persists the property, so every later commit builds them too) and
+        is set BEFORE this pass's compaction — the rewrite then equips the
+        folded base files immediately. Pre-existing files in buckets the
+        pass doesn't touch stay bloom-less until their next rewrite
+        (lookups keep them conservatively — correct, just unpruned).
+
         Each step is the existing idempotent primitive; the method only
         sequences them safely. Returns a per-step summary dict."""
         summary: dict[str, Any] = {}
+        if bloom_fpp is not None:
+            self.set_table_props(bloom_fpp=float(bloom_fpp))
+            summary["bloom_fpp"] = float(bloom_fpp)
         snap = self.current()
         backlog = [
             int(b) for b, fs in snap.deltas.items() if len(fs) >= compact_if_deltas
