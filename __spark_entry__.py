@@ -993,6 +993,95 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with all three clauses: replay the feed into a MOR
+    table, then merge a derived source — conversations' turn-0 rows with
+    uppercased text (matched: DELETE where the turn-0 speaker is 'user',
+    UPDATE text otherwise) plus synthetic new conversations seeded from
+    turn-3 rows (NOT MATCHED: INSERT). The merge compiles to ONE change
+    batch through apply_changes (cdc/merge.py); the oracle replicates the
+    clause algebra as a three-branch UNION over the from-scratch LWW
+    state. Source reads are snapshot-pinned, so deriving the source from
+    the pre-merge table is stable while the merge commits."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import merge_into
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mrg_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="m1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="m0", mode="mor")
+    state = table.read()
+    src = (
+        state.filter("turn_idx = 0")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.upper("text").alias("text"),
+            "tool",
+            "ts",
+        )
+        .union(
+            state.filter("turn_idx = 3").select(
+                F.concat(F.lit("conv_new_"), F.col("conv_id")).alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.lit("system").alias("role"),
+                F.lit("seeded").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                "ts",
+            )
+        )
+    )
+    merge_into(
+        table,
+        src,
+        when_matched_delete="s.role = 'user'",
+        when_matched_update={"text": "s.text"},
+        when_not_matched_insert="*",
+        batch_id="the-merge",
+        mode="mor",
+    )
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_MERGE_SQL = f"""
+{_STATE_CTE},
+src AS (
+  SELECT conv_id, turn_idx, role, upper(text) AS text, tool, ts
+  FROM state WHERE turn_idx = 0
+  UNION ALL
+  SELECT 'conv_new_' || conv_id, 0, 'system', 'seeded', CAST(NULL AS VARCHAR), ts
+  FROM state WHERE turn_idx = 3
+),
+merged AS (
+  SELECT st.conv_id, st.turn_idx, st.role, st.text, st.tool, st.ts
+  FROM state st LEFT JOIN src s
+    ON st.conv_id = s.conv_id AND st.turn_idx = s.turn_idx
+  WHERE s.conv_id IS NULL
+  UNION ALL
+  SELECT st.conv_id, st.turn_idx, st.role, s.text, st.tool, st.ts
+  FROM state st JOIN src s
+    ON st.conv_id = s.conv_id AND st.turn_idx = s.turn_idx
+  WHERE NOT (s.role = 'user')
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts
+  FROM src s LEFT JOIN state st
+    ON st.conv_id = s.conv_id AND st.turn_idx = s.turn_idx
+  WHERE st.conv_id IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM merged
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1381,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view_join_stream": cdc_incremental_view_join_stream,
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_merge_into": cdc_merge_into,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1681,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_view_join_stream": CDC_MVJ_SQL,
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "cdc_point_lookup": CDC_POINT_LOOKUP_SQL,
+        "cdc_merge_into": CDC_MERGE_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,

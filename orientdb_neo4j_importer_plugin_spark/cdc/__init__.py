@@ -1,4 +1,5 @@
 from .apply import ApplyResult, apply_changes
+from .merge import merge_into
 from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
 from .replay import replay_quarantine
 
@@ -6,6 +7,7 @@ __all__ = [
     "ApplyResult",
     "apply_changes",
     "lww_resolve",
+    "merge_into",
     "lww_resolve_salted",
     "lww_resolve_window",
     "replay_quarantine",

@@ -1,0 +1,185 @@
+"""MERGE INTO semantics: clause routing, assignments, idempotence, modes."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes, merge_into
+from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
+from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
+from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("qty", IntegerType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+
+def _table(spark, tmp_path, rows):
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, "id", num_buckets=4, key_columns=["id"]
+    )
+    feed = spark.createDataFrame(
+        [(i + 1, "I", *r) for i, r in enumerate(rows)],
+        StructType(
+            [StructField("lsn", LongType(), False), StructField("op", StringType(), False)]
+            + list(SCHEMA.fields)
+        ),
+    )
+    apply_changes(feed, table, batch_id="seed", mode="mor")
+    return table
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(table):
+    return {
+        r["id"]: (r["qty"], r["note"]) for r in table.read().collect()
+    }
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    table = _table(
+        spark, tmp_path, [("a", 1, "keep"), ("b", 2, "upd"), ("c", 3, "del")]
+    )
+    src = _src(
+        spark,
+        [
+            ("b", 20, "neu"),   # matched -> update
+            ("c", None, None),  # matched -> delete (qty null)
+            ("d", 4, "new"),    # not matched -> insert
+        ],
+    )
+    res = merge_into(
+        table,
+        src,
+        when_matched_delete="s.qty IS NULL",
+        when_matched_update="*",
+        when_not_matched_insert="*",
+        batch_id="m1",
+        mode="mor",
+    )
+    assert res.keys_changed == 3
+    assert _state(table) == {
+        "a": (1, "keep"),
+        "b": (20, "neu"),
+        "d": (4, "new"),
+    }
+    # exactly-once: replaying the same merge batch is a committed no-op
+    v = table.current().version
+    res2 = merge_into(
+        table,
+        src,
+        when_matched_delete="s.qty IS NULL",
+        when_matched_update="*",
+        when_not_matched_insert="*",
+        batch_id="m1",
+        mode="mor",
+    )
+    assert res2.skipped_replay and table.current().version == v
+
+
+def test_merge_expression_assignments_and_conditions(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x"), ("b", 10, "y")])
+    src = _src(spark, [("a", 5, None), ("b", 1, None), ("z", 7, "zz")])
+    merge_into(
+        table,
+        src,
+        # only bump rows where the source qty is larger; note keeps t's value
+        matched_condition="s.qty > t.qty",
+        when_matched_update={"qty": "t.qty + s.qty"},
+        # inserts gated + expression-built
+        not_matched_condition="s.qty > 5",
+        when_not_matched_insert={"qty": "s.qty * 100", "note": F.upper(F.col("s.note"))},
+        batch_id="m2",
+    )
+    assert _state(table) == {
+        "a": (6, "x"),    # 1+5, note untouched
+        "b": (10, "y"),   # matched_condition false -> no-op
+        "z": (700, "ZZ"),
+    }
+
+
+def test_merge_delete_only_and_update_only(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x"), ("b", 2, "y")])
+    merge_into(
+        table,
+        _src(spark, [("a", None, None), ("nope", None, None)]),
+        when_matched_delete="true",
+        when_not_matched_insert=None,  # unmatched source rows are no-ops
+        batch_id="d1",
+    )
+    assert _state(table) == {"b": (2, "y")}
+    merge_into(
+        table,
+        _src(spark, [("b", 0, "patched"), ("ghost", 9, "9")]),
+        when_matched_update={"note": "s.note"},
+        when_not_matched_insert=None,
+        batch_id="u1",
+    )
+    assert _state(table) == {"b": (2, "patched")}
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x")])
+    dup = _src(spark, [("a", 1, "p"), ("a", 2, "q")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(table, dup, when_matched_update="*", batch_id="dup")
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(
+            table,
+            _src(spark, []),
+            when_matched_update=None,
+            when_not_matched_insert=None,
+        )
+    with pytest.raises(ValueError, match="missing key"):
+        merge_into(table, _src(spark, []).drop("id"), when_matched_update="*")
+
+
+def test_merge_is_an_ordinary_cdc_batch(spark, tmp_path):
+    """Downstream CDC consumers (changelog) must see the merge like any
+    applied batch, and its lsn must sit above all stored lsns."""
+    feed = gen_feed(spark, n_convs=12, turns_per_conv=4, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tt"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(feed, table, batch_id="seed", mode="mor")
+    v0 = table.current().version
+    src = table.read().filter("turn_idx = 0").withColumn(
+        "text", F.lit("REDACTED")
+    )
+    merge_into(table, src, when_matched_update={"text": "s.text"}, batch_id="m", mode="mor")
+    ch = table.changelog(v0, table.current().version).collect()
+    assert ch and {r["op"] for r in ch} == {"U"}
+    assert all(r["turn_idx"] == 0 and r["text"] == "REDACTED" for r in ch)
+    got = {r["text"] for r in table.read().filter("turn_idx = 0").collect()}
+    assert got == {"REDACTED"}
+
+
+def test_merge_cow_equals_mor(spark, tmp_path):
+    rows = [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")]
+    src = [("a", 9, "A"), ("q", 8, "Q"), ("c", None, None)]
+    t1 = _table(spark, tmp_path / "cow", rows)
+    t2 = _table(spark, tmp_path / "mor", rows)
+    for t, mode in [(t1, "cow"), (t2, "mor")]:
+        merge_into(
+            t,
+            _src(spark, src),
+            when_matched_delete="s.qty IS NULL",
+            when_matched_update="*",
+            when_not_matched_insert="*",
+            batch_id="m",
+            mode=mode,
+        )
+    assert _state(t1) == _state(t2)
