@@ -305,6 +305,7 @@ def main() -> None:
         "cdc_lang_view",
         "cdc_time_travel",
         "cdc_point_lookup",
+        "cdc_merge_into",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

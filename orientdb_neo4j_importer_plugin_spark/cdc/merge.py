@@ -154,31 +154,41 @@ def merge_into(
         op = F.when(m_gate & _as_col(when_matched_delete), F.lit("D")).otherwise(op)
 
     src_payload = {c for c in source.columns if c not in keys}
+    known = {c.lower() for c in payload}
+    for clause, action in (
+        ("when_matched_update", when_matched_update),
+        ("when_not_matched_insert", when_not_matched_insert),
+    ):
+        if isinstance(action, dict):
+            bad = [c for c in action if c.lower() not in known]
+            if bad:
+                raise ValueError(
+                    f"{clause} assigns unknown columns {bad} "
+                    f"(table columns: {payload}); merge_into never evolves "
+                    "schema — add columns via apply_changes/evolve_schema first"
+                )
 
-    def _assigned(action, c: str) -> Column:
+    def _assigned(action, c: str) -> Column | None:
+        # "*" on UPDATE: columns the source lacks keep the target's value
+        # (returning None routes to the t-fallback); on INSERT they null.
         if action == "*":
-            return F.col(f"s.{c}") if c in src_payload else F.lit(None).cast(types[c])
+            return F.col(f"s.{c}") if c in src_payload else None
         e = action.get(c)
         return _as_col(e) if e is not None else None
 
     def _value(c: str) -> Column:
         if c in keys:
             return F.col(f"s.{c}")
-        upd = (
-            _assigned(when_matched_update, c)
-            if when_matched_update is not None
-            else None
-        )
-        ins = (
-            _assigned(when_not_matched_insert, c)
-            if when_not_matched_insert is not None
-            else None
-        )
         v = F.lit(None).cast(types[c])
-        if ins is not None:
-            v = F.when(F.col("op") == "I", ins).otherwise(v)
+        if when_not_matched_insert is not None:
+            ins = _assigned(when_not_matched_insert, c)
+            v = F.when(
+                F.col("op") == "I",
+                ins if ins is not None else F.lit(None).cast(types[c]),
+            ).otherwise(v)
         if when_matched_update is not None:
             # unassigned columns keep the target's value on UPDATE
+            upd = _assigned(when_matched_update, c)
             v = F.when(
                 F.col("op") == "U", upd if upd is not None else F.col(f"t.{c}")
             ).otherwise(v)

@@ -183,3 +183,33 @@ def test_merge_cow_equals_mor(spark, tmp_path):
             mode=mode,
         )
     assert _state(t1) == _state(t2)
+
+
+def test_merge_update_star_with_partial_source_keeps_target_columns(spark, tmp_path):
+    """UPDATE SET * with a source lacking some payload columns must keep
+    the target's values for them, never null them (the Delta contract is
+    to reject; keeping t's value is the keep-semantics superset and is
+    what unassigned dict columns already do)."""
+    table = _table(spark, tmp_path, [("a", 1, "precious")])
+    src = spark.createDataFrame(
+        [("a", 99)],
+        StructType(
+            [StructField("id", StringType(), False), StructField("qty", IntegerType(), True)]
+        ),
+    )
+    merge_into(table, src, when_matched_update="*", batch_id="p")
+    assert _state(table) == {"a": (99, "precious")}
+
+
+def test_merge_unknown_assignment_column_rejected(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x")])
+    src = _src(spark, [("a", 2, "y")])
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(table, src, when_matched_update={"nope": "s.qty"}, batch_id="u")
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(
+            table, src,
+            when_matched_update=None,
+            when_not_matched_insert={"ghost": "1"},
+            batch_id="i",
+        )
