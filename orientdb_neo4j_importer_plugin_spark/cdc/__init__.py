@@ -1,14 +1,16 @@
 from .apply import ApplyResult, apply_changes
-from .merge import merge_into
+from .merge import delete_where, merge_into, update_where
 from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
 from .replay import replay_quarantine
 
 __all__ = [
     "ApplyResult",
     "apply_changes",
+    "delete_where",
     "lww_resolve",
     "merge_into",
     "lww_resolve_salted",
     "lww_resolve_window",
     "replay_quarantine",
+    "update_where",
 ]

@@ -55,6 +55,17 @@ def _as_col(e: Column | str) -> Column:
     return F.expr(e) if isinstance(e, str) else e
 
 
+def _next_lsn(table: SnapshotTable, snap) -> int:
+    """First lsn strictly above every stored lsn — metadata-only (parquet
+    footer stats already collected per file), so a DML statement commits
+    as an ordinary CDC batch that replays AFTER the whole ingested feed."""
+    stats = table.file_stats(snap)
+    return 1 + max(
+        (s["lsn_max"] for s in stats.values() if s.get("lsn_max") is not None),
+        default=0,
+    )
+
+
 def merge_into(
     table: SnapshotTable,
     source: DataFrame,
@@ -196,11 +207,7 @@ def merge_into(
 
     # merge commits one event per affected key ABOVE every stored lsn:
     # CDC consumers replay it as an ordinary batch
-    stats = table.file_stats(snap)
-    lsn = 1 + max(
-        (s_["lsn_max"] for s_ in stats.values() if s_.get("lsn_max") is not None),
-        default=0,
-    )
+    lsn = _next_lsn(table, snap)
     events = (
         joined.withColumn("op", op)
         .filter(F.col("op").isNotNull())
@@ -217,4 +224,125 @@ def merge_into(
         mode=mode,
         quarantine=quarantine,
         lineage_extra={"merge_into": True},
+    )
+
+
+def delete_where(
+    table: SnapshotTable,
+    condition: Column | str,
+    *,
+    batch_id: str | None = None,
+    mode: str = "cow",
+    quarantine: bool = False,
+) -> ApplyResult:
+    """``DELETE FROM table WHERE condition`` compiled onto the CDC path.
+
+    Iceberg/Delta-shaped predicate delete — the reference's ``-o``
+    overwrite drop is the degenerate ``condition=lit(True)`` case
+    (``ONeo4jImporterPlugin.java`` option handling). `condition` is a SQL
+    string (or Column) over the table's columns, evaluated against the
+    current LWW state; rows where it is TRUE are deleted (NULL/FALSE
+    keep the row, standard three-valued DELETE semantics).
+
+    Plan: one scan of the merged state to find victims — a predicate on
+    the key columns pushes below the LWW window, so key-targeted deletes
+    prune at the parquet scan — then one D event per victim key at
+    ``max stored lsn + 1`` through `apply_changes`, which bucket-routes
+    the rewrite to touched buckets only (COW) or appends tombstone
+    deltas (MOR). Exactly-once per `batch_id`; CDC consumers (changelog,
+    mirrors, streamed views) replay it as one ordinary atomic batch.
+    """
+    snap = table.current()
+    keys = snap.keys
+    payload = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    lsn = _next_lsn(table, snap)
+    events = (
+        table.read(snap)
+        .filter(_as_col(condition))
+        .select(
+            F.lit("D").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            *[
+                (F.col(c) if c in keys else F.lit(None).cast(types[c])).alias(c)
+                for c in payload
+            ],
+        )
+    )
+    return apply_changes(
+        events,
+        table,
+        batch_id=batch_id,
+        mode=mode,
+        quarantine=quarantine,
+        lineage_extra={"delete_where": True},
+    )
+
+
+def update_where(
+    table: SnapshotTable,
+    condition: Column | str,
+    assignments: dict[str, Column | str],
+    *,
+    batch_id: str | None = None,
+    mode: str = "cow",
+    quarantine: bool = False,
+) -> ApplyResult:
+    """``UPDATE table SET assignments WHERE condition`` on the CDC path.
+
+    `assignments` maps column name -> SQL expression (or Column) over the
+    row's CURRENT values (``{"text": "upper(text)"}``); unassigned
+    columns keep their value — the emitted U event carries the full row,
+    so downstream LWW replicas converge bit-identically. Key columns
+    cannot be assigned (a key change is a delete + insert — use
+    `merge_into` or two statements; silently rerouting rows between
+    buckets inside an UPDATE invites lost-update surprises).
+
+    Same plan shape as `delete_where`: one state scan for victims
+    (key-column predicates push below the LWW window and prune the
+    parquet scan), one full-row U event per victim at
+    ``max stored lsn + 1``, exactly-once through `apply_changes`.
+    """
+    if not assignments:
+        raise ValueError("update_where with no assignments is a no-op; give at least one")
+    snap = table.current()
+    keys = snap.keys
+    payload = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    known = {c.lower(): c for c in payload}
+    bad = [c for c in assignments if c.lower() not in known]
+    if bad:
+        raise ValueError(
+            f"update_where assigns unknown columns {bad} (table columns: "
+            f"{payload}); UPDATE never evolves schema — add columns via "
+            "apply_changes/evolve_schema first"
+        )
+    keyed = [c for c in assignments if known[c.lower()] in keys]
+    if keyed:
+        raise ValueError(
+            f"update_where cannot assign key columns {keyed}: a key change "
+            "is a delete + insert (use merge_into, or delete_where + "
+            "apply_changes)"
+        )
+    assigned = {known[c.lower()]: _as_col(e) for c, e in assignments.items()}
+    lsn = _next_lsn(table, snap)
+    events = (
+        table.read(snap)
+        .filter(_as_col(condition))
+        .select(
+            F.lit("U").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            *[
+                (assigned[c].cast(types[c]) if c in assigned else F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
+    )
+    return apply_changes(
+        events,
+        table,
+        batch_id=batch_id,
+        mode=mode,
+        quarantine=quarantine,
+        lineage_extra={"update_where": True},
     )

@@ -10,7 +10,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from orientdb_neo4j_importer_plugin_spark.cdc import apply_changes, merge_into
+from orientdb_neo4j_importer_plugin_spark.cdc import (
+    apply_changes,
+    delete_where,
+    merge_into,
+    update_where,
+)
 from orientdb_neo4j_importer_plugin_spark.feedgen import gen_feed
 from orientdb_neo4j_importer_plugin_spark.lake import SnapshotTable
 from orientdb_neo4j_importer_plugin_spark.schema import TRANSCRIPTS_V1
@@ -213,3 +218,97 @@ def test_merge_unknown_assignment_column_rejected(spark, tmp_path):
             when_not_matched_insert={"ghost": "1"},
             batch_id="i",
         )
+
+
+# -- DELETE WHERE / UPDATE WHERE -------------------------------------------
+
+
+def test_delete_where_basic_and_null_condition_keeps_row(spark, tmp_path):
+    """Rows where the predicate is TRUE are deleted; NULL/FALSE keep the
+    row (three-valued DELETE semantics)."""
+    table = _table(
+        spark, tmp_path, [("a", 1, "x"), ("b", None, "y"), ("c", 3, "z")]
+    )
+    delete_where(table, "qty > 2", batch_id="d1")
+    assert _state(table) == {"a": (1, "x"), "b": (None, "y")}  # b: NULL > 2 is NULL
+
+
+def test_delete_where_true_empties_table(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x"), ("b", 2, "y")])
+    delete_where(table, F.lit(True), batch_id="all")
+    assert _state(table) == {}
+
+
+def test_delete_where_no_match_is_noop_commit(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x")])
+    delete_where(table, "qty > 100", batch_id="none")
+    assert _state(table) == {"a": (1, "x")}
+
+
+def test_delete_where_is_an_ordinary_cdc_batch_and_idempotent(spark, tmp_path):
+    feed = gen_feed(spark, n_convs=10, turns_per_conv=4, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tt"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(feed, table, batch_id="seed", mode="mor")
+    v0 = table.current().version
+    before = table.read().count()
+    victims = table.read().filter("turn_idx >= 2").count()
+    delete_where(table, "turn_idx >= 2", batch_id="dw", mode="mor")
+    ch = table.changelog(v0, table.current().version).collect()
+    assert {r["op"] for r in ch} == {"D"} and len(ch) == victims
+    # replay is a ledgered no-op
+    v1 = table.current().version
+    delete_where(table, "turn_idx >= 0", batch_id="dw", mode="mor")
+    assert table.current().version == v1
+    assert table.read().count() == before - victims
+    assert table.read().filter("turn_idx >= 2").count() == 0
+
+
+def test_update_where_assignments_and_unassigned_kept(spark, tmp_path):
+    table = _table(
+        spark, tmp_path, [("a", 1, "x"), ("b", None, "y"), ("c", 3, "z")]
+    )
+    update_where(
+        table, "qty >= 1", {"note": F.upper("note"), "qty": "qty * 10"}, batch_id="u1"
+    )
+    # b's NULL predicate leaves it untouched; unassigned columns persist
+    assert _state(table) == {"a": (10, "X"), "b": (None, "y"), "c": (30, "Z")}
+
+
+def test_update_where_rejects_keys_unknowns_empty(spark, tmp_path):
+    table = _table(spark, tmp_path, [("a", 1, "x")])
+    with pytest.raises(ValueError, match="key columns"):
+        update_where(table, "qty = 1", {"id": "'zzz'"}, batch_id="k")
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(table, "qty = 1", {"ghost": "1"}, batch_id="g")
+    with pytest.raises(ValueError, match="no assignments"):
+        update_where(table, "qty = 1", {}, batch_id="e")
+    assert _state(table) == {"a": (1, "x")}
+
+
+def test_delete_update_where_cow_equals_mor(spark, tmp_path):
+    rows = [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z"), ("d", None, "w")]
+    t1 = _table(spark, tmp_path / "cow", rows)
+    t2 = _table(spark, tmp_path / "mor", rows)
+    for t, mode in [(t1, "cow"), (t2, "mor")]:
+        update_where(t, "qty <= 2", {"note": "note || '!'"}, batch_id="u", mode=mode)
+        delete_where(t, "qty = 3", batch_id="d", mode=mode)
+    assert _state(t1) == _state(t2) == {
+        "a": (1, "x!"), "b": (2, "y!"), "d": (None, "w")
+    }
+
+
+def test_update_where_visible_to_changelog_with_preimage(spark, tmp_path):
+    """CDC consumers see the UPDATE as full-row U events above every
+    stored lsn, so a mirror replaying the envelope converges."""
+    feed = gen_feed(spark, n_convs=8, turns_per_conv=3, updates_per_key=1)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tt"), TRANSCRIPTS_V1, "conv_id", num_buckets=4
+    )
+    apply_changes(feed, table, batch_id="seed", mode="mor")
+    v0 = table.current().version
+    update_where(table, "role = 'user'", {"text": "upper(text)"}, batch_id="uw", mode="mor")
+    ch = table.changelog(v0, table.current().version).collect()
+    assert ch and {r["op"] for r in ch} == {"U"}
+    assert all(r["role"] == "user" and r["text"] == r["text"].upper() for r in ch)
