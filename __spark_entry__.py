@@ -1082,6 +1082,60 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_dml_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... WHERE then DELETE ... WHERE compiled onto the CDC path
+    (cdc/merge.py delete_where/update_where): replay the feed as
+    out-of-order MOR batches, UPDATE user turns to uppercase text, then
+    DELETE rows matching a predicate over a NULLABLE column — `tool >=
+    'a'` is NULL for tool-less turns, so the row proves three-valued SQL
+    DELETE semantics (NULL keeps the row) as well as statement ordering
+    (the delete sees post-update state). Each statement is one state
+    scan plus one full-row event per victim at max-stored-lsn+1 through
+    apply_changes — exactly-once, changelog/mirror-visible. Oracle:
+    same algebra over the from-scratch LWW state with CASE + IS NOT
+    TRUE."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import (
+        delete_where,
+        update_where,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_dml_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="w1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="w0", mode="mor")
+    update_where(
+        table, "role = 'user'", {"text": "upper(text)"},
+        batch_id="uw", mode="mor",
+    )
+    delete_where(
+        table, "tool >= 'a' AND turn_idx >= 2", batch_id="dw", mode="mor"
+    )
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_DML_WHERE_SQL = f"""
+{_STATE_CTE},
+updated AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'user' THEN upper(text) ELSE text END AS text,
+         tool, ts
+  FROM state
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM updated
+WHERE (tool >= 'a' AND turn_idx >= 2) IS NOT TRUE
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1471,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keyrange_scan": cdc_keyrange_scan,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_merge_into": cdc_merge_into,
+        "cdc_dml_where": cdc_dml_where,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1772,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_keyrange_scan": CDC_KEYRANGE_SQL,
         "cdc_point_lookup": CDC_POINT_LOOKUP_SQL,
         "cdc_merge_into": CDC_MERGE_SQL,
+        "cdc_dml_where": CDC_DML_WHERE_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,
