@@ -595,6 +595,213 @@ class SnapshotTable:
             dest.set_table_props(**props)
         return dest
 
+    # -- refs: tags + branches (Iceberg named-references analogue) -------------
+    #
+    # A TAG pins a version by name (audit points, release cuts); a BRANCH is
+    # a shallow clone under `root/branches/<name>` whose BASE version is
+    # pinned on this table for the branch's lifetime. Pins are honored by
+    # expire_snapshots (a pinned version is never expired, so the files a
+    # branch borrows stay alive); vacuum_orphans already treats every
+    # retained snapshot's files as live. The write-audit-publish flow:
+    #
+    #     br = table.create_branch("wap")      # metadata-only fork
+    #     apply_changes(feed, br, ...)         # stage risky work on br
+    #     ... audit br.read() ...              # verify before exposure
+    #     table.publish_branch("wap")          # fast-forward onto main
+    #
+    # Refs mutations are tiny metadata writes serialized under the table's
+    # commit mutex; expire_snapshots reads refs at entry (maintenance and
+    # ref churn are operator-plane — same single-maintainer assumption as
+    # the rest of maintain()).
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def refs(self) -> dict:
+        """``{"tags": {name: version}, "branches": {name: {"base_version":
+        v}}}`` — always returns both keys."""
+        try:
+            with open(self._refs_path()) as fh:
+                d = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            d = {}
+        d.setdefault("tags", {})
+        d.setdefault("branches", {})
+        return d
+
+    def _mutate_refs(self, fn) -> dict:
+        with self.commit_store.mutex(self.meta_dir):
+            refs = self.refs()
+            fn(refs)
+            tmp = self._refs_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(refs, fh)
+            os.replace(tmp, self._refs_path())
+        return refs
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"ref name {name!r} must be non-empty [A-Za-z0-9._-]"
+            )
+
+    def create_tag(self, name: str, snapshot: "Snapshot | None" = None) -> int:
+        """Pin `snapshot` (default: current) under a name. The pinned
+        version survives expire_snapshots until drop_tag. Re-creating an
+        existing tag at a different version raises (tags are immutable,
+        Iceberg semantics); at the same version it is a no-op."""
+        self._check_ref_name(name)
+        version = (snapshot or self.current()).version
+
+        def mutate(refs):
+            prev = refs["tags"].get(name)
+            if prev is not None and prev != version:
+                raise ValueError(
+                    f"tag {name!r} already pins v{prev} (tags are immutable; "
+                    "drop_tag first)"
+                )
+            refs["tags"][name] = version
+
+        self._mutate_refs(mutate)
+        return version
+
+    def drop_tag(self, name: str) -> None:
+        self._mutate_refs(lambda refs: refs["tags"].pop(name, None))
+
+    def snapshot_at_tag(self, name: str) -> Snapshot:
+        tags = self.refs()["tags"]
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} (tags: {sorted(tags)})")
+        return self.snapshot_at(tags[name])
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self.root, "branches", name)
+
+    def create_branch(
+        self, name: str, snapshot: "Snapshot | None" = None
+    ) -> "SnapshotTable":
+        """Fork a branch at `snapshot` (default: current): a zero-copy
+        shallow clone under ``root/branches/<name>`` — pure metadata, so
+        forking a 100 TB table costs milliseconds — whose base version is
+        PINNED on this table (expire_snapshots keeps it and its files
+        alive) until publish_branch/drop_branch. The branch is a full
+        SnapshotTable: apply_changes/merge_into/DML/compact all work on it
+        unchanged, and its commits never touch this table's data."""
+        self._check_ref_name(name)
+        snap = snapshot or self.current()
+
+        def mutate(refs):
+            if name in refs["branches"]:
+                raise ValueError(f"branch {name!r} already exists")
+            refs["branches"][name] = {"base_version": snap.version}
+
+        self._mutate_refs(mutate)
+        try:
+            return self.clone(self._branch_root(name), snapshot=snap)
+        except BaseException:
+            self._mutate_refs(lambda refs: refs["branches"].pop(name, None))
+            raise
+
+    def branch(self, name: str) -> "SnapshotTable":
+        if name not in self.refs()["branches"]:
+            raise KeyError(
+                f"no branch {name!r} (branches: {sorted(self.refs()['branches'])})"
+            )
+        return SnapshotTable.load(
+            self.spark, self._branch_root(name), commit_store=self.commit_store
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: unpin its base and delete its tree (its own
+        commits and data files; borrowed base files belong to this table
+        and are untouched)."""
+        self._mutate_refs(lambda refs: refs["branches"].pop(name, None))
+        shutil.rmtree(self._branch_root(name), ignore_errors=True)
+
+    def publish_branch(self, name: str, *, drop: bool = True) -> Snapshot:
+        """Fast-forward the branch's audited state onto this table as ONE
+        atomic commit (Iceberg `fast_forward` / WAP publish).
+
+        Requires this table's head to still be the branch's base version —
+        a concurrent main commit raises ConcurrentCommitError (publish
+        would otherwise silently drop it; to merge diverged histories,
+        replay the branch's changelog through apply_changes instead, which
+        resolves by LWW). Data files the branch wrote are HARD-LINKED into
+        this table's data dir (immutable files; copy fallback across
+        devices), so after publish main owns every file it references and
+        the branch can be dropped. The branch's ledger carries over —
+        batch ids applied on the branch stay exactly-once on main after
+        publish — and branch-side schema evolution propagates (old main
+        files null-backfill, the standard evolution read path). Crash
+        between linking and the commit leaves only orphan links that
+        vacuum_orphans sweeps; re-running publish is idempotent up to the
+        pointer CAS."""
+        entry = self.refs()["branches"].get(name)
+        if entry is None:
+            raise KeyError(f"no branch {name!r}")
+        base = entry["base_version"]
+        br = self.branch(name)
+        bsnap = br.current()
+        if bsnap.version == 0:  # no branch commits: nothing to publish
+            if drop:
+                self.drop_branch(name)
+            return self.current()
+        head = self.current()
+        if head.version != base:
+            raise ConcurrentCommitError(
+                f"publish_branch({name!r}) is fast-forward-only: main moved "
+                f"v{base} -> v{head.version} since the fork; replay the "
+                "branch changelog via apply_changes to merge, or re-branch"
+            )
+        br_data = br.data_dir.rstrip(os.sep) + os.sep
+        br_stats = br.file_stats(bsnap)
+
+        def adopt(f: str) -> str:
+            if not f.startswith(br_data):
+                return f  # borrowed from main at fork time — already ours
+            target = os.path.join(self.data_dir, f[len(br_data):])
+            if not os.path.exists(target):
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                try:
+                    os.link(f, target)
+                except OSError:
+                    shutil.copy2(f, target)
+            if f in br_stats:
+                self._stats_cache[target] = br_stats[f]
+            return target
+
+        base_ledger = self.snapshot_at(base).ledger
+        new_version = head.version + 1
+        snap = Snapshot(
+            version=new_version,
+            schema_json=bsnap.schema_json,
+            num_buckets=bsnap.num_buckets,
+            partition_key=bsnap.partition_key,
+            buckets={b: [adopt(f) for f in fs] for b, fs in bsnap.buckets.items()},
+            ledger={
+                k: (v if k in base_ledger else new_version)
+                for k, v in bsnap.ledger.items()
+            },
+            lineage=[
+                {
+                    "published_branch": name,
+                    "branch_version": bsnap.version,
+                    "base_version": base,
+                    "commit_epoch": time.time(),
+                }
+            ],
+            parent=head.version,
+            committed_at=time.time(),
+            deltas={b: [adopt(f) for f in fs] for b, fs in bsnap.deltas.items()},
+            key_columns=list(bsnap.keys),
+            patch_cols=bsnap.patch_cols,
+        )
+        self._write_snapshot(snap, expected_parent=base)
+        if drop:
+            self.drop_branch(name)
+        return snap
+
     # -- snapshot plumbing ---------------------------------------------------
 
     def _pointer_path(self) -> str:
@@ -2800,7 +3007,9 @@ class SnapshotTable:
         Retention is anchored on the POINTER, not on the highest version
         file: an orphan claim from a crashed writer (version file ahead of
         the pointer) must neither count toward retention nor cause the
-        live pointed snapshot to be expired."""
+        live pointed snapshot to be expired. Versions pinned by refs —
+        tags, and the base versions of live branches (whose shallow clones
+        borrow the pinned snapshot's files) — are never expired."""
         with open(self._pointer_path()) as fh:
             pointed = int(fh.read().strip())
         versions = sorted(
@@ -2812,7 +3021,11 @@ class SnapshotTable:
             )
             if v <= pointed  # orphan claims handled by _reclaim_orphan_claim
         )
-        keep = set(versions[-keep_last:]) | {pointed}
+        refs = self.refs()
+        pins = set(refs["tags"].values()) | {
+            b["base_version"] for b in refs["branches"].values()
+        }
+        keep = set(versions[-keep_last:]) | {pointed} | (pins & set(versions))
         live: set[str] = set()
         live_manifests: set[str] = set()
         for v in keep:
