@@ -1136,6 +1136,57 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through refs (lake/table.py create_branch /
+    publish_branch): replay the feed as out-of-order MOR batches, fork a
+    zero-copy branch, stage an UPDATE plus a DELETE on the BRANCH (main
+    never sees them), then fast-forward publish — one atomic commit that
+    adopts the branch's files by hard-link. Returned state is MAIN after
+    publish; the oracle applies the staged algebra directly to the
+    from-scratch LWW state, so the row proves the published values are
+    exactly the audited ones (not merely row counts)."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import (
+        delete_where,
+        update_where,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_wap_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="w1", mode="mor")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="w0", mode="mor")
+    br = table.create_branch("wap")
+    update_where(
+        br, "role = 'assistant'", {"text": "concat(text, ' [audited]')"},
+        batch_id="stage-u", mode="mor",
+    )
+    delete_where(br, "turn_idx >= 6", batch_id="stage-d", mode="mor")
+    table.publish_branch("wap")
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_WAP_PUBLISH_SQL = f"""
+{_STATE_CTE},
+updated AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'assistant' THEN text || ' [audited]' ELSE text END AS text,
+         tool, ts
+  FROM state
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM updated
+WHERE turn_idx < 6
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1526,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_merge_into": cdc_merge_into,
         "cdc_dml_where": cdc_dml_where,
+        "cdc_wap_publish": cdc_wap_publish,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1828,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": CDC_POINT_LOOKUP_SQL,
         "cdc_merge_into": CDC_MERGE_SQL,
         "cdc_dml_where": CDC_DML_WHERE_SQL,
+        "cdc_wap_publish": CDC_WAP_PUBLISH_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,
