@@ -759,7 +759,11 @@ class SnapshotTable:
 
         def adopt(f: str) -> str:
             if not f.startswith(br_data):
-                return f  # borrowed from main at fork time — already ours
+                # borrowed from main at fork time — already ours; carry the
+                # branch-manifest stats in case main hasn't cached them
+                if f in br_stats:
+                    self._stats_cache.setdefault(f, br_stats[f])
+                return f
             target = os.path.join(self.data_dir, f[len(br_data):])
             if not os.path.exists(target):
                 os.makedirs(os.path.dirname(target), exist_ok=True)
