@@ -187,3 +187,42 @@ def test_published_changes_are_cdc_visible(spark, tmp_path):
     ch = table.changelog(v0, table.current().version)
     ops = {r["op"] for r in ch.select("op").distinct().collect()}
     assert ops == {"U"} and ch.count() > 0
+
+
+def test_refs_cli_end_to_end(spark, tmp_path):
+    """Drive the full WAP flow with refs_cli subprocesses for the refs
+    steps (which start NO Spark — each must return in well under the JVM
+    startup time) and the normal engine surface for the staging step."""
+    import json
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    table, _ = _mk(spark, tmp_path, name="rc")
+
+    def refs(*argv):
+        t0 = _time.time()
+        out = subprocess.run(
+            [_sys.executable, "-m",
+             "orientdb_neo4j_importer_plugin_spark.refs_cli",
+             "--table", table.root, *argv],
+            capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert _time.time() - t0 < 15  # metadata-only: no JVM spin-up
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert refs("tag", "pre")["pinned_version"] == table.current().version
+    got = refs("branch", "wap")
+    assert got["branch_root"].endswith("branches/wap")
+    # stage on the branch through the normal engine surface
+    br = table.branch("wap")
+    update_where(br, "turn_idx = 0", {"text": "'published'"}, batch_id="s", mode="mor")
+    staged = _state(br)
+    pub = refs("publish", "wap")
+    assert pub["published_version"] == table.current().version
+    assert _state(table) == staged
+    listed = refs("list")
+    assert listed["tags"] == {"pre": 1} and listed["branches"] == {}
+    refs("drop-tag", "pre")
+    assert SnapshotTable.load(spark, table.root).refs()["tags"] == {}
