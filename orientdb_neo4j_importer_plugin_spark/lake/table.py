@@ -806,6 +806,36 @@ class SnapshotTable:
             self.drop_branch(name)
         return snap
 
+    def merge_branch(self, name: str, *, drop: bool = True, mode: str = "mor"):
+        """LWW merge of a branch whose base this table has moved past
+        (where publish_branch refuses): replay the branch's net per-key
+        changes since the fork onto main through the envelope replication
+        path (`sources.debezium.replicate_changelog`) as ONE exactly-once
+        batch. Branch rows carry their real winning lsns, so keys edited
+        on BOTH sides since the fork resolve by last-writer-wins exactly
+        like any two concurrent CDC writers — a semantic merge, not a
+        three-way diff. O(changed keys), never O(table). Unlike publish,
+        branch-side DATA is rewritten into main's files by the apply
+        (so the result is main-owned by construction).
+
+        Returns the apply's `ApplyResult`."""
+        if name not in self.refs()["branches"]:
+            raise KeyError(f"no branch {name!r}")
+        br = self.branch(name)
+        bsnap = br.current()
+        if bsnap.version > 0:
+            from ..sources.debezium import replicate_changelog
+
+            result = replicate_changelog(
+                br, self, 0, bsnap.version,
+                batch_id=f"__merge__{name}@{bsnap.version}", mode=mode,
+            )
+        else:
+            result = None  # nothing staged
+        if drop:
+            self.drop_branch(name)
+        return result
+
     # -- snapshot plumbing ---------------------------------------------------
 
     def _pointer_path(self) -> str:

@@ -226,3 +226,56 @@ def test_refs_cli_end_to_end(spark, tmp_path):
     assert listed["tags"] == {"pre": 1} and listed["branches"] == {}
     refs("drop-tag", "pre")
     assert SnapshotTable.load(spark, table.root).refs()["tags"] == {}
+
+
+def test_merge_branch_diverged_lww(spark, tmp_path):
+    """Both sides edit since the fork: disjoint keys both land; the SAME
+    key edited on both sides resolves by LWW on lsn — the branch's later
+    write wins over main's earlier one, and vice versa."""
+    table, feed = _mk(spark, tmp_path)
+    br = table.create_branch("b")
+    # branch edits turn 0 (high lsn) and turn 1 (low lsn)
+    apply_changes(
+        feed.filter("turn_idx = 0").withColumn("lsn", F.col("lsn") + 50_000)
+        .withColumn("text", F.lit("branch-wins")),
+        br, batch_id="b-hi", mode="mor",
+    )
+    apply_changes(
+        feed.filter("turn_idx = 1").withColumn("lsn", F.col("lsn") + 10_000)
+        .withColumn("text", F.lit("branch-loses")),
+        br, batch_id="b-lo", mode="mor",
+    )
+    # main moves past the fork point: edits turn 1 (high) and turn 2
+    apply_changes(
+        feed.filter("turn_idx = 1").withColumn("lsn", F.col("lsn") + 50_000)
+        .withColumn("text", F.lit("main-wins")),
+        table, batch_id="m-hi", mode="mor",
+    )
+    apply_changes(
+        feed.filter("turn_idx = 2").withColumn("lsn", F.col("lsn") + 10_000)
+        .withColumn("text", F.lit("main-only")),
+        table, batch_id="m2", mode="mor",
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.publish_branch("b")
+    res = table.merge_branch("b")
+    assert res is not None and "b" not in table.refs()["branches"]
+    texts = {t: set() for t in range(4)}
+    for (c, t), txt in _state(table).items():
+        texts.setdefault(t, set()).add(txt)
+    assert texts[0] == {"branch-wins"}
+    assert texts[1] == {"main-wins"}
+    assert texts[2] == {"main-only"}
+
+
+def test_merge_branch_equals_publish_when_not_diverged(spark, tmp_path):
+    """On a non-diverged main, merge_branch and publish_branch converge to
+    the same LWW state (merge rewrites data; publish links it)."""
+    t1, f1 = _mk(spark, tmp_path, name="m1")
+    t2, _ = _mk(spark, tmp_path, name="m2")
+    for t in (t1, t2):
+        br = t.create_branch("b")
+        update_where(br, "turn_idx = 0", {"text": "'staged'"}, batch_id="s", mode="mor")
+    t1.merge_branch("b")
+    t2.publish_branch("b")
+    assert _state(t1) == _state(t2)
