@@ -1187,6 +1187,55 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE ... AS OF via compensating events (cdc/merge.restore_as_of):
+    apply the odd-lsn half of the feed, tag the snapshot, apply the even
+    half PLUS a destructive DML pass, then restore to the tag. The final
+    state must equal the LWW reduction of the odd half alone — computed
+    from scratch by the oracle — while history moved only FORWARD (the
+    restore is one ordinary CDC batch at max-lsn+1, so mirrors/views
+    converge; tests/test_restore.py proves the replication property)."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import (
+        delete_where,
+        restore_as_of,
+    )
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_rst_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    apply_changes(feed.filter("pmod(lsn, 2) = 1"), table, batch_id="odd", mode="mor")
+    table.create_tag("good")
+    apply_changes(feed.filter("pmod(lsn, 2) = 0"), table, batch_id="even", mode="mor")
+    delete_where(table, "turn_idx >= 4", batch_id="oops", mode="mor")
+    restore_as_of(table, "good", mode="mor")
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx", "text")
+    )
+
+
+CDC_RESTORE_SQL = f"""
+{_FEED_SQL},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+  ) AS rn
+  FROM feed WHERE lsn % 2 = 1
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM state
+ORDER BY conv_id, turn_idx, text
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1578,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": cdc_merge_into,
         "cdc_dml_where": cdc_dml_where,
         "cdc_wap_publish": cdc_wap_publish,
+        "cdc_restore": cdc_restore,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1881,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_into": CDC_MERGE_SQL,
         "cdc_dml_where": CDC_DML_WHERE_SQL,
         "cdc_wap_publish": CDC_WAP_PUBLISH_SQL,
+        "cdc_restore": CDC_RESTORE_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,

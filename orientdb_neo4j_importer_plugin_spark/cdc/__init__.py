@@ -1,5 +1,5 @@
 from .apply import ApplyResult, apply_changes
-from .merge import delete_where, merge_into, update_where
+from .merge import delete_where, merge_into, restore_as_of, update_where
 from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
 from .replay import replay_quarantine
 
@@ -12,5 +12,6 @@ __all__ = [
     "lww_resolve_salted",
     "lww_resolve_window",
     "replay_quarantine",
+    "restore_as_of",
     "update_where",
 ]

@@ -346,3 +346,72 @@ def update_where(
         quarantine=quarantine,
         lineage_extra={"update_where": True},
     )
+
+
+def restore_as_of(
+    table: SnapshotTable,
+    to: int | str,
+    *,
+    batch_id: str | None = None,
+    mode: str = "cow",
+    quarantine: bool = False,
+) -> ApplyResult | None:
+    """``RESTORE TABLE ... [VERSION|TAG] AS OF`` as COMPENSATING CDC events
+    (Delta RESTORE analogue, re-expressed for a replicated lake).
+
+    A pointer rollback would silently break every downstream consumer: the
+    restored rows carry their ORIGINAL (older) lsns, so a mirror or
+    streamed view that already saw the newer writes would reject the
+    rollback by LWW and diverge forever. Instead, restore computes the
+    per-key diff between the current state and the target snapshot —
+    `table.changelog(current, target)` run backwards, whose candidate set
+    comes from the file-level diff, so cost is O(changed keys), never
+    O(table) — and applies it as ONE ordinary batch at ``max stored
+    lsn + 1`` through `apply_changes`. History moves FORWARD to the old
+    state: exactly-once per batch_id, changelog/mirror/view consumers
+    replay it like any other commit and converge, and the batch ledger is
+    preserved (a batch applied before the restore point stays a no-op on
+    replay — restore compensates state, it does not forget history).
+
+    `to` is a retained version number or a tag name. Columns added to the
+    schema AFTER the target snapshot stay in the schema and are nulled on
+    restored rows (values revert; schema evolution is not undone —
+    narrowing a schema under live readers is a different, breaking
+    operation). Requires the target snapshot to be retained
+    (`expire_snapshots` horizon) — pin it with `create_tag` first for
+    planned restore points. Returns None if the table is already at the
+    target version."""
+    snap = table.current()
+    target = (
+        table.snapshot_at_tag(to) if isinstance(to, str) else table.snapshot_at(to)
+    )
+    if target.version == snap.version:
+        return None
+    payload = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    keys = set(snap.keys)
+    diff = table.changelog(snap.version, target.version)
+    have = set(diff.columns)
+    lsn = _next_lsn(table, snap)
+    events = diff.select(
+        F.col("op"),
+        F.lit(lsn).cast("long").alias("lsn"),
+        *[
+            (
+                # keys always present; payload columns added after the
+                # target snapshot are absent from the diff -> null them
+                F.col(c).cast(types[c])
+                if (c in have or c in keys)
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in payload
+        ],
+    )
+    return apply_changes(
+        events,
+        table,
+        batch_id=batch_id or f"__restore__v{target.version}@{snap.version}",
+        mode=mode,
+        quarantine=quarantine,
+        lineage_extra={"restore_as_of": target.version},
+    )

@@ -751,8 +751,9 @@ class SnapshotTable:
         if head.version != base:
             raise ConcurrentCommitError(
                 f"publish_branch({name!r}) is fast-forward-only: main moved "
-                f"v{base} -> v{head.version} since the fork; replay the "
-                "branch changelog via apply_changes to merge, or re-branch"
+                f"v{base} -> v{head.version} since the fork; use "
+                f"merge_branch({name!r}) to LWW-merge diverged histories, "
+                "or re-branch"
             )
         br_data = br.data_dir.rstrip(os.sep) + os.sep
         br_stats = br.file_stats(bsnap)
