@@ -306,6 +306,13 @@ def main() -> None:
         "cdc_time_travel",
         "cdc_point_lookup",
         "cdc_merge_into",
+        # round 5 continuation: predicate DML, branch write-audit-publish,
+        # compensating-event restore (as with cdc_merge_into, the DML/
+        # publish/restore run at construction; the timed run reads the
+        # resulting state)
+        "cdc_dml_where",
+        "cdc_wap_publish",
+        "cdc_restore",
     ]
     times: dict[str, float] = {}
     for name in bench_names:
