@@ -122,3 +122,54 @@ def test_restore_replicates_to_mirror(spark, tmp_path):
     restore_as_of(table, v1, mode="mor")
     replicate_changelog(table, replica, rep_at, batch_id="rep2", mode="mor")
     assert _state(replica) == _state(table) == _state(table, table.snapshot_at(v1))
+
+
+def test_streamed_view_converges_across_restore(spark, tmp_path):
+    """A delete-algebraic streamed sketch view treats the restore like any
+    other commit: after refreshing across it, the maintained cells equal
+    the batch recompute over the restored state bit-for-bit."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from orientdb_neo4j_importer_plugin_spark.lake.sketchview import (
+        StreamedHistView,
+    )
+    from orientdb_neo4j_importer_plugin_spark.operators.temporal import (
+        value_quantiles_hist,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    source = SnapshotTable.create(
+        spark, str(tmp_path / "src"), schema, "event_id",
+        num_buckets=4, key_columns=["event_id"],
+    )
+    state = StreamedHistView.create_state(spark, str(tmp_path / "hist"), num_buckets=4)
+    view = StreamedHistView(source, state)
+
+    def batch(n, lsn0, shift=0.0):
+        return spark.createDataFrame([
+            Row(lsn=lsn0 + i, op="I", event_id=i,
+                event_type=["a", "b"][i % 2], value=(i * 7 % 40) / 4 + shift)
+            for i in range(n)
+        ])
+
+    apply_changes(batch(120, 0), source, batch_id="b1", mode="mor")
+    view.refresh()
+    v1 = source.current().version
+    apply_changes(batch(120, 1000, shift=3.0), source, batch_id="b2", mode="mor")
+    view.refresh()
+    restore_as_of(source, v1, mode="mor")
+    view.refresh()
+    got = sorted(tuple(r) for r in view.hist().collect())
+    want = sorted(tuple(r) for r in value_quantiles_hist(source.read()).collect())
+    assert got == want
