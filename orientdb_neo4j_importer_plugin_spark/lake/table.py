@@ -641,9 +641,16 @@ class SnapshotTable:
 
     @staticmethod
     def _check_ref_name(name: str) -> None:
-        if not name or not all(c.isalnum() or c in "._-" for c in name):
+        # all-dots names ('.', '..') would make the branch root escape
+        # root/branches/ — drop_branch would then rmtree the table itself
+        if (
+            not name
+            or name.strip(".") == ""
+            or not all(c.isalnum() or c in "._-" for c in name)
+        ):
             raise ValueError(
-                f"ref name {name!r} must be non-empty [A-Za-z0-9._-]"
+                f"ref name {name!r} must be non-empty [A-Za-z0-9._-] "
+                "and not all dots"
             )
 
     def create_tag(self, name: str, snapshot: "Snapshot | None" = None) -> int:
@@ -715,9 +722,17 @@ class SnapshotTable:
     def drop_branch(self, name: str) -> None:
         """Discard a branch: unpin its base and delete its tree (its own
         commits and data files; borrowed base files belong to this table
-        and are untouched)."""
-        self._mutate_refs(lambda refs: refs["branches"].pop(name, None))
-        shutil.rmtree(self._branch_root(name), ignore_errors=True)
+        and are untouched). Idempotent; only a tree the refs actually
+        tracked is ever removed."""
+        self._check_ref_name(name)
+        removed: dict = {}
+
+        def mutate(refs):
+            removed["was"] = refs["branches"].pop(name, None)
+
+        self._mutate_refs(mutate)
+        if removed.get("was") is not None:
+            shutil.rmtree(self._branch_root(name), ignore_errors=True)
 
     def publish_branch(self, name: str, *, drop: bool = True) -> Snapshot:
         """Fast-forward the branch's audited state onto this table as ONE

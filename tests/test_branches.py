@@ -279,3 +279,19 @@ def test_merge_branch_equals_publish_when_not_diverged(spark, tmp_path):
     t1.merge_branch("b")
     t2.publish_branch("b")
     assert _state(t1) == _state(t2)
+
+
+def test_ref_name_traversal_rejected_and_drop_untracked_is_safe(spark, tmp_path):
+    """'.'/'..' ref names would make the branch root escape root/branches/
+    (drop_branch would rmtree the TABLE); dropping an untracked name must
+    touch nothing."""
+    table, _ = _mk(spark, tmp_path, name="sec")
+    for bad in (".", "..", "...", "a/b", ""):
+        with pytest.raises(ValueError):
+            table.create_branch(bad)
+        with pytest.raises(ValueError):
+            table.create_tag(bad)
+    with pytest.raises(ValueError):
+        table.drop_branch("..")
+    table.drop_branch("never-created")  # idempotent no-op
+    assert os.path.exists(table.meta_dir) and _state(table)
