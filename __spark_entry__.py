@@ -1236,6 +1236,96 @@ ORDER BY conv_id, turn_idx, text
 """
 
 
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 batch fold (cdc/scd.scd2_history): every I/U event in
+    the feed becomes a history row valid [its lsn, the key's next event's
+    lsn); deletes close intervals without emitting rows; is_current marks
+    keys whose last event was not a delete. ONE key-partitioned window —
+    the oracle is DuckDB's own LEAD over the identical feed."""
+    from orientdb_neo4j_importer_plugin_spark.cdc import scd2_history
+
+    feed = feed_from_tpch(spark, sf_dir)
+    return scd2_history(
+        feed, ["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool", "ts"],
+    ).orderBy("conv_id", "turn_idx", "valid_from_lsn")
+
+
+CDC_SCD2_SQL = f"""
+{_FEED_SQL},
+hist AS (
+  SELECT *, lead(lsn) OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn
+  ) AS valid_to_lsn
+  FROM feed
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM hist WHERE op <> 'D'
+ORDER BY conv_id, turn_idx, valid_from_lsn
+"""
+
+
+def cdc_scd2_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 history table (cdc/scd.Scd2View):
+    apply the feed as three op-band commits (I, then U, then D — each key
+    changes at most once per commit modulo in-band LWW collapse), then
+    refresh the view per source version over changelog_envelope. The
+    oracle reconstructs per-commit granularity independently: band
+    winners (in-band LWW) chained by LEAD."""
+    from orientdb_neo4j_importer_plugin_spark.cdc.scd import Scd2View
+
+    feed = feed_from_tpch(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_scd2_")
+    table = SnapshotTable.create(
+        spark, os.path.join(root, "transcripts"), TRANSCRIPTS, "conv_id",
+        num_buckets=16, overwrite=True,
+    )
+    b = 1 << 61
+    apply_changes(feed.filter(f"lsn < {b}"), table, batch_id="i", mode="mor")
+    apply_changes(
+        feed.filter(f"lsn >= {b} and lsn < {2 * b}"), table,
+        batch_id="u", mode="mor",
+    )
+    apply_changes(feed.filter(f"lsn >= {2 * b}"), table, batch_id="d", mode="mor")
+    view = Scd2View.create(table, os.path.join(root, "hist"))
+    view.refresh(mode="mor")
+    return view.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    ).orderBy("conv_id", "turn_idx", "valid_from_lsn")
+
+
+CDC_SCD2_VIEW_SQL = f"""
+{_FEED_SQL},
+banded AS (
+  SELECT *, CASE WHEN lsn < 2305843009213693952 THEN 0
+                 WHEN lsn < 4611686018427387904 THEN 1 ELSE 2 END AS band
+  FROM feed
+),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, band ORDER BY lsn DESC
+    ) AS rn
+    FROM banded
+  ) WHERE rn = 1
+),
+hist AS (
+  SELECT *, lead(lsn) OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn
+  ) AS valid_to_lsn
+  FROM winners
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM hist WHERE op <> 'D'
+ORDER BY conv_id, turn_idx, valid_from_lsn
+"""
+
+
 def _hist_setup(spark: SparkSession, sf_dir: str):
     """Shared fixture of the two hist-view contract queries: an events
     snapshot table, an empty cell-state table wired into a
@@ -1628,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_where": cdc_dml_where,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_restore": cdc_restore,
+        "cdc_scd2": cdc_scd2,
+        "cdc_scd2_view": cdc_scd2_view,
         "cdc_tsrange_scan": cdc_tsrange_scan,
         "cdc_hist_view": cdc_hist_view,
         "cdc_hist_view_stream": cdc_hist_view_stream,
@@ -1932,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dml_where": CDC_DML_WHERE_SQL,
         "cdc_wap_publish": CDC_WAP_PUBLISH_SQL,
         "cdc_restore": CDC_RESTORE_SQL,
+        "cdc_scd2": CDC_SCD2_SQL,
+        "cdc_scd2_view": CDC_SCD2_VIEW_SQL,
         "cdc_tsrange_scan": CDC_TSRANGE_SQL,
         "cdc_hist_view": CDC_HIST_VIEW_SQL,
         "cdc_hist_view_stream": CDC_HIST_VIEW_SQL,

@@ -2,6 +2,7 @@ from .apply import ApplyResult, apply_changes
 from .merge import delete_where, merge_into, restore_as_of, update_where
 from .lww import lww_resolve, lww_resolve_salted, lww_resolve_window
 from .replay import replay_quarantine
+from .scd import Scd2View, scd2_history
 
 __all__ = [
     "ApplyResult",
@@ -13,5 +14,7 @@ __all__ = [
     "lww_resolve_window",
     "replay_quarantine",
     "restore_as_of",
+    "Scd2View",
+    "scd2_history",
     "update_where",
 ]
