@@ -313,6 +313,11 @@ def main() -> None:
         "cdc_dml_where",
         "cdc_wap_publish",
         "cdc_restore",
+        # SCD Type-2: batch history fold and the incrementally-maintained
+        # history view (replay + view refreshes run at construction; the
+        # timed run scans the resulting history table)
+        "cdc_scd2",
+        "cdc_scd2_view",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

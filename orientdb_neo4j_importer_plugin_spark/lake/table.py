@@ -2978,6 +2978,28 @@ class SnapshotTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    # -- inspect surface (Iceberg metadata-tables analogue; lake/inspect.py) --
+
+    def snapshots(self) -> DataFrame:
+        """One row per retained version (Iceberg ``$snapshots`` analogue)."""
+        from .inspect import snapshots_df
+
+        return snapshots_df(self)
+
+    def files(self, snapshot: "Snapshot | None" = None) -> DataFrame:
+        """One row per live data file with manifest stats (Iceberg
+        ``$files`` analogue; distributed manifest parse)."""
+        from .inspect import files_df
+
+        return files_df(self, snapshot)
+
+    def partitions(self, snapshot: "Snapshot | None" = None) -> DataFrame:
+        """Per-bucket file/row/byte rollup (Iceberg ``$partitions``
+        analogue; the compaction-debt view maintain() schedules from)."""
+        from .inspect import partitions_df
+
+        return partitions_df(self, snapshot)
+
     # -- maintenance ----------------------------------------------------------
 
     def vacuum_tombstones(self, below_lsn: int) -> Snapshot:
