@@ -120,6 +120,17 @@ def test_snapshots_listing_and_pins(spark, tmp_path):
     assert epochs == sorted(epochs)
 
 
+def test_empty_table(spark, tmp_path):
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "empty"), TRANSCRIPTS, "conv_id", num_buckets=4
+    )
+    assert table.files().count() == 0
+    assert table.partitions().count() == 0
+    snaps = table.snapshots().collect()
+    assert len(snaps) == 1 and snaps[0]["is_current"]
+    assert snaps[0]["n_batches"] == 0
+
+
 def test_tombstone_flag_surfaces(spark, tmp_path):
     table = _table(spark, tmp_path, batches=1, n=40)
     deletes = spark.range(5).select(
