@@ -1763,6 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cdc_latest_state": lambda s, d: S.latest_state(_read(s, d, "events")),
         "events_sessionize": lambda s, d: S.sessionize(_read(s, d, "events")),
+        # daily grain: the fixture's first-events split into distinct
+        # cohorts (weekly would collapse to one cohort at 100% retention —
+        # a green-but-vacuous row, the cdc_tsrange lesson from round 4)
+        "events_cohort_retention": lambda s, d: S.cohort_retention(
+            _read(s, d, "events"), granularity="day"
+        ).orderBy("cohort", "period_offset"),
         "events_session_window": lambda s, d: S.session_window_agg(
             _read(s, d, "events")
         ),
@@ -2053,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_response_latency": TR.response_latency_stats_sql(_STATE_CTE),
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
+        "events_cohort_retention": S.cohort_retention_sql("day"),
         "events_session_window": S.session_window_agg_sql(),
         "events_pivot_type_by_hour": S.pivot_type_by_hour_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),

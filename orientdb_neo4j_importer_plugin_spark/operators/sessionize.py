@@ -410,3 +410,91 @@ WINDOW
               ROWS BETWEEN {window_rows} PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts, event_id
 """
+
+
+def cohort_retention(events: DataFrame, granularity: str = "week") -> DataFrame:
+    """Cohort-retention matrix: users grouped by the period of their FIRST
+    event (the cohort), then counted per subsequent activity period.
+
+    Columns: cohort (date), period_offset (int periods since the cohort
+    period), active_users, cohort_size, retention_bp (basis points,
+    INTEGER ``active*10000 div size`` — exact integer arithmetic, so the
+    DuckDB oracle twin is hash-identical where a double ratio could
+    diverge in the last bit).
+
+    The product-analytics consumer the reference's one-shot copy cannot
+    serve (no history, no time axis; ``ONeo4jImporter.java:105-112``
+    rebuilds latest state only).
+
+    Scale shape (10^10 events): two user_id-partitioned aggregations
+    (first-event and distinct user-periods — both map-side combinable),
+    one co-keyed join, then a tiny (cohort, offset) aggregate where
+    ``count(*)`` suffices — a user contributes at most ONE row per
+    period by construction, so there is NO countDistinct expand. Cohort
+    sizes broadcast (O(#periods) rows). Nothing scales with users on
+    the driver.
+    """
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    # date_trunc stays TIMESTAMP in both engines (the fixture's own date
+    # columns are timestamps; a DATE cast maps to mismatched pandas dtypes)
+    trunc = lambda c: F.date_trunc(granularity, c)  # noqa: E731
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
+    cohorts = firsts.select(
+        "user_id", trunc(F.col("__first_ts")).alias("cohort")
+    )
+    active = events.select(
+        "user_id", trunc(F.col("ts")).alias("period")
+    ).distinct()
+    if granularity == "month":
+        offset = F.round(F.months_between("period", "cohort")).cast("int")
+    else:
+        days = 7 if granularity == "week" else 1
+        offset = (F.datediff("period", "cohort") / days).cast("int")
+    per = (
+        active.join(cohorts, "user_id")
+        .groupBy("cohort", offset.alias("period_offset"))
+        .agg(F.count("*").alias("active_users"))
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return per.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "period_offset",
+        "active_users",
+        "cohort_size",
+        F.expr("(active_users * 10000) div cohort_size")
+        .cast("int")
+        .alias("retention_bp"),
+    )
+
+
+def cohort_retention_sql(granularity: str = "week") -> str:
+    offset = {
+        "day": "date_diff('day', cohort, period)",
+        "week": "date_diff('day', cohort, period) / 7",
+        "month": "date_diff('month', cohort, period)",
+    }[granularity]
+    return f"""
+WITH firsts AS (
+  SELECT user_id, date_trunc('{granularity}', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('{granularity}', ts) AS period
+  FROM events
+),
+per AS (
+  SELECT cohort,
+         CAST({offset} AS INT) AS period_offset,
+         count(*) AS active_users
+  FROM active JOIN firsts USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY 1)
+SELECT cohort, period_offset, active_users, cohort_size,
+       CAST((active_users * 10000) // cohort_size AS INT) AS retention_bp
+FROM per JOIN sizes USING (cohort)
+ORDER BY cohort, period_offset
+"""
