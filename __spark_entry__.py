@@ -1769,6 +1769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": lambda s, d: S.cohort_retention(
             _read(s, d, "events"), granularity="day"
         ).orderBy("cohort", "period_offset"),
+        # 24h window: the fixture funnels 150 -> 60 -> 14 users (unbounded
+        # would be flat 150/150/150 — vacuous)
+        "events_funnel": lambda s, d: S.funnel(
+            _read(s, d, "events"),
+            ["view", "click", "purchase"],
+            within_seconds=86400,
+        ).orderBy("step_idx"),
         "events_session_window": lambda s, d: S.session_window_agg(
             _read(s, d, "events")
         ),
@@ -2060,6 +2067,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_latest_state": S.LATEST_STATE_SQL,
         "events_sessionize": S.sessionize_sql(),
         "events_cohort_retention": S.cohort_retention_sql("day"),
+        "events_funnel": S.funnel_sql(
+            ["view", "click", "purchase"], within_seconds=86400
+        ),
         "events_session_window": S.session_window_agg_sql(),
         "events_pivot_type_by_hour": S.pivot_type_by_hour_sql(),
         "events_tumbling_counts": S.tumbling_counts_sql(),

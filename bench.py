@@ -318,6 +318,10 @@ def main() -> None:
         # timed run scans the resulting history table)
         "cdc_scd2",
         "cdc_scd2_view",
+        # product-analytics pair over events: first-touch cohorts and
+        # ordered-funnel conversion
+        "events_cohort_retention",
+        "events_funnel",
     ]
     times: dict[str, float] = {}
     for name in bench_names:

@@ -498,3 +498,130 @@ SELECT cohort, period_offset, active_users, cohort_size,
 FROM per JOIN sizes USING (cohort)
 ORDER BY cohort, period_offset
 """
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: per user, does a chain of `steps` events
+    exist with strictly increasing timestamps (optionally all within
+    `within_seconds` of the user's FIRST step-1 event)?
+
+    Matching is greedy-earliest per step, which is exact for existence:
+    if ANY valid chain exists, the chain built from each step's earliest
+    admissible occurrence also exists (each greedy prefix finishes
+    no later than any other chain's prefix, so it never forecloses a
+    continuation). Ties between chains don't matter — the question is
+    per-user reachability, not which chain.
+
+    Columns: step_idx (1-based), step, users, conversion_bp
+    (``users*10000 div step-1 users`` — integer-exact, oracle-stable).
+
+    Scale shape: one filtered, map-side-combinable min-aggregate per
+    step plus one user_id-co-keyed join per step transition (k-1 joins
+    for k steps, each input pre-filtered to that step's events at the
+    scan). The final frame is k rows; its window is driver-trivial.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    first = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t"))
+        .withColumn("__t0", F.col("__t"))
+    )
+    reached = [first]
+    for step in steps[1:]:
+        prev = reached[-1].select("user_id", "__t", "__t0")
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", "ts")
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("__t"))
+        )
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("ts")
+                <= F.col("__t0")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        reached.append(
+            nxt.groupBy("user_id").agg(
+                F.min("ts").alias("__t"), F.min("__t0").alias("__t0")
+            )
+        )
+    parts = [
+        df.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("users"),
+        )
+        for i, (step, df) in enumerate(zip(steps, reached))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.orderBy("step_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.select(
+        "step_idx",
+        "step",
+        "users",
+        F.expr("users * 10000").cast("long").alias("__n"),
+        F.first("users").over(w).alias("__d"),
+    ).select(
+        "step_idx",
+        "step",
+        "users",
+        F.expr("case when __d = 0 then 0 else __n div __d end")
+        .cast("int")
+        .alias("conversion_bp"),
+    )
+
+
+def funnel_sql(steps: list[str], within_seconds: int | None = None) -> str:
+    ctes, prev = [], None
+    for i, step in enumerate(steps):
+        name = f"s{i + 1}"
+        if i == 0:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 "
+                f"FROM events WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            win = (
+                ""
+                if within_seconds is None
+                else (
+                    f" AND e.ts <= {prev}.t0 + "
+                    f"INTERVAL {int(within_seconds)} SECOND"
+                )
+            )
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t, "
+                f"min({prev}.t0) AS t0 "
+                f"FROM events e JOIN {prev} ON e.user_id = {prev}.user_id "
+                f"WHERE e.event_type = '{step}' AND e.ts > {prev}.t{win} "
+                f"GROUP BY 1)"
+            )
+        prev = name
+    unions = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+counts AS ({unions})
+SELECT CAST(step_idx AS INT) AS step_idx, step, users,
+       CAST(CASE WHEN first_value(users) OVER (ORDER BY step_idx) = 0
+                 THEN 0
+                 ELSE (users * 10000)
+                      // first_value(users) OVER (ORDER BY step_idx)
+            END AS INT) AS conversion_bp
+FROM counts
+ORDER BY step_idx
+"""

@@ -76,3 +76,71 @@ def test_bad_granularity(spark):
     ev = _events(spark, [(1, "2024-01-01T00:00")])
     with pytest.raises(ValueError, match="granularity"):
         cohort_retention(ev, "fortnight")
+
+
+def test_funnel_ordering_and_window(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.sessionize import (
+        funnel,
+    )
+
+    ev = _events(
+        spark,
+        [
+            # u1 converts fully, in order
+            (1, "2024-01-01T00:00"),
+            (1, "2024-01-01T01:00"),
+            (1, "2024-01-01T02:00"),
+            # u2 has all types but purchase BEFORE click -> stops at click
+            (2, "2024-01-01T00:00"),
+            (2, "2024-01-01T00:30"),
+            (2, "2024-01-01T01:00"),
+            # u3 converts but outside the 2h window -> stops at click
+            (3, "2024-01-01T00:00"),
+            (3, "2024-01-01T01:00"),
+            (3, "2024-01-01T03:00"),
+            # u4 never starts (no view)
+            (4, "2024-01-01T00:00"),
+        ],
+    )
+    # overwrite types: map event_id -> type by position
+    types = [
+        "view", "click", "purchase",
+        "view", "purchase", "click",
+        "view", "click", "purchase",
+        "click",
+    ]
+    from pyspark.sql import functions as F
+
+    m = F.create_map(
+        *[x for i, t in enumerate(types) for x in (F.lit(i), F.lit(t))]
+    )
+    ev = ev.withColumn("event_type", m[F.col("event_id")])
+    rows = {
+        r.step_idx: (r.step, r.users, r.conversion_bp)
+        for r in funnel(
+            ev, ["view", "click", "purchase"], within_seconds=7200
+        ).collect()
+    }
+    assert rows == {
+        1: ("view", 3, 10000),
+        2: ("click", 3, 10000),
+        3: ("purchase", 1, 3333),
+    }
+
+
+def test_funnel_repeated_step(spark):
+    from orientdb_neo4j_importer_plugin_spark.operators.sessionize import (
+        funnel,
+    )
+
+    # view->view needs TWO distinct view timestamps
+    ev = _events(
+        spark,
+        [(1, "2024-01-01T00:00"), (1, "2024-01-01T01:00"),
+         (2, "2024-01-01T00:00")],
+    )
+    rows = {
+        r.step_idx: r.users
+        for r in funnel(ev, ["click", "click"]).collect()
+    }
+    assert rows == {1: 2, 2: 1}
