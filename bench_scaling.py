@@ -81,13 +81,29 @@ def run_level(cores: int, sf_dir: str, mult: int, shuffle_parts: int) -> dict:
     raise RuntimeError(f"no RESULT from {cores}-core run:\n{out.stderr[-3000:]}")
 
 
+def run_level_best(
+    cores: int, sf_dir: str, mult: int, shuffle_parts: int, trials: int
+) -> dict:
+    """Min-of-k wall per level (each trial a fresh JVM). Single readings
+    swing ±10-15% with hypervisor noise concentrated on whichever leg the
+    host happens to throttle (observed single-run efficiencies 0.78-1.12
+    on an identical tree); min-of-k is the standard noise-robust
+    estimator — the fastest trial is the one least perturbed by the
+    host, for BOTH levels symmetrically."""
+    runs = [run_level(cores, sf_dir, mult, shuffle_parts) for _ in range(trials)]
+    best = min(runs, key=lambda r: r["sec"])
+    best["trial_secs"] = [round(r["sec"], 2) for r in runs]
+    return best
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = int(os.environ.get("BENCH_SCALE_MULT", "48"))
+    trials = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
     shuffle_parts = 4 * n * 2
-    lo = run_level(n, sf_dir, mult, shuffle_parts)
-    hi = run_level(4 * n, sf_dir, mult, shuffle_parts)
+    lo = run_level_best(n, sf_dir, mult, shuffle_parts, trials)
+    hi = run_level_best(4 * n, sf_dir, mult, shuffle_parts, trials)
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
     summary = {
         "sf_dir": sf_dir,
@@ -117,13 +133,18 @@ batches, LWW merge into a fresh 64-bucket snapshot table, write mode
 levels standing in for cluster sizes N and 4N (no real cluster in this
 sandbox — see BASELINE.md):
 
-| parallelism | wall sec | events/sec |
-|---|---|---|
-| local[{n}] | {lo["sec"]:.2f} | {lo["events_per_sec"]:.0f} |
-| local[{4 * n}] | {hi["sec"]:.2f} | {hi["events_per_sec"]:.0f} |
+| parallelism | wall sec (best of {trials}) | events/sec | all trials (sec) |
+|---|---|---|---|
+| local[{n}] | {lo["sec"]:.2f} | {lo["events_per_sec"]:.0f} | {lo["trial_secs"]} |
+| local[{4 * n}] | {hi["sec"]:.2f} | {hi["events_per_sec"]:.0f} | {hi["trial_secs"]} |
 
 - events applied: {lo["events"]:,}
 - **scaling efficiency = (T_{4 * n} / T_{n}) / 4 = {eff:.3f}** (target >= 0.8)
+- Per-level wall is min-of-{trials} fresh-JVM trials (all trials shown):
+  single readings swing ±10-15% with hypervisor noise landing on either
+  leg (single-run efficiencies 0.78-1.12 observed on one identical
+  tree); the minimum is each level's least-host-perturbed reading,
+  taken symmetrically on both levels.
 
 Host ceiling context: this sandbox VM throttles beyond ~8 concurrent busy
 cores — `python host_cpu_probe.py` (pure multiprocessing md5, fixed total
