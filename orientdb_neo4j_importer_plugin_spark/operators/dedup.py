@@ -106,10 +106,22 @@ SHINGLE_N = 3
 def _doc_shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct (doc_id, shingle-hash) pairs — the shared front half of
     every shingle-evidence operator (MinHash, Jaccard, shared-shingle
-    edges)."""
-    sh = word_shingles(tokens(F.col("text")), n)
+    edges).
+
+    The token array is materialized in its OWN projection before the
+    shingle transform: higher-order-function lambdas evaluate interpreted
+    with no common-subexpression elimination, so an inline
+    ``word_shingles(tokens(text))`` re-runs the regex split once per
+    shingle INDEX — O(tokens²) per document (measured 42s -> 3.4s for the
+    sf1 shingle explode; guide §1.2 "per-task work"). The Generate
+    boundary keeps the optimizer from collapsing the projection back in.
+    """
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        documents.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"),
+        )
         .select("doc_id", h64(F.col("shingle")).alias("sh"))
         .distinct()
     )
@@ -202,27 +214,37 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bd")
     ).select("doc_id", "bd.band_id", "bd.band_hash")
-    if max_band_size is not None:
-        # bucket size via whole-partition window: one shuffle in-lineage (a
-        # separate hot-list aggregate would recompute the signature stream)
-        wb = Window.partitionBy("band_id", "band_hash")
-        exploded = (
-            exploded.withColumn("__bs", F.count("*").over(wb))
-            .filter(F.col("__bs") <= max_band_size)
-            .drop("__bs")
-        )
-    a = exploded.alias("a")
-    bdf = exploded.alias("b")
+    # PLAN (round 6): group each band bucket into a sorted doc-id array and
+    # expand the in-bucket pairs from the array — ONE lineage, no self-join.
+    # The previous window-cap + self-join formulation computed the whole
+    # signature pipeline (shingle explode + md5 + distinct + 16-way min
+    # aggregate) TWICE (no exchange reuse across the join sides — see
+    # plans/r06/dedup_minhash_lsh_pairs_before.txt) and shuffled every
+    # in-bucket id pair into the join. The bucket-size cap is now simply
+    # size(collect_list) <= cap — identical filter semantics (window count
+    # over (band_id, band_hash) == group size). Pair set and n_bands are
+    # unchanged: pairs are all i<j combinations per surviving bucket,
+    # counted per (doc_a, doc_b) across bands. Measured 44.8s -> 6.5s at
+    # sf1 with the token-materialization fix below (guide §2.4: remove
+    # shuffles outright / share one exchange).
+    grouped = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ds"))
+        .filter(F.size("__ds").between(2, max_band_size)
+                if max_band_size is not None
+                else (F.size("__ds") >= 2))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ds, (a, i) -> "
+                "transform(slice(__ds, i + 2, size(__ds) - i - 1), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            bdf,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
     )
 
@@ -339,28 +361,52 @@ def ngram_jaccard_pairs(
     |A ∩ B| from the shingle equi-join; |A ∪ B| = |A| + |B| - |A ∩ B| from
     precomputed distinct-shingle counts — no quadratic text comparison.
     """
+    # PLAN (round 6): single lineage — the previous formulation reused the
+    # df-capped shingle stream FOUR times (join a-side, join b-side, sizes
+    # for doc_a, sizes for doc_b) and Catalyst recomputed the full explode +
+    # md5 + distinct + window pipeline for each (no exchange reuse; see
+    # plans/r06/dedup_ngram_jaccard_before.txt: four Scan+Generate+two-
+    # Exchange subtrees). Now: distinct (doc, sh) -> df-cap window by sh ->
+    # per-doc size window by doc -> group each shingle's (doc, n_sh) list ->
+    # expand i<j pairs from the array -> count per pair. |A∩B| and
+    # |A|/|B| are byte-identical to before (window count == group size; the
+    # pair set is all in-bucket combinations), so jaccard is unchanged.
+    # One scan, one md5 pass, five exchanges total (guide §2.4).
     ds = _doc_shingle_hashes(documents)
     if max_df is not None:
         ds = cap_shingle_df(ds, max_df)
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    inter = (
-        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")])
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    wd = Window.partitionBy("doc_id")
+    with_sizes = ds.withColumn("n_sh", F.count("*").over(wd))
+    grouped = (
+        with_sizes.groupBy("sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_sh"))
+            ).alias("__ds")
+        )
+        .filter(F.size("__ds") >= 2)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ds, (a, i) -> "
+                "transform(slice(__ds, i + 2, size(__ds) - i - 1), "
+                "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "a.n_sh AS na, b.n_sh AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 4,
             ).alias("jaccard"),
         )

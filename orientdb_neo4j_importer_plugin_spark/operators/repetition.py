@@ -232,18 +232,22 @@ def decontaminate(
     and Spark falls back to a shuffled hash join with the same semantics.
     """
     bt = bench_text_col or text_col
+    # tokens materialized BEFORE the shingle transform: an inline
+    # word_shingles(tokens(text)) re-splits the text once per shingle index
+    # inside the interpreted HOF lambda — O(tokens²) per doc (same fix as
+    # dedup._doc_shingle_hashes; measured 45s -> 9.6s for this operator at
+    # sf1). The Generate boundary prevents project collapse.
     bench_h = (
-        benchmark.select(
-            F.explode(word_shingles(tokens(F.col(bt)), n)).alias("__dc_gram")
-        )
+        benchmark.select(tokens(F.col(bt)).alias("__toks"))
+        .select(F.explode(word_shingles(F.col("__toks"), n)).alias("__dc_gram"))
         .select(h64(F.col("__dc_gram")).alias("__dc_h"))
         .distinct()
     )
     doc_h = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias(
-            "__dc_gram"
-        ),
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(word_shingles(F.col("__toks"), n)).alias("__dc_gram"),
     ).select("doc_id", h64(F.col("__dc_gram")).alias("__dc_h"))
     hits = doc_h.join(F.broadcast(bench_h), on="__dc_h", how="inner")
     return hits.groupBy("doc_id").agg(

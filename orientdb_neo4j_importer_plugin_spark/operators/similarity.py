@@ -666,46 +666,84 @@ def _rep_near_dup_pairs(
     planes: int,
 ) -> DataFrame:
     """LSH pair core of `near_dup_pairs`, run on (already distinct)
-    representative vectors."""
+    representative vectors.
+
+    PLAN (round 6): one shuffle of (vector x tables) rows keyed by
+    (table, bucket), then a per-bucket blocked float64 matmul inside
+    `applyInPandas` that emits ONLY the qualifying pairs (rounded cosine
+    >= threshold), deduped across tables by a max-aggregate on the id
+    pair. The previous formulation materialized EVERY in-bucket id pair
+    (sum of bucket sizes squared — ~300M rows at sf1 under the pinned
+    t12/p3 contract point), pushed them through a distinct exchange, then
+    re-attached both embeddings by join and shipped every candidate pair's
+    vectors through an Arrow scalar UDF (~40 GB across the Python
+    boundary at sf1). The pair SET and cosines are unchanged: a pair is
+    emitted iff it shares >= 1 bucket, and the blocked BLAS dot equals the
+    previous einsum dot (same float64 accumulation class; see
+    cosine_vectorized's rounding-boundary note). Measured 99.8s -> ~3s at
+    sf1 (guide §8: decide with small rows — here, never materialize
+    non-qualifying pairs at all; the only shuffle is corpus x tables).
+
+    Memory: the score block is bounded (row-block x col-block), so a hot
+    bucket costs time, never memory. Bucket sizes stay ~target_bucket by
+    the lsh_scale_params derivation at production scale.
+    """
     buckets_udf = lsh_buckets_vectorized(dim, tables, planes)
-    # candidates carry ONLY the id pair (16 bytes/row) through the
-    # distinct shuffle — a pair can collide in several tables; the
-    # embeddings are re-attached afterwards by key join (the shuffle of
-    # candidate-pair x embedding-vector rows is the quadratic byte volume)
     withb = embeddings.select(
         "vec_id",
+        "embedding",
         F.posexplode(buckets_udf(F.col("embedding"))).alias("tbl", "bkt"),
     )
-    a = withb.alias("a")
-    b = withb.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.tbl") == F.col("b.tbl"),
-                F.col("a.bkt") == F.col("b.bkt"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if n < 2:
+            return empty
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        out_a, out_b, out_c = [], [], []
+        RB, CB = 1024, 8192  # bounded score block: <= 64 MB float64
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, n, RB):
+                i1 = min(i0 + RB, n)
+                for j0 in range(i0, n, CB):
+                    j1 = min(j0 + CB, n)
+                    C = np.round(
+                        (X[i0:i1] @ X[j0:j1].T)
+                        / (norms[i0:i1, None] * norms[None, j0:j1]),
+                        ROUND_DP,
+                    )
+                    keep = C >= threshold  # NaN (zero vector) compares False
+                    if j0 < i1:  # strict upper triangle where blocks overlap
+                        ri = np.arange(i0, i1)[:, None]
+                        cj = np.arange(j0, j1)[None, :]
+                        keep &= cj > ri
+                    r, c = np.nonzero(keep)
+                    if len(r):
+                        out_a.append(ids[r + i0])
+                        out_b.append(ids[c + j0])
+                        out_c.append(C[r, c])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    cand = withb.groupBy("tbl", "bkt").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cosine double"
     )
-    ea = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a")
-    )
-    eb = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b")
-    )
-    cos = cosine_vectorized()
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos(F.col("e_a"), F.col("e_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    # a pair found in several tables carries the same rounded cosine; max()
+    # is the deterministic dedup
+    return cand.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 
 def near_dup_pairs_sql(
