@@ -503,15 +503,24 @@ def cdc_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LWW-replayed live state straight from the feed (no table build — the
 # table-backed path is cdc_replay_state; equivalence is tested there), the
 # input to the conversation-level analytics operators.
-def _replayed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _replayed_state(
+    spark: SparkSession, sf_dir: str, cluster: str = "range"
+) -> DataFrame:
     from orientdb_neo4j_importer_plugin_spark.cdc.lww import lww_resolve
 
-    # pre-partition by conv_id: HashPartitioning(conv_id) satisfies the
+    # cluster_by_key pre-partitions the RAW lineitem projection by conv_id
+    # INSIDE the feed derivation: that partitioning satisfies the
     # clustered distribution of BOTH the (conv_id, turn_idx) LWW aggregate
     # and the downstream conversation-level window/agg, so the entire
-    # replay->analytics pipeline runs in ONE data shuffle (verified: the
-    # executed plan shows a single hash exchange + the output sort).
-    feed = feed_from_tpch(spark, sf_dir).repartition("conv_id")
+    # replay->analytics pipeline still runs in ONE data shuffle — and
+    # (round 6) that one exchange carries the narrow raw columns while the
+    # md5/text derivation runs post-shuffle on every core instead of in
+    # the scan's 1-3 input-split tasks (see feedgen.feed_from_tpch).
+    # cluster="range" additionally lets a consumer whose final sort leads
+    # with conv_id elide the sort's own exchange + its range-sampling
+    # recompute of the whole derived segment; consumers ordering by other
+    # keys pass cluster="hash" (no sampling job on the feed).
+    feed = feed_from_tpch(spark, sf_dir, cluster_by_key=cluster)
     return lww_resolve(feed, keys=["conv_id", "turn_idx"]).filter("op <> 'D'")
 
 
@@ -527,10 +536,11 @@ def cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orientdb_neo4j_importer_plugin_spark.cdc.lww import lww_resolve_patch
     from orientdb_neo4j_importer_plugin_spark.feedgen import patch_feed_from_tpch
 
-    feed = patch_feed_from_tpch(spark, sf_dir).drop("source_part")
-    st = lww_resolve_patch(
-        feed.repartition("conv_id"), keys=["conv_id", "turn_idx"]
-    ).filter("op <> 'D'")
+    # cluster_by_key: same one-shuffle shape as _replayed_state (round 6)
+    feed = patch_feed_from_tpch(spark, sf_dir, cluster_by_key="range").drop(
+        "source_part"
+    )
+    st = lww_resolve_patch(feed, keys=["conv_id", "turn_idx"]).filter("op <> 'D'")
     return st.select("conv_id", "turn_idx", "role", "text", "tool", "ts").orderBy(
         "conv_id", "turn_idx", "text"
     )
@@ -1744,19 +1754,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _replayed_state(s, d)
         ),
         "transcripts_template_groups": lambda s, d: TR.conversation_template_groups(
-            _replayed_state(s, d)
+            _replayed_state(s, d, cluster="hash")
         ),
         "transcripts_export_pipeline": lambda s, d: TR.export_pipeline(
             _replayed_state(s, d), max_tokens=TRUNCATE_BUDGET_TOKENS
         ),
         "transcripts_tool_transitions": lambda s, d: TR.tool_transitions(
-            _replayed_state(s, d)
+            _replayed_state(s, d, cluster="hash")
         ),
         "transcripts_tool_usage": lambda s, d: TR.tool_usage_stats(
-            _replayed_state(s, d)
+            _replayed_state(s, d, cluster="hash")
         ),
         "transcripts_tool_paths": lambda s, d: TR.tool_paths(
-            _replayed_state(s, d)
+            _replayed_state(s, d, cluster="hash")
         ),
         "transcripts_response_latency": lambda s, d: TR.response_latency_stats(
             _replayed_state(s, d)

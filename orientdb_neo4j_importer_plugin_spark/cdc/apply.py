@@ -18,12 +18,14 @@ attached)::
 
 Scale design:
 
-* The MERGE join reads ONLY the buckets containing changed keys
+* The MERGE reads ONLY the buckets containing changed keys
   (metadata-pruned, like Iceberg partition pruning + file skipping).
-* The anti-join's build side is the winner key set — one row per changed key,
-  orders of magnitude smaller than the table — and is explicitly broadcast
-  when small, so the table side never shuffles. With a large batch AQE falls
-  back to a shuffled join with skew splitting.
+* The COW rewrite is ONE bucket-keyed shuffle of (existing ∪ winners) with an
+  in-partition LWW argmax — no join at all. The rewrite must move the touched
+  buckets' bytes once anyway (they are being rewritten); the aggregate rides
+  that same exchange, so the merge adds zero extra passes over the table
+  (round 6; previously an anti-join + semi-join evaluated the bucket scan
+  twice and shuffled both sides per join).
 * LWW is an algebraic aggregate (map-side combinable), so a hot conversation
   never concentrates on one reducer (see ``lww.py``).
 * Everything stays JVM-side whole-stage-codegen; zero Python row functions.
@@ -48,13 +50,6 @@ from ..lake.table import (
 )
 from ..schema import CDC_META_COLUMNS
 from .lww import lww_resolve, lww_resolve_with_stats
-
-# Below this many changed keys the anti-join build side is broadcast.
-# Above it, building/serializing the broadcast on the driver becomes a serial
-# bottleneck (Amdahl) — a shuffled hash join with AQE skew handling
-# parallelizes better for huge batches.
-BROADCAST_KEY_LIMIT = 500_000
-
 
 def poison_reason_expr(
     events_schema: StructType,
@@ -104,17 +99,6 @@ def _jsonable(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
     return v
-
-
-def _argmax_by_lsn(rows: DataFrame, keys: list[str]) -> DataFrame:
-    """One storage row per key: max __lsn wins (same algebraic-aggregate trick
-    as lww_resolve, over storage rows instead of envelope events)."""
-    rest = [c for c in rows.columns if c not in keys and c != LSN_COL]
-    w = F.max(F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])).alias("__w")
-    out = rows.groupBy(*keys).agg(w)
-    return out.select(
-        *keys, F.col(f"__w.{LSN_COL}").alias(LSN_COL), *[F.col(f"__w.{c}").alias(c) for c in rest]
-    )
 
 
 @dataclass
@@ -487,22 +471,39 @@ def apply_changes(
             existing = table.read_buckets(
                 touched, snapshot=base_snap, raw=True
             ).withColumn(BUCKET_COL, bucket_expr(key, nb, pk_t))
-            win_keys = winners.select(*keys)
-            # keys_changed <= events_in: a safe pre-write broadcast decision
-            if 0 <= res.events_in <= BROADCAST_KEY_LIMIT:
-                win_keys = F.broadcast(win_keys)
-            # The big (table) side never shuffles: untouched keys pass
-            # through a broadcast anti join; contested keys (a tiny set) go
-            # through a broadcast semi join + a second LWW argmax vs batch.
-            survivors = existing.join(win_keys, on=keys, how="left_anti")
-            contested = existing.join(win_keys, on=keys, how="left_semi")
-            resolved = _argmax_by_lsn(
-                contested.unionByName(incoming, allowMissingColumns=True),
-                keys,
+            # ONE bucket-keyed shuffle + in-partition argmax replaces the
+            # previous anti-join + semi-join + union (round 6): the joins
+            # evaluated the touched-bucket scan TWICE and shuffled both
+            # sides per join, and the rewrite then repartitioned the result
+            # by bucket anyway. Per key the argmax over (existing ∪ batch
+            # winners) is exactly survivors ∪ resolved: an untouched key's
+            # only row is its existing row; a contested key resolves by the
+            # same max(struct(__lsn, ...)) LWW. HashPartitioning(bucket)
+            # clusters the primary key (bucket is a function of the
+            # partition key), so the aggregate runs without a further
+            # exchange, and the write still lands one file per bucket dir.
+            unioned = existing.unionByName(incoming, allowMissingColumns=True)
+            unioned = unioned.repartition(
+                max(len(touched), 1), F.col(BUCKET_COL)
             )
-            new_data = survivors.unionByName(resolved, allowMissingColumns=True)
-            # one output file per bucket dir unless huge; AQE coalesces small
-            new_data = new_data.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            rest = [
+                c
+                for c in unioned.columns
+                if c not in keys and c not in (LSN_COL, BUCKET_COL)
+            ]
+            w = F.max(
+                F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])
+            ).alias("__w")
+            new_data = (
+                unioned.groupBy(F.col(BUCKET_COL), *keys)
+                .agg(w)
+                .select(
+                    *keys,
+                    F.col(f"__w.{LSN_COL}").alias(LSN_COL),
+                    *[F.col(f"__w.{c}").alias(c) for c in rest],
+                    F.col(BUCKET_COL),
+                )
+            )
             new_snap = table.commit_bucket_rewrite(
                 new_data,
                 touched_buckets=touched,

@@ -248,6 +248,7 @@ def feed_from_tpch(
     updates: bool = True,
     deletes: bool = True,
     parallelism: int | None = None,
+    cluster_by_key: bool | str = False,
 ) -> DataFrame:
     """Derive a deterministic transcripts change feed from the provided
     read-only TPC-H-ish tables: conversation = order, turn = line number,
@@ -260,16 +261,71 @@ def feed_from_tpch(
     engine-portable (the SQL oracle recomputes it verbatim), and totally
     ordered the same way in both engines. Update band > insert band and
     delete band > update band, mirroring arrival order semantics.
+
+    PLAN (round 6): ONE lineitem scan — each source row explodes into its
+    op-band events (I always, U/D on their modulo predicates) from an
+    in-row struct array, with the md5 ordinal materialized as a column
+    first so it is computed once per source row. The previous three-branch
+    union scanned lineitem three times and hashed 1.39x the rows; worse,
+    every event row's md5/text derivation ran below any later exchange —
+    i.e. in the scan stage's 1-3 input-split tasks (a 100 MB parquet file
+    is a single 128 MB split) instead of on all cores. `cluster_by_key`
+    repartitions the RAW projection by conv_id BEFORE the derivation:
+    callers that immediately need conv_id clustering (the LWW replay ->
+    conversation-analytics pipeline) get the heavy expressions evaluated
+    post-shuffle on every core, the exchange carries the narrow raw
+    columns instead of derived text, and no further shuffle exists
+    anywhere downstream (guide §2.3/§2.4). Row multiset is identical
+    either way; only arrival order differs, which nothing downstream
+    observes (LWW orders by lsn).
     """
+    return _tpch_feed_events(
+        spark, sf_dir, updates=updates, deletes=deletes, patches=False,
+        parallelism=parallelism, cluster_by_key=cluster_by_key,
+    )
+
+
+def _tpch_feed_events(
+    spark: SparkSession,
+    sf_dir: str,
+    updates: bool,
+    deletes: bool,
+    patches: bool,
+    parallelism: int | None,
+    cluster_by_key: bool | str,
+) -> DataFrame:
+    """Single-scan band-explode core shared by feed_from_tpch (I/U/D) and
+    patch_feed_from_tpch (+ the two op='P' bands)."""
     base, ordinal = _tpch_hashed_base(spark, sf_dir, parallelism)
+    if cluster_by_key == "range":
+        # RANGE partitioning: satisfies the same per-conv
+        # ClusteredDistribution for every downstream aggregate/window, AND
+        # lets a trailing orderBy(conv_id, ...) elide its range exchange
+        # (RangePartitioning(conv_id) prefix-satisfies the
+        # OrderedDistribution), so the expensive derived segment is never
+        # recomputed by a sort's range-bound sampling job — only this
+        # cheap raw projection is sampled (guide §2.4: establish the
+        # partitioning once, in the right place). Use for pipelines whose
+        # final sort leads with conv_id; plain hash clustering otherwise
+        # (no sampling job at all).
+        base = base.repartitionByRange("conv_id")
+    elif cluster_by_key:
+        base = base.repartition("conv_id")
+    base = base.withColumn("__h", ordinal)  # md5 once per source row
     n_span = F.lit(1 << 60).cast("long") * 2  # op band offset
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
         (F.col("turn_idx") % 4 + 1).cast("int"),
     )
+    tool = F.when(
+        F.col("l_suppkey") % 2 == 0,
+        F.concat(F.lit("tool_"), (F.col("l_suppkey") % 5).cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+    ts = F.col("l_shipdate").cast("timestamp")
+    h = F.col("__h")
 
-    def payload(df: DataFrame, rev: int) -> DataFrame:
-        text = F.concat(
+    def text(rev: int):
+        return F.concat(
             role,
             F.lit(" says: part "),
             F.col("l_partkey").cast("string"),
@@ -278,56 +334,85 @@ def feed_from_tpch(
             F.lit(" rev "),
             F.lit(rev).cast("string"),
         )
-        return (
-            df.withColumn("role", role)
-            .withColumn("text", text)
-            .withColumn(
-                "tool",
-                F.when(
-                    F.col("l_suppkey") % 2 == 0,
-                    F.concat(F.lit("tool_"), (F.col("l_suppkey") % 5).cast("string")),
-                ),
-            )
-            .withColumn("ts", F.col("l_shipdate").cast("timestamp"))
-            .withColumn(
-                "source_part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
-            )
+
+    def band(lsn_col, op: str, role_c, text_c, tool_c, ts_c):
+        return F.struct(
+            lsn_col.alias("lsn"),
+            F.lit(op).alias("op"),
+            role_c.alias("role"),
+            text_c.alias("text"),
+            tool_c.alias("tool"),
+            ts_c.alias("ts"),
         )
 
-    inserts = payload(base.withColumn("lsn", ordinal).withColumn("op", F.lit("I")), 0)
-    parts = [inserts]
+    null_s = F.lit(None).cast("string")
+    bands = [band(h, "I", role, text(0), tool, ts)]
     if updates:
-        upd = payload(
-            base.filter(F.col("l_partkey") % 3 == 0)
-            .withColumn("lsn", ordinal + n_span)
-            .withColumn("op", F.lit("U")),
-            1,
-        )
-        parts.append(upd)
-    if deletes:
-        del_ = (
-            base.filter(F.col("l_partkey") % 17 == 0)
-            .withColumn("lsn", ordinal + n_span + n_span)
-            .withColumn("op", F.lit("D"))
-            .withColumn("role", F.lit(None).cast("string"))
-            .withColumn("text", F.lit(None).cast("string"))
-            .withColumn("tool", F.lit(None).cast("string"))
-            .withColumn("ts", F.col("l_shipdate").cast("timestamp"))
-            .withColumn(
-                "source_part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+        bands.append(
+            F.when(
+                F.col("l_partkey") % 3 == 0,
+                band(h + n_span, "U", role, text(1), tool, ts),
             )
         )
-        parts.append(del_)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source_part"
+    if deletes:
+        bands.append(
+            F.when(
+                F.col("l_partkey") % 17 == 0,
+                band(h + n_span + n_span, "D", null_s, null_s, null_s, ts),
+            )
+        )
+    if patches:
+        null_ts = F.lit(None).cast("timestamp")
+        bands.append(
+            F.when(
+                F.col("l_suppkey") % 4 == 1,
+                band(
+                    h + n_span * 3, "P", null_s, null_s,
+                    F.concat(
+                        F.lit("patched_"), (F.col("l_suppkey") % 5).cast("string")
+                    ),
+                    null_ts,
+                ),
+            )
+        )
+        bands.append(
+            F.when(
+                F.col("l_partkey") % 5 == 0,
+                band(
+                    h + n_span * 3 + F.lit(1 << 60).cast("long"), "P", null_s,
+                    F.concat(
+                        F.lit("patched: part "), F.col("l_partkey").cast("string")
+                    ),
+                    null_s, null_ts,
+                ),
+            )
+        )
+    events = base.select(
+        "conv_id",
+        "turn_idx",
+        F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int").alias("source_part"),
+        F.explode(
+            F.filter(F.array(*bands), lambda x: x.isNotNull())
+        ).alias("e"),
+    )
+    return events.select(
+        F.col("e.lsn").alias("lsn"),
+        F.col("e.op").alias("op"),
+        "conv_id",
+        "turn_idx",
+        F.col("e.role").alias("role"),
+        F.col("e.text").alias("text"),
+        F.col("e.tool").alias("tool"),
+        F.col("e.ts").alias("ts"),
+        "source_part",
     )
 
 
 def patch_feed_from_tpch(
-    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    parallelism: int | None = None,
+    cluster_by_key: bool | str = False,
 ) -> DataFrame:
     """``feed_from_tpch`` plus two PARTIAL-update bands (op='P', null
     payload columns mean "untouched") ABOVE the delete band:
@@ -340,44 +425,14 @@ def patch_feed_from_tpch(
     overlap the delete band's (%17), so a correct column-level resolver
     (``cdc/lww.lww_resolve_patch``) must IGNORE patches landing on
     deleted keys — the contract query exercises that edge at data scale.
+
+    Round 6: the patch bands ride the same single-scan band explode as
+    the I/U/D feed (previously two extra lineitem scans + md5 passes);
+    see feed_from_tpch's plan note.
     """
-    base, ordinal = _tpch_hashed_base(spark, sf_dir, parallelism)
-    n_span = F.lit(1 << 60).cast("long") * 2
-    null_s = F.lit(None).cast("string")
-    null_ts = F.lit(None).cast("timestamp")
-    src = F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
-    p_tool = (
-        base.filter(F.col("l_suppkey") % 4 == 1)
-        .withColumn("lsn", ordinal + n_span * 3)
-        .withColumn("op", F.lit("P"))
-        .withColumn("role", null_s)
-        .withColumn("text", null_s)
-        .withColumn(
-            "tool",
-            F.concat(F.lit("patched_"), (F.col("l_suppkey") % 5).cast("string")),
-        )
-        .withColumn("ts", null_ts)
-        .withColumn("source_part", src)
-    )
-    p_text = (
-        base.filter(F.col("l_partkey") % 5 == 0)
-        .withColumn("lsn", ordinal + n_span * 3 + F.lit(1 << 60).cast("long"))
-        .withColumn("op", F.lit("P"))
-        .withColumn("role", null_s)
-        .withColumn(
-            "text",
-            F.concat(F.lit("patched: part "), F.col("l_partkey").cast("string")),
-        )
-        .withColumn("tool", null_s)
-        .withColumn("ts", null_ts)
-        .withColumn("source_part", src)
-    )
-    cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
-            "source_part"]
-    return (
-        feed_from_tpch(spark, sf_dir, parallelism=parallelism)
-        .unionByName(p_tool.select(*cols))
-        .unionByName(p_text.select(*cols))
+    return _tpch_feed_events(
+        spark, sf_dir, updates=True, deletes=True, patches=True,
+        parallelism=parallelism, cluster_by_key=cluster_by_key,
     )
 
 

@@ -57,59 +57,64 @@ def repetition_signals(
     Documents with zero tokens are absent from the output (they have no
     measurable n-grams) — same in the SQL twin.
 
-    Plan: every metric is per-document, so the whole operator is a
-    ROW-LOCAL projection — n-gram arrays built in place, distinct counts
-    via `array_distinct`, and the most-frequent-gram count via a
-    run-length `aggregate` fold over the sorted gram array. Zero
-    shuffles, zero explodes, zero Python; whole-stage codegen end to end
-    and embarrassingly parallel at any corpus size. (An earlier
-    explode + two-hash-aggregation formulation measured 20 s at sf0.1;
-    this form retires the shuffles entirely.)
+    Plan (round 6): tokens are built ONCE per row by the JVM tokenizer
+    (exact split semantics shared with the SQL twin), then one Arrow
+    `mapInPandas` pass counts the n-gram statistics per document with
+    dict/Counter operations. The previous all-expression form built the
+    2/3/5-gram STRING arrays via interpreted higher-order functions
+    (transform + slice + concat_ws per gram index) and run-length folds
+    over array_sort — measured 8.1s of its 12.9s at sf1 was gram-array
+    construction alone. Gram values never leave the operator (only
+    counts do), so tuple-keyed counting is value-identical: space-joined
+    tokens are injective (tokens contain no whitespace), hence
+    count-of-most-frequent and distinct-count match the string-gram
+    formulation bit-for-bit, and all ratios stay integer floor
+    arithmetic (Python ints are exact). 12.9s -> ~1.5s at sf1; still
+    zero shuffles and embarrassingly parallel (guide §4.2: hand whole
+    batches to native/vectorized code instead of interpreted expression
+    trees).
     """
 
-    def _runmax(garr: str):
-        # longest run in the sorted array == count of the most frequent
-        # gram; null-safe <=> makes the first element start a run of 1
-        return F.expr(
-            f"""aggregate(array_sort({garr}),
-              struct(CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS run,
-                     CAST(NULL AS STRING) AS prev),
-              (acc, x) -> struct(
-                greatest(acc.best,
-                         IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT))),
-                IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
-                x),
-              acc -> acc.best)"""
-        )
+    def _stats(batches):
+        import pandas as pd
 
-    def _bp(num, den):
-        return F.when(den > 0, F.floor(num * 10000 / den)).cast("long")
+        def bp(num: int, den: int):
+            return (num * 10000) // den if den > 0 else None
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": [], "uniq_token_bp": [],
+                "top2_bp": [], "top3_bp": [], "dup5_bp": [],
+            }
+            for toks in pdf["__rs_toks"]:
+                t = list(toks)
+                n = len(t)
+                out["n_tokens"].append(n)
+                out["uniq_token_bp"].append(bp(len(set(t)), n))
+                for key, k in (("top2_bp", 2), ("top3_bp", 3)):
+                    grams = list(zip(*[t[i:] for i in range(k)]))
+                    if grams:
+                        c: dict = {}
+                        for g in grams:
+                            c[g] = c.get(g, 0) + 1
+                        out[key].append(bp(max(c.values()), len(grams)))
+                    else:
+                        out[key].append(None)
+                g5 = list(zip(*[t[i:] for i in range(5)]))
+                out["dup5_bp"].append(
+                    bp(len(g5) - len(set(g5)), len(g5)) if g5 else None
+                )
+            yield pd.DataFrame(out)
 
     base = documents.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__rs_toks"),
     ).filter(F.size("__rs_toks") > 0)
-    g = base.select(
-        "doc_id",
-        "__rs_toks",
-        *[
-            word_shingles(F.col("__rs_toks"), n).alias(f"__rs_g{n}")
-            for n in (2, 3, 5)
-        ],
-    )
-    n_tok = F.size("__rs_toks").cast("long")
-    g2, g3, g5 = F.col("__rs_g2"), F.col("__rs_g3"), F.col("__rs_g5")
-    return g.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        _bp(F.size(F.array_distinct("__rs_toks")), n_tok).alias(
-            "uniq_token_bp"
-        ),
-        _bp(_runmax("__rs_g2"), F.size(g2)).alias("top2_bp"),
-        _bp(_runmax("__rs_g3"), F.size(g3)).alias("top3_bp"),
-        _bp(
-            F.size(g5) - F.size(F.array_distinct("__rs_g5")), F.size(g5)
-        ).alias("dup5_bp"),
+    return base.mapInPandas(
+        _stats,
+        "doc_id long, n_tokens long, uniq_token_bp long, "
+        "top2_bp long, top3_bp long, dup5_bp long",
     )
 
 

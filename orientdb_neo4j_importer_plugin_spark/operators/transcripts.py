@@ -119,8 +119,16 @@ def render_conversations(state: DataFrame, sep: str = "\n") -> DataFrame:
     render is one map-side-combinable shuffle.
     """
     line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    # n_tokens rides the aggregate as a SUM of per-line token counts —
+    # identical to tokenizing the joined text (the separator is whitespace,
+    # so tokens never span lines) and it avoids re-splitting the full
+    # conversation string after the agg (round 6; guide §2.3 aggregate
+    # before you shuffle).
+    tok = F.size(F.filter(F.split(line, r"\s+"), lambda x: F.length(x) > 0))
     packed = state.select(
-        "conv_id", F.struct(F.col("turn_idx"), line.alias("line")).alias("t")
+        "conv_id",
+        F.struct(F.col("turn_idx"), line.alias("line")).alias("t"),
+        tok.cast("long").alias("__tok"),
     )
     agg = packed.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n_turns"),
@@ -130,11 +138,11 @@ def render_conversations(state: DataFrame, sep: str = "\n") -> DataFrame:
             ),
             sep,
         ).alias("conv_text"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
     )
-    n_tokens = F.size(
-        F.filter(F.split(F.col("conv_text"), r"\s+"), lambda x: F.length(x) > 0)
+    return agg.select("conv_id", "n_turns", "conv_text", "n_tokens").orderBy(
+        "conv_id"
     )
-    return agg.withColumn("n_tokens", n_tokens.cast("long")).orderBy("conv_id")
 
 
 def render_conversations_sql(state_cte: str, sep: str = "\n") -> str:
