@@ -1254,7 +1254,11 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is DuckDB's own LEAD over the identical feed."""
     from orientdb_neo4j_importer_plugin_spark.cdc import scd2_history
 
-    feed = feed_from_tpch(spark, sf_dir)
+    # range-cluster by conv_id inside the feed derivation (round 6): the
+    # LEAD window's ClusteredDistribution(conv_id, turn_idx) and the final
+    # orderBy(conv_id, ...) are both satisfied by RangePartitioning(conv_id)
+    # — one exchange total and no sort-sampling recompute of the fold
+    feed = feed_from_tpch(spark, sf_dir, cluster_by_key="range")
     return scd2_history(
         feed, ["conv_id", "turn_idx"],
         payload_cols=["role", "text", "tool", "ts"],

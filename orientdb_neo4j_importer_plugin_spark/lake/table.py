@@ -2628,17 +2628,49 @@ class SnapshotTable:
             )
             if not ids:
                 return snap
-            merged = self.read_buckets(ids, snapshot=snap, raw=True).withColumn(
-                BUCKET_COL, bucket_expr_for(snap)
-            )
-            # cluster rewritten base files by primary key: a per-partition
-            # sort (no extra shuffle) that gives parquet row groups tight
-            # key min/max ranges — point lookups and key-range scans skip
-            # row groups, and runs of one conversation compress better.
-            # Iceberg sort-order-on-rewrite analogue.
-            merged = merged.repartition(
-                max(len(ids), 1), F.col(BUCKET_COL)
-            ).sortWithinPartitions(BUCKET_COL, *(cluster_by or snap.keys))
+            keys = snap.keys
+            if cluster_by and list(cluster_by) != list(keys):
+                # non-key cluster order: merged read (argmax by key), then
+                # bucket repartition + explicit sort by the scan column
+                merged = self.read_buckets(
+                    ids, snapshot=snap, raw=True
+                ).withColumn(BUCKET_COL, bucket_expr_for(snap))
+                merged = merged.repartition(
+                    max(len(ids), 1), F.col(BUCKET_COL)
+                ).sortWithinPartitions(BUCKET_COL, *cluster_by)
+            else:
+                # default key clustering (round 6): ONE bucket-keyed shuffle
+                # of the raw base ∪ delta rows + an in-partition LWW argmax
+                # (same shape as the COW apply merge) — the previous form
+                # exchanged the rows twice (argmax by key, then repartition
+                # by bucket) and sorted again for clustering; the sort
+                # aggregate's (bucket, key) group order IS the cluster
+                # order, so the trailing sort elides.
+                raw = self._read_files(
+                    snap.base_files(ids) + snap.delta_files(ids),
+                    snap.schema,
+                    snap.patch_cols,
+                ).withColumn(BUCKET_COL, bucket_expr_for(snap))
+                raw = raw.repartition(max(len(ids), 1), F.col(BUCKET_COL))
+                rest = [
+                    c
+                    for c in raw.columns
+                    if c not in keys and c not in (LSN_COL, BUCKET_COL)
+                ]
+                w = F.max(
+                    F.struct(F.col(LSN_COL), *[F.col(c) for c in rest])
+                ).alias("__w")
+                merged = (
+                    raw.groupBy(F.col(BUCKET_COL), *keys)
+                    .agg(w)
+                    .select(
+                        *keys,
+                        F.col(f"__w.{LSN_COL}").alias(LSN_COL),
+                        *[F.col(f"__w.{c}").alias(c) for c in rest],
+                        F.col(BUCKET_COL),
+                    )
+                    .sortWithinPartitions(BUCKET_COL, *keys)
+                )
             try:
                 return self.commit_bucket_rewrite(
                     merged,

@@ -120,10 +120,19 @@ def _doc_shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         documents.select("doc_id", tokens(F.col("text")).alias("__toks"))
         .select(
             "doc_id",
-            F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"),
+            # per-doc dedup is ROW-LOCAL (doc_id is part of the distinct
+            # key, so array_distinct over the doc's own hashed shingles ==
+            # the old post-explode .distinct()) — retires the 2.6M-row
+            # distinct exchange entirely (7.4s -> 5.2s at sf1, round 6)
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(F.col("__toks"), n),
+                        lambda s: h64(s),
+                    )
+                )
+            ).alias("sh"),
         )
-        .select("doc_id", h64(F.col("shingle")).alias("sh"))
-        .distinct()
     )
 
 

@@ -248,15 +248,25 @@ def decontaminate(
         .select(h64(F.col("__dc_gram")).alias("__dc_h"))
         .distinct()
     )
+    # per-doc gram dedup is row-local (array_distinct over the doc's own
+    # hashed grams), so (doc_id, __dc_h) is unique before the join and the
+    # per-doc count of distinct matched hashes is a PLAIN count — no
+    # distinct-expand aggregate, fewer join probes (round 6)
     doc_h = documents.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     ).select(
         "doc_id",
-        F.explode(word_shingles(F.col("__toks"), n)).alias("__dc_gram"),
-    ).select("doc_id", h64(F.col("__dc_gram")).alias("__dc_h"))
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("__toks"), n), lambda s: h64(s)
+                )
+            )
+        ).alias("__dc_h"),
+    )
     hits = doc_h.join(F.broadcast(bench_h), on="__dc_h", how="inner")
     return hits.groupBy("doc_id").agg(
-        F.countDistinct("__dc_h").cast("long").alias("n_hits")
+        F.count(F.lit(1)).cast("long").alias("n_hits")
     )
 
 

@@ -122,13 +122,18 @@ class MirrorRunner(CdcStreamRunner):
     def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
         from ..cdc.apply import apply_changes
 
-        # source-version watermark: one tiny max-agg per micro-batch (the
-        # same per-batch version probe materialize's stream runs). Recorded
-        # in replica lineage so lag() and catch_up() resume work no matter
-        # which path applied a given range.
-        vmax = batch.agg(F.max(VERSION_COL)).first()[0]
+        # source-version watermark from the CHECKPOINT OFFSET LOG (round 6):
+        # Spark writes this batch's end offset before foreachBatch runs, so
+        # the version this batch planned through is driver-side metadata —
+        # the previous max-agg over the batch cost one full extra pass
+        # through the Python data source per micro-batch. The offset end can
+        # exceed the max version that carried rows (trailing empty commits);
+        # recording the higher value is still correct — everything up to it
+        # has been applied — and _mirror_position() is a max over lineage,
+        # so a parse fallback to starting_version can never regress it.
+        vmax = self._checkpoint_position()
         res = apply_changes(
-            self._to_events(batch),
+            self._to_events(self._widen(batch)),
             self.table,
             batch_id=f"{self.batch_id_prefix}-{batch_id}",
             mode=self.mode,

@@ -258,6 +258,22 @@ class CdcStreamRunner:
         ]
         return max(vals) if vals else None  # ISO strings order by time
 
+    @staticmethod
+    def _widen(batch: DataFrame) -> DataFrame:
+        """A micro-batch arrives with one scan split per WAL file (small
+        chunk files are single parquet row groups — unsplittable), so
+        maxFilesPerTrigger=k means the whole LWW map side would run on k
+        tasks. Round-robin repartition to the session's parallelism keeps
+        the partial aggregate map-side-combinable AND parallel (round 6:
+        measured 5.5s -> ~2.5s per 2-file micro-batch at sf1; guide §2.5
+        input parallelism). Scale-adaptive: defaultParallelism, no local
+        constant."""
+        sc = batch.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if batch.rdd.getNumPartitions() < target:
+            batch = batch.repartition(target)
+        return batch
+
     def _for_each_batch(self, batch: DataFrame, batch_id: int) -> None:
         # Late-data policy: drop events older than (committed hwm - delay).
         # The cutoff comes from lineage metadata (no Spark action); the drop
@@ -277,6 +293,7 @@ class CdcStreamRunner:
         # stays monotone across the bounded lineage window
         from ..cdc.apply import apply_patch_changes
 
+        batch = self._widen(batch)
         apply_fn = apply_patch_changes if self.allow_patches else apply_changes
         res = apply_fn(
             batch,
